@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Benchmark: TEMPO VAE training + encode throughput on the local chip(s).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference PyTorch run trained 200k steps x batch 32 in ~41 h on
+one GPU => ~43 patches/sec (BASELINE.md). vs_baseline is patches/sec/chip
+relative to that.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PATCHES_PER_SEC = 43.0
+
+
+def bench_train(batch_size: int = 32, warmup: int = 3, iters: int = 10,
+                compute_dtype: str = "bfloat16") -> dict:
+    from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tempo_tpu.parallel.mesh import create_mesh, make_place_fn, shard_state
+    from tempo_tpu.train.state import create_train_state, make_optimizer
+    from tempo_tpu.train.step import make_train_step, vae_loss_fn
+
+    n_chips = jax.device_count()
+    config = VAEConfig(compute_dtype=compute_dtype)  # flagship 1028-ch model
+    model = AutoencoderKL(config)
+
+    global_batch = batch_size * n_chips
+    rng = np.random.default_rng(0)
+    x_host = rng.standard_normal((global_batch, 64, 64, 1028)).astype(np.float32)
+
+    init_fn = jax.jit(lambda k1, k2, x: model.init(k1, x, rng=k2))
+    params = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                     jnp.zeros((2, 64, 64, 1028), jnp.float32))["params"]
+    tx = make_optimizer()
+
+    mesh = create_mesh() if n_chips > 1 else None
+    place = make_place_fn(mesh)
+    state = create_train_state(params, tx, jax.random.PRNGKey(2))
+    if mesh is not None:
+        state = shard_state(state, mesh)
+    batch = place(x_host)
+
+    step = make_train_step(vae_loss_fn(model), tx)
+
+    # Sync via a scalar fetch: on relayed transports (axon),
+    # block_until_ready can return before remote execution finishes; a value
+    # transfer is the only reliable barrier.
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = global_batch * iters / dt
+    return {
+        "patches_per_sec": patches_per_sec,
+        "patches_per_sec_per_chip": patches_per_sec / n_chips,
+        "step_ms": 1000 * dt / iters,
+        "n_chips": n_chips,
+        "global_batch": global_batch,
+        "loss": loss,
+    }
+
+
+def bench_encode(batch_size: int = 32, warmup: int = 2, iters: int = 10,
+                 compute_dtype: str = "bfloat16") -> dict:
+    from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    config = VAEConfig(compute_dtype=compute_dtype)
+    model = AutoencoderKL(config)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (batch_size, 64, 64, 1028)).astype(np.float32))
+    init_fn = jax.jit(lambda k1, k2, xx: model.init(k1, xx, rng=k2))
+    params = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                     x[:2])["params"]
+
+    @jax.jit
+    def encode_sum(params, x):
+        # scalar output => the host-side float() is a true execution barrier
+        return jnp.sum(model.apply({"params": params}, x,
+                                   method=AutoencoderKL.encode).mean)
+
+    for _ in range(warmup):
+        out = encode_sum(params, x)
+    float(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = encode_sum(params, x)
+    float(out)
+    dt = time.perf_counter() - t0
+    return {"encode_patches_per_sec": batch_size * iters / dt}
+
+
+def main():
+    train = bench_train()
+    encode = bench_encode()
+    value = train["patches_per_sec_per_chip"]
+    result = {
+        "metric": "train_patches_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),
+        "detail": {
+            "step_ms": round(train["step_ms"], 2),
+            "n_chips": train["n_chips"],
+            "global_batch": train["global_batch"],
+            "encode_patches_per_sec": round(encode["encode_patches_per_sec"], 2),
+            "compute_dtype": "bfloat16",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

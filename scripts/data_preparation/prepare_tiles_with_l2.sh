@@ -1,0 +1,5 @@
+#!/bin/bash
+# Wrapper: forwards extra args (--overwrite --debug) to the CLI module.
+set -e
+cd "$(dirname "$0")/../.."
+python -m tempo_tpu.cli.prepare_tiles configs/data_preparation/prepare_tiles_with_l2.yaml "$@"

@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Train the TEMPO spectral VAE.
+
+Entry-point parity with the reference (src/scripts/train_vae.py:23-186):
+fail-fast config validation, init_directory + config copy, seeding, loaders,
+model + AdamW, trainer with save/val/log/plot cadence, optional resume, and
+training_info.yaml at the end. --debug shrinks to 200 steps / buffer 10.
+
+TPU-first: the model trains through one fused jitted step; with multiple
+chips visible the batch is sharded over a 'data' mesh automatically.
+Config extras over the reference schema:
+  model.compute_dtype: bfloat16 (default) | float32
+  data.loader_threads, data.prefetch
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from tempo_tpu.cli import run_cli
+from tempo_tpu.data.loader import TileLoader
+from tempo_tpu.models.vae import AutoencoderKL, build_vae
+from tempo_tpu.parallel.mesh import create_mesh, make_place_fn, shard_state
+from tempo_tpu.train.state import create_train_state, make_optimizer_from_config
+from tempo_tpu.train.step import vae_loss_fn
+from tempo_tpu.train.trainer import Trainer
+from tempo_tpu.utils.config import copy_config, load_config, require_keys, save_yaml
+from tempo_tpu.utils.dirs import init_directory
+
+
+def validate_config(config) -> None:
+    require_keys(config, ["output_dir", "data", "data.train_dir", "model",
+                          "training"])
+    train_dir = Path(config["data"]["train_dir"])
+    if not train_dir.exists():
+        raise ValueError(f"FATAL: Training directory doesn't exist: {train_dir}")
+    if "val_dir" in config["data"]:
+        val_dir = Path(config["data"]["val_dir"])
+        if not val_dir.exists():
+            raise ValueError(f"FATAL: Validation directory doesn't exist: {val_dir}")
+
+
+def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None:
+    config = load_config(config_path)
+    validate_config(config)
+
+    output_dir = init_directory(config["output_dir"], overwrite=overwrite)
+    (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+    (output_dir / "figures").mkdir(parents=True, exist_ok=True)
+    (output_dir / "logs").mkdir(parents=True, exist_ok=True)
+    copy_config(config_path, output_dir)
+
+    seed = config.get("seed", 42)
+
+    if debug:
+        print("DEBUG MODE: Reduced training steps and data")
+        config["training"]["n_steps"] = min(200, config["training"].get("n_steps", 10000))
+        config["data"]["min_buffer_size"] = min(10, config["data"].get("min_buffer_size", 200))
+        config["training"]["save_every"] = 50
+        config["training"]["val_every"] = 25
+        config["training"]["plot_every"] = 20
+
+    data_cfg = config["data"]
+    print("\nLoading training data...")
+    train_loader = TileLoader(
+        data_dir=data_cfg["train_dir"],
+        batch_size=data_cfg.get("batch_size", 16),
+        min_buffer_size=data_cfg.get("min_buffer_size", 200),
+        seed=seed,
+        prefetch=data_cfg.get("prefetch", 2),
+        num_threads=data_cfg.get("loader_threads",
+                                 data_cfg.get("num_workers", 2)),
+        verbose=True,
+    )
+    val_loader = None
+    if "val_dir" in data_cfg:
+        print("\nLoading validation data...")
+        val_loader = TileLoader(
+            data_dir=data_cfg["val_dir"],
+            batch_size=data_cfg.get("batch_size", 16),
+            min_buffer_size=data_cfg.get("val_min_buffer_size", 100),
+            seed=seed + 1,
+            num_threads=data_cfg.get("val_num_workers", 1),
+            verbose=True,
+        )
+
+    print("\nInitializing model...")
+    model, model_cfg = build_vae(config.get("model", {}))
+    sample_shape = (2, model_cfg.input_size, model_cfg.input_size,
+                    model_cfg.in_channels)
+    init_rng = jax.random.PRNGKey(seed)
+    # jit the init: eager flax init dispatches hundreds of tiny device ops.
+    init_fn = jax.jit(lambda k1, k2, x: model.init(k1, x, rng=k2))
+    params = init_fn(init_rng, jax.random.PRNGKey(seed + 1),
+                     np.zeros(sample_shape, np.float32))["params"]
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    print(f"Model parameters: {n_params:,}")
+
+    tx = make_optimizer_from_config(config.get("optimizer", {}))
+    state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
+
+    n_chips = jax.device_count()
+    mesh = create_mesh() if n_chips > 1 else None
+    if mesh is not None:
+        state = shard_state(state, mesh)
+        print(f"Data-parallel over {n_chips} chips")
+    place_fn = make_place_fn(mesh)
+
+    def recon_fn(params, x, rng):
+        return model.apply({"params": params}, x, rng=rng,
+                           method=AutoencoderKL.reconstruct)
+
+    train_cfg = config["training"]
+    trainer = Trainer(
+        loss_fn=vae_loss_fn(model),
+        tx=tx,
+        state=state,
+        output_dir=output_dir,
+        save_every=train_cfg.get("save_every", 1000),
+        val_every=train_cfg.get("val_every", 100),
+        log_every=train_cfg.get("log_every", 10),
+        plot_every=train_cfg.get("plot_every", 50),
+        place_fn=place_fn,
+        recon_fn=recon_fn,
+    )
+
+    if "resume_from" in train_cfg:
+        print(f"\nResuming from checkpoint: {train_cfg['resume_from']}")
+        trainer.load_checkpoint(train_cfg["resume_from"])
+
+    n_steps = train_cfg["n_steps"]
+    print(f"\nStarting training for {n_steps} steps...")
+    print(f"Output directory: {output_dir}")
+
+    start_time = datetime.now()
+    stats = trainer.train(
+        train_iter=iter(train_loader),
+        val_iter_factory=(lambda: iter(val_loader)) if val_loader else None,
+        n_steps=n_steps,
+    )
+    end_time = datetime.now()
+    train_loader.close()
+    if val_loader:
+        val_loader.close()
+
+    save_yaml({
+        "seed": seed,
+        "device": str(jax.devices()[0]),
+        "n_devices": n_chips,
+        "n_params": int(n_params),
+        "compute_dtype": model_cfg.compute_dtype,
+        "training_time": str(end_time - start_time),
+        "start_time": start_time.isoformat(),
+        "end_time": end_time.isoformat(),
+        "samples_per_sec": float(stats["samples_per_sec"]),
+    }, output_dir / "training_info.yaml")
+    print(f"Training info saved to {output_dir / 'training_info.yaml'}")
+    print("\nDone!")
+
+
+if __name__ == "__main__":
+    run_cli(main, "Train VAE on TEMPO tiles")

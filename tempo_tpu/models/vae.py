@@ -1,0 +1,196 @@
+"""KL-autoencoder for TEMPO hyperspectral patches (flax, NHWC, TPU-first).
+
+Capability parity with the reference AutoencoderKL (reference:
+src/model.py:579-705) and its config plumbing (src/model.py:708-759):
+
+- encode: encoder -> 1x1 quant conv -> DiagonalGaussian over 2*embed_dim.
+- decode: 1x1 post-quant conv -> decoder.
+- loss: per-element L1 (or L2) reconstruction scaled by a *learned scalar*
+  logvar initialized to 6.0 (src/model.py:617 — exp(6)=403 tames the huge
+  initial summed loss), with SUM reduction divided by batch size; plus
+  kl_weight * sum(KL)/B. Sum-not-mean reductions are load-bearing for
+  loss-curve parity.
+
+Default instantiation (27,289,893 parameters): input (64,64,1028),
+chs=(512,256,128), mid_attn, num_res_blocks=1, z_channels=32, double_z,
+embed_dim=32, 4 heads, GroupNorm(8, eps=1e-6), GELU, 3x3 convs
+(configs/training/train_vae_default.yaml:29-76 in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tempo_tpu.nn.blocks import Dense
+from tempo_tpu.nn.decoder import Decoder
+from tempo_tpu.nn.distributions import DiagonalGaussian
+from tempo_tpu.nn.encoder import Encoder
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    # Encoder/decoder architecture (reference enc_dec_params defaults,
+    # src/model.py:713-729).
+    shape: Tuple[int, int, int] = (1028, 64, 64)  # (C, H, W), reference order
+    chs: Tuple[int, ...] = (512, 256, 128)
+    attn_sizes: Tuple[int, ...] = ()
+    mid_attn: bool = True
+    num_res_blocks: int = 1
+    dropout_prob: float = 0.0
+    z_channels: int = 32
+    double_z: bool = True
+    n_attention_heads: int = 4
+    norm_groups: int = 8
+    norm_eps: float = 1e-6
+    norm_affine: bool = True
+    act: str = "gelu"
+    conv_kernel_size: int = 3
+    # VAE head / loss (src/model.py:579-617, 654-669).
+    embed_dim: int = 32
+    kl_weight: float = 1e-6
+    nll_loss_type: str = "l1"
+    logvar_init: float = 6.0
+    # TPU compute policy (params stay float32; activations/matmuls in this).
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def in_channels(self) -> int:
+        return self.shape[0]
+
+    @property
+    def input_size(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def spatial_factor(self) -> int:
+        return 2 ** (len(self.chs) - 1)
+
+    @classmethod
+    def from_dict(cls, params: Dict[str, Any]) -> "VAEConfig":
+        """Key-filtered update from a config mapping, mirroring the
+        reference's get_model (src/model.py:731-742): unknown keys are
+        ignored, known keys override defaults."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for key, value in params.items():
+            if key in known:
+                if isinstance(value, list):
+                    value = tuple(value)
+                kwargs[key] = value
+        return cls(**kwargs)
+
+
+class AutoencoderKL(nn.Module):
+    config: VAEConfig
+
+    def setup(self):
+        cfg = self.config
+        common = dict(
+            input_size=cfg.input_size,
+            chs=cfg.chs,
+            attn_sizes=cfg.attn_sizes,
+            mid_attn=cfg.mid_attn,
+            num_res_blocks=cfg.num_res_blocks,
+            dropout_prob=cfg.dropout_prob,
+            z_channels=cfg.z_channels,
+            n_attention_heads=cfg.n_attention_heads,
+            norm_groups=cfg.norm_groups,
+            norm_eps=cfg.norm_eps,
+            norm_affine=cfg.norm_affine,
+            act=cfg.act,
+            conv_kernel_size=cfg.conv_kernel_size,
+            dtype=cfg.dtype,
+        )
+        self.encoder = Encoder(in_channels=cfg.in_channels, double_z=cfg.double_z,
+                               **common)
+        self.decoder = Decoder(out_channels=cfg.in_channels, **common)
+        self.quant_conv = Dense(2 * cfg.embed_dim, dtype=cfg.dtype)
+        self.post_quant_conv = Dense(cfg.z_channels, dtype=cfg.dtype)
+        # Learned scalar observation log-variance (src/model.py:617).
+        self.logvar = self.param(
+            "logvar",
+            lambda key: jnp.asarray(cfg.logvar_init, dtype=jnp.float32),
+        )
+
+    def encode(self, x: jax.Array, deterministic: bool = True) -> DiagonalGaussian:
+        h = self.encoder(x, deterministic)
+        moments = self.quant_conv(h)
+        return DiagonalGaussian.from_params(moments)
+
+    def decode(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+        z = self.post_quant_conv(z.astype(self.config.dtype))
+        return self.decoder(z, deterministic)
+
+    def __call__(self, x: jax.Array, rng: Optional[jax.Array] = None,
+                 sample_posterior: bool = True, deterministic: bool = True
+                 ) -> Tuple[jax.Array, DiagonalGaussian]:
+        posterior = self.encode(x, deterministic)
+        if sample_posterior:
+            assert rng is not None, "rng required to sample the posterior"
+            z = posterior.sample(rng)
+        else:
+            z = posterior.mode()
+        recon = self.decode(z, deterministic)
+        return recon, posterior
+
+    def reconstruct(self, x: jax.Array, rng: Optional[jax.Array] = None,
+                    sample_posterior: bool = True) -> jax.Array:
+        recon, _ = self(x, rng=rng, sample_posterior=sample_posterior)
+        return recon
+
+    def get_loss(self, x: jax.Array, rng: jax.Array
+                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        recon, posterior = self(x, rng=rng, sample_posterior=True,
+                                deterministic=True)
+        return vae_loss(x, recon, posterior, self.logvar, self.config)
+
+
+def vae_loss(x: jax.Array, recon: jax.Array, posterior: DiagonalGaussian,
+             logvar: jax.Array, cfg: VAEConfig
+             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Reference loss semantics (src/model.py:654-669), computed in float32.
+
+    nll = sum(rec_err / exp(logvar) + logvar) / B
+    kl  = kl_weight * sum(KL(posterior || N(0,I))) / B
+    """
+    x32 = x.astype(jnp.float32)
+    r32 = recon.astype(jnp.float32)
+    if cfg.nll_loss_type == "l1":
+        rec_err = jnp.abs(x32 - r32)
+    elif cfg.nll_loss_type == "l2":
+        rec_err = jnp.square(x32 - r32)
+    else:
+        raise ValueError("nll_loss_type must be l1 or l2")
+
+    batch = x.shape[0]
+    nll_loss = jnp.sum(rec_err / jnp.exp(logvar) + logvar) / batch
+    kl_loss = cfg.kl_weight * jnp.sum(posterior.kl()) / batch
+    loss = nll_loss + kl_loss
+
+    pixel_mse = jnp.mean(jnp.square(x32 - r32))
+    metrics = {
+        "loss": loss,
+        "nll_loss": nll_loss,
+        "kl_loss": kl_loss,
+        "pixel_mse": pixel_mse,
+    }
+    return loss, metrics
+
+
+def build_vae(model_config: Dict[str, Any],
+              compute_dtype: Optional[str] = None) -> Tuple[AutoencoderKL, VAEConfig]:
+    """Build the VAE from a training-config 'model' section (same schema as
+    the reference configs/training/train_vae_default.yaml)."""
+    cfg = VAEConfig.from_dict(model_config or {})
+    if compute_dtype is not None:
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    return AutoencoderKL(cfg), cfg

@@ -1,0 +1,206 @@
+"""Core network blocks (flax.linen, NHWC, TPU-first).
+
+Functional re-design of the reference blocks (reference: src/model.py:92-289)
+with identical math:
+
+- ResNetBlock: GN -> GELU -> conv3x3; GN -> GELU -> (dropout) -> zero-init
+  conv3x3; 1x1 skip conv on channel change (src/model.py:155-231).
+- AttnBlock: GN, 1x1 q/k/v, *channel-major* multi-head attention — heads are
+  the fastest-varying sub-index of the channel axis (src/model.py:120-152) —
+  softmax over keys, 1x1 proj, residual.
+- Down/Up sample: kernel-2 stride-2 (transposed) convs, implemented as
+  space-to-depth/depth-to-space + matmul (see tempo_tpu.ops.convs).
+
+Compute dtype is configurable (bfloat16 for speed); GroupNorm statistics and
+softmax always run in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tempo_tpu.nn.init import (
+    torch_bias_init,
+    torch_conv_kernel_init,
+    torch_dense_kernel_init,
+    zeros_init,
+)
+from tempo_tpu.ops.convs import conv2d_nhwc, dense, depth_to_space_2x, space_to_depth_2x
+from tempo_tpu.ops.norms import gelu_exact, group_norm
+
+Dtype = Any
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "gelu": gelu_exact,
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+class Conv(nn.Module):
+    """kxk SAME conv with torch-default (or zero) init."""
+
+    features: int
+    kernel_size: int = 3
+    zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        k = self.kernel_size
+        fan_in = cin * k * k
+        k_init = zeros_init() if self.zero else torch_conv_kernel_init()
+        b_init = zeros_init() if self.zero else torch_bias_init(fan_in)
+        kernel = self.param("kernel", k_init, (k, k, cin, self.features))
+        bias = self.param("bias", b_init, (self.features,))
+        out = conv2d_nhwc(x.astype(self.dtype), kernel, bias, padding=k // 2)
+        return out.astype(self.dtype)
+
+
+class Dense(nn.Module):
+    """Channel-last dense == 1x1 conv, torch-default (or zero) init."""
+
+    features: int
+    zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        k_init = zeros_init() if self.zero else torch_dense_kernel_init()
+        b_init = zeros_init() if self.zero else torch_bias_init(cin)
+        kernel = self.param("kernel", k_init, (cin, self.features))
+        bias = self.param("bias", b_init, (self.features,))
+        return dense(x.astype(self.dtype), kernel, bias).astype(self.dtype)
+
+
+class Downsample2x(nn.Module):
+    """Kernel-2 stride-2 conv as space-to-depth + matmul."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        fan_in = cin * 4
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init(fan_in=fan_in), (4 * cin, self.features)
+        )
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        h = space_to_depth_2x(x.astype(self.dtype))
+        return dense(h, kernel, bias).astype(self.dtype)
+
+
+class Upsample2x(nn.Module):
+    """Kernel-2 stride-2 transposed conv as matmul + depth-to-space.
+
+    Matches torch ConvTranspose2d(k=2, s=2) init: fan_in = cout * 4
+    (torch computes fan-in from weight dim 1 = out channels)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        fan_in = self.features * 4
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init(fan_in=fan_in), (cin, 4 * self.features)
+        )
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        h = dense(x.astype(self.dtype), kernel)  # [B,H,W,(di,dj,cout)]
+        h = depth_to_space_2x(h)
+        return (h + bias.astype(h.dtype)).astype(self.dtype)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 8
+    eps: float = 1e-6
+    affine: bool = True
+    act: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,)) if self.affine else None
+        bias = self.param("bias", nn.initializers.zeros, (c,)) if self.affine else None
+        act_fn = ACTIVATIONS[self.act] if self.act is not None else None
+        return group_norm(x, self.num_groups, scale, bias, self.eps, act=act_fn)
+
+
+class ResNetBlock(nn.Module):
+    features: int
+    num_groups: int = 8
+    norm_eps: float = 1e-6
+    norm_affine: bool = True
+    act: str = "gelu"
+    kernel_size: int = 3
+    dropout_prob: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cin = x.shape[-1]
+        h = GroupNorm(self.num_groups, self.norm_eps, self.norm_affine,
+                      act=self.act, dtype=self.dtype, name="norm1")(x)
+        h = Conv(self.features, self.kernel_size, dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(self.num_groups, self.norm_eps, self.norm_affine,
+                      act=self.act, dtype=self.dtype, name="norm2")(h)
+        if self.dropout_prob > 0.0:
+            h = nn.Dropout(self.dropout_prob)(h, deterministic=deterministic)
+        h = Conv(self.features, self.kernel_size, zero=True, dtype=self.dtype,
+                 name="conv2")(h)
+        if cin != self.features:
+            x = Dense(self.features, dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Channel-major multi-head self-attention over the spatial grid.
+
+    The channel axis is split as (c_per_head, n_heads) with the *head* index
+    fastest-varying — a deliberate quirk of the reference
+    (src/model.py:129-137) preserved for checkpoint/numerics parity."""
+
+    n_heads: int = 4
+    num_groups: int = 8
+    norm_eps: float = 1e-6
+    norm_affine: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        n = self.n_heads
+        assert c % n == 0, "channels must be divisible by n_heads"
+        ch = c // n
+
+        h = GroupNorm(self.num_groups, self.norm_eps, self.norm_affine,
+                      dtype=self.dtype, name="norm")(x)
+        q = Dense(c, dtype=self.dtype, name="q")(h)
+        k = Dense(c, dtype=self.dtype, name="k")(h)
+        v = Dense(c, dtype=self.dtype, name="v")(h)
+
+        # [B, HW, c_per_head, n_heads]: channel index == c_idx * n + head.
+        q = q.reshape(b, hh * ww, ch, n).astype(jnp.float32)
+        k = k.reshape(b, hh * ww, ch, n).astype(jnp.float32)
+        v = v.reshape(b, hh * ww, ch, n).astype(jnp.float32)
+
+        scale = float(ch) ** -0.5
+        scores = jnp.einsum("bqcn,bkcn->bqkn", q, k,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32) * scale
+        weights = jax.nn.softmax(scores, axis=2)
+        out = jnp.einsum("bdcn,bqdn->bqcn", v, weights,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, hh, ww, c).astype(self.dtype)
+        out = Dense(c, dtype=self.dtype, name="proj_out")(out)
+        return x + out

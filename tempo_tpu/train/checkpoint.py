@@ -1,0 +1,94 @@
+"""Checkpointing: single-file msgpack snapshots of the full train state.
+
+Artifact parity with the reference (src/train_utils.py:122-147): checkpoints
+are written to <output_dir>/checkpoints/ckpt_step=NNNNNN.msgpack and contain
+the step, parameters, optimizer state, and metric history, so the checkpoint
+sweep (tempo_tpu.infer.sweep) can enumerate them by the same glob pattern
+the reference analysis uses (ckpt_step=*).
+
+flax.serialization msgpack keeps each checkpoint a single portable file; the
+state is pulled to host as numpy before serialization.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import numpy as np
+from flax import serialization
+
+from tempo_tpu.train.state import TrainState
+
+CKPT_PREFIX = "ckpt_step="
+CKPT_SUFFIX = ".msgpack"
+
+
+def checkpoint_path(ckpt_dir: Union[str, Path], step: int) -> Path:
+    return Path(ckpt_dir) / f"{CKPT_PREFIX}{step:06d}{CKPT_SUFFIX}"
+
+
+def save_checkpoint(ckpt_dir: Union[str, Path], state: TrainState,
+                    train_metrics: Optional[List[Dict]] = None,
+                    val_metrics: Optional[List[Dict]] = None) -> Path:
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    host_state = jax.device_get(state)
+    step = int(host_state.step)
+    payload = {
+        "step": step,
+        # to_state_dict flattens tuple-based pytrees (optax states) into
+        # nested dicts that msgpack can encode.
+        "params": serialization.to_state_dict(host_state.params),
+        "opt_state": serialization.to_state_dict(host_state.opt_state),
+        "rng": np.asarray(host_state.rng),
+        "ema": {k: float(v) for k, v in (host_state.ema or {}).items()},
+        "train_metrics": json.dumps(train_metrics or []),
+        "val_metrics": json.dumps(val_metrics or []),
+    }
+    path = checkpoint_path(ckpt_dir, step)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(payload))
+    tmp.replace(path)  # atomic: no torn checkpoints on preemption
+    return path
+
+
+def load_checkpoint(path: Union[str, Path], state_template: TrainState
+                    ) -> Tuple[TrainState, List[Dict], List[Dict]]:
+    """Restore a TrainState shaped like `state_template` from `path`."""
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    params = serialization.from_state_dict(state_template.params, raw["params"])
+    opt_state = serialization.from_state_dict(state_template.opt_state,
+                                              raw["opt_state"])
+    rng = np.asarray(raw["rng"]).astype(state_template.rng.dtype)
+    ema_raw = raw.get("ema") or {}
+    ema = ({k: np.float32(v) for k, v in ema_raw.items()}
+           if ema_raw else state_template.ema)
+    state = state_template.replace(
+        step=np.asarray(raw["step"], dtype=np.int32),
+        params=params,
+        opt_state=opt_state,
+        rng=rng,
+        ema=ema,
+    )
+    train_metrics = json.loads(raw.get("train_metrics", "[]"))
+    val_metrics = json.loads(raw.get("val_metrics", "[]"))
+    return state, train_metrics, val_metrics
+
+
+def load_params(path: Union[str, Path], params_template: Any) -> Any:
+    """Restore only the model parameters (for inference/analysis)."""
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    return serialization.from_state_dict(params_template, raw["params"])
+
+
+def list_checkpoints(ckpt_dir: Union[str, Path]) -> List[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    return sorted(ckpt_dir.glob(f"{CKPT_PREFIX}*{CKPT_SUFFIX}"))
+
+
+def checkpoint_step(path: Union[str, Path]) -> int:
+    name = Path(path).name
+    return int(name[len(CKPT_PREFIX):-len(CKPT_SUFFIX)])

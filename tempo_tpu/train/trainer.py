@@ -1,0 +1,220 @@
+"""Step-based trainer: the host-side loop around the fused jitted step.
+
+Behavioral parity with the reference Trainer (src/train_utils.py:66-301):
+infinite-loader step loop, EMA(0.99) running metrics appended every
+log_every, validation over n_val_batches every val_every, live summary plots
+every plot_every, checkpoints + reconstruction figures every save_every, and
+metrics.json at the end. TPU-first differences: the train step is one
+compiled function (grad+clip+AdamW fused, state donated), batches are placed
+on the mesh asynchronously, pixel_mse reuses the step's own reconstruction
+instead of a second forward pass, and wall-clock/throughput are tracked
+per-step (the reference has no profiling at all — SURVEY.md SS5.1).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from tempo_tpu.train import checkpoint as ckpt_lib
+from tempo_tpu.train.metrics import save_metrics
+from tempo_tpu.train.plots import (
+    plot_per_product_losses,
+    save_reconstruction_figure,
+    update_summary_plots,
+)
+from tempo_tpu.train.state import TrainState
+from tempo_tpu.train.step import LossFn, init_ema, make_eval_step, make_train_step
+
+
+def _batch_size(batch) -> int:
+    if isinstance(batch, dict):
+        return next(iter(batch.values())).shape[0]
+    return batch.shape[0]
+
+
+class Trainer:
+    def __init__(
+        self,
+        loss_fn: LossFn,
+        tx,
+        state: TrainState,
+        output_dir: Union[str, Path],
+        save_every: int = 1000,
+        val_every: int = 100,
+        log_every: int = 10,
+        plot_every: int = 50,
+        n_val_batches: int = 10,
+        place_fn: Optional[Callable[[Any], Any]] = None,
+        recon_fn: Optional[Callable[[Any, Any, jax.Array], Any]] = None,
+        l2_products: Optional[Sequence[str]] = None,
+        verbose: bool = True,
+    ):
+        self.tx = tx
+        self.state = state
+        self.output_dir = Path(output_dir)
+        self.save_every = save_every
+        self.val_every = val_every
+        self.log_every = log_every
+        self.plot_every = plot_every
+        self.n_val_batches = n_val_batches
+        self.place_fn = place_fn or jax.device_put
+        self.recon_fn = recon_fn
+        self.l2_products = list(l2_products) if l2_products else None
+        self.verbose = verbose
+
+        self.ckpt_dir = self.output_dir / "checkpoints"
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.summary_dir = self.output_dir / "summary"
+        self.summary_dir.mkdir(parents=True, exist_ok=True)
+        self.figures_dir = self.output_dir / "figures"
+        self.figures_dir.mkdir(parents=True, exist_ok=True)
+
+        self.loss_fn = loss_fn
+        self.train_step = make_train_step(loss_fn, tx)
+        self.eval_step = make_eval_step(loss_fn)
+        self.eval_rng = jax.random.PRNGKey(0)
+
+        self.train_metrics: List[Dict] = []
+        self.val_metrics: List[Dict] = []
+        self.step = int(self.state.step)
+
+    # ------------------------------------------------------------------ io
+
+    def save_checkpoint(self) -> Path:
+        path = ckpt_lib.save_checkpoint(self.ckpt_dir, self.state,
+                                        self.train_metrics, self.val_metrics)
+        if self.verbose:
+            print(f"Saved checkpoint: {path}")
+        return path
+
+    def load_checkpoint(self, path: Union[str, Path]) -> None:
+        self.state, self.train_metrics, self.val_metrics = ckpt_lib.load_checkpoint(
+            path, self.state)
+        self.state = jax.device_put(self.state)
+        self.step = int(self.state.step)
+        if self.verbose:
+            print(f"Loaded checkpoint from step {self.step}")
+
+    # ------------------------------------------------------------ validate
+
+    def validate(self, val_iter: Iterator) -> Dict[str, float]:
+        totals: Dict[str, float] = {}
+        n_samples = 0
+        for i, batch in enumerate(val_iter):
+            if i >= self.n_val_batches:
+                break
+            bsz = _batch_size(batch)
+            batch = self.place_fn(batch)
+            rng = jax.random.fold_in(self.eval_rng, i)
+            metrics = jax.device_get(self.eval_step(self.state.params, batch, rng))
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * bsz
+            n_samples += bsz
+        if n_samples == 0:
+            return {}
+        return {f"val_{k}": v / n_samples for k, v in totals.items()}
+
+    # -------------------------------------------------------------- figures
+
+    def _save_recon_figure(self, batch) -> None:
+        if self.recon_fn is None:
+            return
+        x = batch["spectral"] if isinstance(batch, dict) else batch
+        x = np.asarray(jax.device_get(x))[:8]
+        out = self.recon_fn(self.state.params, self.place_fn(x),
+                            jax.random.fold_in(self.eval_rng, self.step))
+        if isinstance(out, dict):
+            recon = np.asarray(jax.device_get(out["reconstruction"]))
+            l2_preds = {p: np.asarray(jax.device_get(v))
+                        for p, v in out.get("l2_predictions", {}).items()}
+            l2_targets = None
+            if isinstance(batch, dict) and self.l2_products:
+                from tempo_tpu.models.vae_l2 import avg_pool_4x_nan
+                l2_targets = {
+                    p: np.asarray(jax.device_get(
+                        avg_pool_4x_nan(batch[p][:8].astype(np.float32))))
+                    for p in self.l2_products if p in batch
+                }
+            save_reconstruction_figure(self.figures_dir, self.step, x, recon,
+                                       l2_targets=l2_targets, l2_preds=l2_preds)
+        else:
+            recon = np.asarray(jax.device_get(out))
+            save_reconstruction_figure(self.figures_dir, self.step, x, recon)
+
+    # ----------------------------------------------------------------- loop
+
+    def train(self, train_iter: Iterator, val_iter_factory=None,
+              n_steps: int = 10000) -> Dict[str, float]:
+        """val_iter_factory: zero-arg callable returning a fresh val iterator
+        (or None). Returns final throughput stats."""
+        t_start = time.perf_counter()
+        samples_done = 0
+        last_batch = None
+
+        while self.step < n_steps:
+            batch = next(train_iter)
+            bsz = _batch_size(batch)
+            device_batch = self.place_fn(batch)
+            last_batch = batch
+
+            if self.state.ema is None:
+                # Discover the metric names by abstract evaluation (no
+                # device work) and attach the on-device EMA slot.
+                rng = jax.random.PRNGKey(0)
+                _, metrics_shape = jax.eval_shape(
+                    self.loss_fn, self.state.params, device_batch, rng)
+                keys = list(metrics_shape.keys()) + ["grad_norm"]
+                self.state = init_ema(self.state, keys)
+
+            # Steps are dispatched without any host sync; the device queue
+            # throttles the loop. The only periodic sync is the EMA fetch
+            # every log_every steps.
+            self.state, _ = self.train_step(self.state, device_batch)
+            self.step += 1
+            samples_done += bsz
+
+            if self.step % self.log_every == 0:
+                self._log_ema()
+
+            if self.step % self.plot_every == 0 and self.step > 0:
+                update_summary_plots(self.summary_dir, self.train_metrics,
+                                     self.val_metrics)
+                if self.l2_products:
+                    plot_per_product_losses(self.summary_dir,
+                                            self.train_metrics,
+                                            self.l2_products)
+
+            if val_iter_factory is not None and self.step % self.val_every == 0:
+                vm = self.validate(val_iter_factory())
+                if vm:
+                    self.val_metrics.append({"step": self.step, **vm})
+                    if self.verbose:
+                        msg = ", ".join(f"{k}={v:.4f}" for k, v in vm.items())
+                        print(f"Step {self.step}: {msg}")
+
+            if self.step % self.save_every == 0 or self.step == n_steps:
+                self.save_checkpoint()
+                self._save_recon_figure(last_batch)
+
+        elapsed = time.perf_counter() - t_start
+        if int(self.state.step) % self.save_every != 0:
+            self.save_checkpoint()
+        save_metrics(self.output_dir, self.train_metrics, self.val_metrics)
+        stats = {
+            "elapsed_s": elapsed,
+            "steps": self.step,
+            "samples": samples_done,
+            "samples_per_sec": samples_done / max(elapsed, 1e-9),
+        }
+        if self.verbose:
+            print(f"Training complete: {stats}")
+        return stats
+
+    def _log_ema(self) -> None:
+        ema = {k: float(v) for k, v in jax.device_get(self.state.ema).items()}
+        self.train_metrics.append({"step": self.step, **ema})

@@ -1,0 +1,47 @@
+"""YAML config loading with fail-fast validation.
+
+Every CLI entry point follows the reference's contract (reference:
+docs/repo_usage.md:35-42): exactly `config_path [--overwrite] [--debug]`,
+required keys raise before any work starts, and the config is copied into the
+output directory for reproducibility.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Iterable, Union
+
+import yaml
+
+
+def load_config(config_path: Union[str, Path]) -> Dict[str, Any]:
+    config_path = Path(config_path)
+    if not config_path.exists():
+        raise ValueError(f"FATAL: config file doesn't exist: {config_path}")
+    with open(config_path, "r") as f:
+        config = yaml.safe_load(f)
+    if not isinstance(config, dict):
+        raise ValueError(f"FATAL: config must be a mapping: {config_path}")
+    return config
+
+
+def require_keys(config: Dict[str, Any], keys: Iterable[str], where: str = "config") -> None:
+    """Fail-fast validation: each key may be dotted ('data.train_dir')."""
+    for dotted in keys:
+        node: Any = config
+        for part in dotted.split("."):
+            if not isinstance(node, dict) or part not in node:
+                raise ValueError(f"FATAL: '{dotted}' is required in {where}")
+            node = node[part]
+
+
+def copy_config(config_path: Union[str, Path], output_dir: Union[str, Path]) -> Path:
+    dst = Path(output_dir) / "config.yaml"
+    shutil.copy2(config_path, dst)
+    return dst
+
+
+def save_yaml(obj: Any, path: Union[str, Path]) -> None:
+    with open(path, "w") as f:
+        yaml.dump(obj, f)

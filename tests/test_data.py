@@ -1,0 +1,177 @@
+"""Data-layer tests: granule reading (h5py vs the netCDF layout), the exact
+normalization semantics, tile/augmentation matching, and the threaded
+shuffle-buffer loader."""
+
+import numpy as np
+import pytest
+
+from tempo_tpu.data.granule import l2_filename_for, read_l2_field, read_radiance
+from tempo_tpu.data.loader import RandomBuffer, TileLoader
+from tempo_tpu.data.normalize import compute_l2_stats, normalize_l2, normalize_radiance
+from tempo_tpu.data.synthetic import (
+    L2_FIELDS,
+    make_granule_corpus,
+    make_tile_shards,
+    write_granule,
+    write_l2_granule,
+)
+from tempo_tpu.data.tiles import (
+    apply_augmentation,
+    extract_l2_tiles,
+    extract_tiles_with_positions,
+    load_tile_shard,
+    save_tile_shard,
+)
+
+
+def test_granule_roundtrip(tmp_path, rng):
+    rad = write_granule(tmp_path / "g.nc", rng, 20, 24, 8)
+    got = read_radiance(tmp_path / "g.nc")
+    np.testing.assert_array_equal(got, rad)
+    assert got.dtype == np.float32
+
+
+def test_l2_field_fill_values_and_scale(tmp_path, rng):
+    raw = write_l2_granule(tmp_path / "l2.nc", rng, "NO2", 10, 12)
+    got = read_l2_field(tmp_path / "l2.nc", L2_FIELDS["NO2"], scale=1e15)
+    fill_mask = raw < -1e29
+    assert np.isnan(got[fill_mask]).all()
+    np.testing.assert_allclose(got[~fill_mask], raw[~fill_mask] / 1e15,
+                               rtol=1e-5)
+
+
+def test_l2_field_missing_returns_none(tmp_path, rng):
+    write_granule(tmp_path / "g.nc", rng, 8, 8, 4)  # no product group
+    assert read_l2_field(tmp_path / "g.nc", "whatever") is None
+
+
+def test_l2_filename_convention():
+    name = "TEMPO_RAD_L1_V03_20250101T120000Z_S001G01.nc"
+    assert l2_filename_for(name, "NO2") == \
+        "TEMPO_NO2_L2_V03_20250101T120000Z_S001G01.nc"
+
+
+def test_normalize_radiance_semantics(rng):
+    rad = rng.gamma(2.0, 5e10, size=(6, 7, 4)).astype(np.float32)
+    rad[0, 0, 0] = 0.0  # must be clamped to min_radiance before log
+    mean = np.log(rad.clip(1.0, None)).reshape(-1, 4).mean(0)
+    std = np.log(rad.clip(1.0, None)).reshape(-1, 4).std(0)
+    z = normalize_radiance(rad, mean, std)
+    want = np.clip((np.log(np.clip(rad, 1.0, None)) - mean) / (std + 1e-8),
+                   -10, 10)
+    np.testing.assert_allclose(z, want, rtol=1e-5)
+    assert np.isfinite(z).all()
+
+
+def test_normalize_l2_types(rng):
+    data = rng.standard_normal((50, 50)).astype(np.float32) * 3
+    data[0, :10] = np.nan
+
+    for norm_type in ("zscore", "minmax", "asinh"):
+        out, stats = normalize_l2(data, norm_type)
+        assert stats is not None
+        assert np.isnan(out[0, :10]).all()
+        assert np.isfinite(out[1:]).all()
+
+    frac = rng.random((20, 20)).astype(np.float32)
+    out, stats = normalize_l2(frac, "logit")
+    assert stats == {"eps": 0.01}
+    want = np.log((0.01 + 0.98 * frac) / (1 - 0.01 - 0.98 * frac))
+    np.testing.assert_allclose(out, want, rtol=1e-4)
+
+
+def test_l2_stats_asinh_uses_mad(rng):
+    vals = rng.standard_normal(1000).astype(np.float32)
+    stats = compute_l2_stats(vals, "asinh")
+    med = np.median(vals)
+    mad = np.median(np.abs(vals - med))
+    np.testing.assert_allclose(stats["scale"], 1.4826 * mad, rtol=1e-6)
+
+
+def test_extract_tiles_and_l2_alignment(rng):
+    z = rng.standard_normal((40, 48, 3)).astype(np.float32)
+    l2 = rng.standard_normal((40, 48)).astype(np.float32)
+
+    tiles, positions = extract_tiles_with_positions(z, (16, 16), 5, rng)
+    assert tiles.shape == (5, 16, 16, 3)
+    l2_tiles = extract_l2_tiles(l2, positions, (16, 16))
+    assert l2_tiles.shape == (5, 16, 16)
+
+    # the L2 window must be the SAME pixels under the SAME augmentation
+    for t, pos in enumerate(positions):
+        raw_spec = z[pos.i:pos.i + 16, pos.j:pos.j + 16]
+        want = apply_augmentation(raw_spec.copy(), pos.flip_h, pos.flip_v,
+                                  pos.rotation)
+        np.testing.assert_array_equal(tiles[t], want)
+        raw_l2 = l2[pos.i:pos.i + 16, pos.j:pos.j + 16]
+        want_l2 = apply_augmentation(raw_l2.copy(), pos.flip_h, pos.flip_v,
+                                     pos.rotation)
+        np.testing.assert_array_equal(l2_tiles[t], want_l2)
+
+
+def test_extract_tiles_too_small_returns_none(rng):
+    z = rng.standard_normal((8, 8, 2)).astype(np.float32)
+    tiles, positions = extract_tiles_with_positions(z, (16, 16), 3, rng)
+    assert tiles is None and positions is None
+
+
+def test_shard_roundtrip(tmp_path, rng):
+    tiles = rng.standard_normal((4, 8, 8, 3)).astype(np.float32)
+    save_tile_shard(tmp_path / "t.npy", tiles)
+    np.testing.assert_array_equal(load_tile_shard(tmp_path / "t.npy"), tiles)
+
+
+def test_shard_pt_interop(tmp_path, rng):
+    torch = pytest.importorskip("torch")
+    tiles = rng.standard_normal((4, 8, 8, 3)).astype(np.float32)
+    torch.save(torch.from_numpy(tiles), tmp_path / "t.pt")
+    np.testing.assert_array_equal(load_tile_shard(tmp_path / "t.pt"), tiles)
+
+
+def test_random_buffer():
+    buf = RandomBuffer(np.random.default_rng(0))
+    for i in range(10):
+        buf.put(i)
+    seen = sorted(buf.get() for _ in range(10))
+    assert seen == list(range(10))
+    with pytest.raises(IndexError):
+        buf.get()
+
+
+def test_tile_loader_stream(tmp_path):
+    make_tile_shards(tmp_path, n_files=3, tiles_per_file=8, tile=8,
+                     n_spectral=4)
+    loader = TileLoader(tmp_path, batch_size=4, min_buffer_size=8, seed=0)
+    try:
+        for _ in range(5):
+            batch = next(loader)
+            assert batch.shape == (4, 8, 8, 4)
+            assert batch.dtype == np.float32
+    finally:
+        loader.close()
+
+
+def test_tile_loader_with_l2(tmp_path):
+    products = ["NO2", "CLDO4"]
+    make_tile_shards(tmp_path, n_files=2, tiles_per_file=8, tile=8,
+                     n_spectral=4, l2_products=products)
+    loader = TileLoader(tmp_path, batch_size=4, min_buffer_size=8,
+                        l2_products=products, seed=0)
+    try:
+        batch = next(loader)
+        assert set(batch) == {"spectral", "NO2", "CLDO4"}
+        assert batch["spectral"].shape == (4, 8, 8, 4)
+        assert batch["NO2"].shape == (4, 8, 8)
+    finally:
+        loader.close()
+
+
+def test_granule_corpus_layout(tmp_path):
+    paths = make_granule_corpus(tmp_path, n_granules=2, n_mirror=20,
+                                n_track=24, n_spectral=4,
+                                l2_products=["NO2"])
+    l1_files = sorted((paths["l1"] / "raw").glob("*.nc"))
+    assert len(l1_files) == 2
+    for f in l1_files:
+        l2_name = l2_filename_for(f.name, "NO2")
+        assert (paths["NO2"] / "raw" / l2_name).exists()

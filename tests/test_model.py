@@ -1,0 +1,166 @@
+"""Model-level tests: the flagship parameter count (27,289,893 — the
+reference baseline, BASELINE.md), shapes at the default architecture, loss
+reduction semantics, and the L2 variant's masked losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tempo_tpu.models.vae import AutoencoderKL, VAEConfig, build_vae, vae_loss
+from tempo_tpu.models.vae_l2 import (
+    L2_PRODUCTS,
+    VAEWithL2Head,
+    avg_pool_4x_nan,
+    masked_mse,
+)
+from tempo_tpu.nn.distributions import DiagonalGaussian
+
+
+def count_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+TINY = VAEConfig(shape=(12, 16, 16), chs=(16, 12, 8), z_channels=4,
+                 embed_dim=4, n_attention_heads=2, norm_groups=4,
+                 compute_dtype="float32")
+
+
+@pytest.mark.slow
+def test_flagship_param_count():
+    """Exact parity with the reference's 27,289,893 parameters
+    (docs/logs/2025-09-17/03-12_vae_implementation_cleanup.md:27)."""
+    model = AutoencoderKL(VAEConfig(compute_dtype="float32"))
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1028), jnp.float32),
+                           rng=jax.random.PRNGKey(1)))
+    assert count_params(params) == 27_289_893
+
+
+def test_tiny_shapes_and_loss():
+    model = AutoencoderKL(TINY)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 12), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+    recon, posterior = model.apply(params, x, rng=jax.random.PRNGKey(2))
+    assert recon.shape == x.shape
+    # latent grid = input / 2^(levels-1) = 16/4 = 4
+    assert posterior.mean.shape == (2, 4, 4, 4)
+
+    loss, metrics = model.apply(params, x, jax.random.PRNGKey(3),
+                                method=AutoencoderKL.get_loss)
+    assert np.isfinite(float(loss))
+    assert set(metrics) == {"loss", "nll_loss", "kl_loss", "pixel_mse"}
+
+
+def test_fresh_model_decodes_zero():
+    """Zero-init output convs mean a fresh model reconstructs exactly 0, so
+    the initial nll is sum(|x|/e^6 + 6)/B — a strong init-parity check."""
+    model = AutoencoderKL(TINY)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 16, 16, 12), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+    recon, _ = model.apply(params, x, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(recon), 0.0)
+
+    loss, metrics = model.apply(params, x, jax.random.PRNGKey(2),
+                                method=AutoencoderKL.get_loss)
+    b = x.shape[0]
+    expected_nll = float(jnp.sum(jnp.abs(x) / jnp.exp(6.0) + 6.0) / b)
+    assert abs(float(metrics["nll_loss"]) - expected_nll) < 1e-2
+    # quant_conv has a torch-init bias, so the posterior is NOT standard
+    # normal even at init (same as the reference); KL is small but nonzero.
+    assert float(metrics["kl_loss"]) > 0.0
+
+
+def test_loss_sum_reduction_semantics():
+    """nll = sum(err/exp(lv) + lv)/B with a learned scalar lv (reference
+    src/model.py:662-666)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 4, 4, 5), dtype=np.float32))
+    r = jnp.asarray(rng.standard_normal((3, 4, 4, 5), dtype=np.float32))
+    mean = jnp.asarray(rng.standard_normal((3, 2, 2, 2), dtype=np.float32))
+    logvar = jnp.asarray(rng.standard_normal((3, 2, 2, 2), dtype=np.float32))
+    post = DiagonalGaussian(mean=mean, logvar=logvar)
+    lv = jnp.asarray(1.5, jnp.float32)
+    cfg = VAEConfig(kl_weight=1e-6, nll_loss_type="l1")
+
+    loss, metrics = vae_loss(x, r, post, lv, cfg)
+    want_nll = np.sum(np.abs(np.asarray(x - r)) / np.exp(1.5) + 1.5) / 3
+    want_kl = 1e-6 * np.sum(0.5 * (np.asarray(mean) ** 2 + np.exp(np.asarray(logvar))
+                                   - 1 - np.asarray(logvar))) / 3
+    np.testing.assert_allclose(float(metrics["nll_loss"]), want_nll, rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["kl_loss"]), want_kl, rtol=1e-4)
+    np.testing.assert_allclose(float(loss), want_nll + want_kl, rtol=1e-5)
+
+
+def test_logvar_clamp():
+    params = jnp.concatenate([
+        jnp.zeros((1, 2, 2, 3)),
+        jnp.full((1, 2, 2, 3), 100.0),
+    ], axis=-1)
+    post = DiagonalGaussian.from_params(params)
+    assert float(jnp.max(post.logvar)) == 20.0
+    params = params.at[..., 3:].set(-100.0)
+    post = DiagonalGaussian.from_params(params)
+    assert float(jnp.min(post.logvar)) == -30.0
+
+
+def test_avg_pool_nan_propagates():
+    x = np.ones((1, 8, 8), dtype=np.float32)
+    x[0, 0, 0] = np.nan
+    pooled = np.asarray(avg_pool_4x_nan(jnp.asarray(x)))
+    assert pooled.shape == (1, 2, 2)
+    assert np.isnan(pooled[0, 0, 0])       # block containing the NaN
+    assert np.isfinite(pooled[0, 1, 1])
+
+
+def test_masked_mse():
+    target = jnp.asarray([[1.0, jnp.nan], [3.0, jnp.nan]])
+    pred = jnp.asarray([[2.0, 100.0], [3.0, -100.0]])
+    got = float(masked_mse(pred, target))
+    assert abs(got - 0.5) < 1e-6  # mean of (1, 0) over the 2 valid cells
+
+    all_nan = jnp.full((2, 2), jnp.nan)
+    assert float(masked_mse(pred, all_nan)) == 0.0
+
+
+def test_l2_model_loss():
+    model = VAEWithL2Head(TINY, mlp_hidden=(16, 16))
+    rng = np.random.default_rng(3)
+    batch = {"spectral": jnp.asarray(rng.standard_normal(
+        (2, 16, 16, 12), dtype=np.float32))}
+    for p in L2_PRODUCTS:
+        field = rng.standard_normal((2, 16, 16)).astype(np.float32)
+        field[0, :4, :4] = np.nan
+        batch[p] = jnp.asarray(field)
+
+    params = model.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1),
+                        method=VAEWithL2Head.compute_loss)
+    loss, metrics = model.apply(params, batch, jax.random.PRNGKey(2),
+                                method=VAEWithL2Head.compute_loss)
+    assert np.isfinite(float(loss))
+    for p in L2_PRODUCTS:
+        assert np.isfinite(float(metrics[f"{p}_loss"]))
+    # total = nll + kl + 0.1 * sum(product losses)
+    expected = (float(metrics["nll_loss"]) + float(metrics["kl_loss"])
+                + 0.1 * sum(float(metrics[f"{p}_loss"]) for p in L2_PRODUCTS))
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_build_vae_from_config_dict():
+    model, cfg = build_vae({
+        "shape": [12, 16, 16],
+        "chs": [16, 12, 8],
+        "z_channels": 4,
+        "embed_dim": 4,
+        "n_attention_heads": 2,
+        "norm_groups": 4,
+        "kl_weight": 1e-5,
+        "nll_loss_type": "l2",
+        "unknown_key_is_ignored": True,
+    }, compute_dtype="float32")
+    assert cfg.kl_weight == 1e-5
+    assert cfg.nll_loss_type == "l2"
+    assert cfg.chs == (16, 12, 8)

@@ -1,0 +1,82 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: data-parallel
+training must (a) run sharded end-to-end and (b) produce the same numbers as
+single-device execution (the collective correctness check the reference
+never needed — SURVEY.md SS2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
+from tempo_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    make_place_fn,
+    shard_state,
+)
+from tempo_tpu.train.state import create_train_state, make_optimizer
+from tempo_tpu.train.step import make_train_step, vae_loss_fn
+
+TINY = VAEConfig(shape=(8, 16, 16), chs=(12, 8, 8), z_channels=4,
+                 embed_dim=4, n_attention_heads=2, norm_groups=4,
+                 compute_dtype="float32")
+
+
+def _setup():
+    model = AutoencoderKL(TINY)
+    x = jnp.zeros((8, 16, 16, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))["params"]
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(params, tx, jax.random.PRNGKey(42))
+    return model, tx, state
+
+
+def test_eight_cpu_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_data_parallel_step_runs_sharded():
+    model, tx, state = _setup()
+    mesh = create_mesh()
+    state = shard_state(state, mesh)
+    place = make_place_fn(mesh)
+
+    step = make_train_step(vae_loss_fn(model), tx)
+    batch = place(np.random.default_rng(0).standard_normal(
+        (8, 16, 16, 8)).astype(np.float32))
+    assert batch.sharding == batch_sharding(mesh)
+
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    # params stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_data_parallel_matches_single_device():
+    """Same batch, same init: DP-sharded step must equal the unsharded step
+    (the mean/sum reductions divide by the GLOBAL batch, so sharding is
+    numerically transparent)."""
+    model, tx, state_a = _setup()
+    step = make_train_step(vae_loss_fn(model), tx, donate=False)
+
+    batch_np = np.random.default_rng(1).standard_normal(
+        (8, 16, 16, 8)).astype(np.float32)
+
+    # single device
+    state_1, metrics_1 = step(state_a, jnp.asarray(batch_np))
+
+    # 8-way data parallel
+    _, _, state_b = _setup()
+    mesh = create_mesh()
+    state_b = shard_state(state_b, mesh)
+    batch = make_place_fn(mesh)(batch_np)
+    state_8, metrics_8 = step(state_b, batch)
+
+    np.testing.assert_allclose(float(metrics_1["loss"]),
+                               float(metrics_8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
