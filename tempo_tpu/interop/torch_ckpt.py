@@ -1,0 +1,172 @@
+"""Import reference PyTorch checkpoints into tempo_tpu parameter pytrees.
+
+Lets users of the reference pipeline (cfpark00/TEMPO-VAE) carry their trained
+weights over: maps the reference's state_dict layout (SpectralVAE wrapping
+AutoencoderKL, src/model.py:579-705; checkpoint schema
+src/train_utils.py:122-137) onto this framework's flax param tree, with the
+layout conversions:
+
+- Conv2d OIHW -> HWIO
+- 1x1 convs -> dense kernels [in, out]
+- kernel-2 stride-2 down conv [out,in,2,2] -> space-to-depth matmul kernel
+  [(kh,kw,cin) x cout]
+- ConvTranspose2d [in,out,2,2] -> depth-to-space matmul kernel
+  [cin x (di,dj,cout)]
+- GroupNorm weight/bias -> scale/bias
+
+Module-name map (reference -> ours): downs.{i} -> down{i},
+resnet_blocks.{j} -> res{j}, net1.0/net1.2/net2.0/net2.-1 ->
+norm1/conv1/norm2/conv2, skip_conv -> skip, ups.{i} -> up{i},
+attention q/k/v/proj_out/norm keep their names.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    """1x1 conv OIHW [out,in,1,1] -> [in, out]."""
+    return np.transpose(w[:, :, 0, 0], (1, 0))
+
+
+def _down_kernel(w: np.ndarray) -> np.ndarray:
+    """k2 s2 conv OIHW [out,in,2,2] -> [(kh,kw,cin), cout]."""
+    hwio = np.transpose(w, (2, 3, 1, 0))  # [2,2,in,out]
+    return hwio.reshape(-1, hwio.shape[-1])
+
+
+def _up_kernel(w: np.ndarray) -> np.ndarray:
+    """ConvTranspose2d [cin,cout,2,2] -> [cin, (di,dj,cout)]."""
+    cin, cout = w.shape[0], w.shape[1]
+    return np.transpose(w, (0, 2, 3, 1)).reshape(cin, 4 * cout)
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value, dtype=np.float32)
+
+
+def _resnet_entries(prefix_ours: str, sub: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Map one ResNetBlock's reference params. `sub` keys are relative
+    (e.g. 'net1.0.weight'). net2's conv index depends on dropout presence, so
+    we match the LAST conv layer index in net2."""
+    out = {}
+    out[f"{prefix_ours}/norm1/scale"] = sub["net1.0.weight"]
+    out[f"{prefix_ours}/norm1/bias"] = sub["net1.0.bias"]
+    out[f"{prefix_ours}/conv1/kernel"] = _conv_kernel(sub["net1.2.weight"])
+    out[f"{prefix_ours}/conv1/bias"] = sub["net1.2.bias"]
+    out[f"{prefix_ours}/norm2/scale"] = sub["net2.0.weight"]
+    out[f"{prefix_ours}/norm2/bias"] = sub["net2.0.bias"]
+    conv2_idx = max(int(m.group(1)) for k in sub
+                    if (m := re.match(r"net2\.(\d+)\.weight$", k)))
+    out[f"{prefix_ours}/conv2/kernel"] = _conv_kernel(sub[f"net2.{conv2_idx}.weight"])
+    out[f"{prefix_ours}/conv2/bias"] = sub[f"net2.{conv2_idx}.bias"]
+    if "skip_conv.weight" in sub:
+        out[f"{prefix_ours}/skip/kernel"] = _dense_kernel(sub["skip_conv.weight"])
+        out[f"{prefix_ours}/skip/bias"] = sub["skip_conv.bias"]
+    return out
+
+
+def _attn_entries(prefix_ours: str, sub: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    out[f"{prefix_ours}/norm/scale"] = sub["norm.weight"]
+    out[f"{prefix_ours}/norm/bias"] = sub["norm.bias"]
+    for name in ("q", "k", "v", "proj_out"):
+        out[f"{prefix_ours}/{name}/kernel"] = _dense_kernel(sub[f"{name}.weight"])
+        out[f"{prefix_ours}/{name}/bias"] = sub[f"{name}.bias"]
+    return out
+
+
+def _collect(state_dict: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    plen = len(prefix)
+    return {k[plen:]: np.asarray(v) for k, v in state_dict.items()
+            if k.startswith(prefix)}
+
+
+def params_from_torch_state_dict(state_dict: Mapping[str, Any],
+                                 n_levels: int = 3,
+                                 num_res_blocks: int = 1) -> Dict:
+    """Reference SpectralVAE state_dict -> AutoencoderKL param tree (plain
+    nested dict, compatible with flax.serialization.from_state_dict)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v))
+          for k, v in state_dict.items()}
+    # tolerate both the SpectralVAE wrapper ('vae.encoder...') and a bare
+    # AutoencoderKL ('encoder...')
+    if not any(k.startswith("vae.") for k in sd):
+        sd = {f"vae.{k}": v for k, v in sd.items()}
+
+    entries: Dict[str, np.ndarray] = {}
+
+    for coder, ours in (("encoder", "encoder"), ("decoder", "decoder")):
+        base = f"vae.{coder}."
+        entries[f"{ours}/conv_in/kernel"] = _conv_kernel(sd[base + "conv_in.weight"])
+        entries[f"{ours}/conv_in/bias"] = sd[base + "conv_in.bias"]
+        entries[f"{ours}/conv_out/kernel"] = _conv_kernel(sd[base + "conv_out.weight"])
+        entries[f"{ours}/conv_out/bias"] = sd[base + "conv_out.bias"]
+        entries[f"{ours}/norm_out/scale"] = sd[base + "norm_out.weight"]
+        entries[f"{ours}/norm_out/bias"] = sd[base + "norm_out.bias"]
+        for mid in ("mid1", "mid2"):
+            entries.update(_resnet_entries(
+                f"{ours}/{mid}", _collect(sd, base + f"{mid}.")))
+        if base + "mid_attn1.norm.weight" in sd:
+            entries.update(_attn_entries(
+                f"{ours}/mid_attn1", _collect(sd, base + "mid_attn1.")))
+
+    for i in range(n_levels):
+        base = f"vae.encoder.downs.{i}."
+        for j in range(num_res_blocks):
+            entries.update(_resnet_entries(
+                f"encoder/down{i}/res{j}",
+                _collect(sd, base + f"resnet_blocks.{j}.")))
+            attn = _collect(sd, base + f"attention_blocks.{j}.")
+            if attn:
+                entries.update(_attn_entries(f"encoder/down{i}/attn{j}", attn))
+        entries[f"encoder/down{i}/down_kernel"] = _down_kernel(sd[base + "down.weight"])
+        entries[f"encoder/down{i}/down_bias"] = sd[base + "down.bias"]
+
+        base = f"vae.decoder.ups.{i}."
+        for j in range(num_res_blocks):
+            entries.update(_resnet_entries(
+                f"decoder/up{i}/res{j}",
+                _collect(sd, base + f"resnet_blocks.{j}.")))
+            attn = _collect(sd, base + f"attention_blocks.{j}.")
+            if attn:
+                entries.update(_attn_entries(f"decoder/up{i}/attn{j}", attn))
+        entries[f"decoder/up{i}/up_kernel"] = _up_kernel(sd[base + "up.weight"])
+        entries[f"decoder/up{i}/up_bias"] = sd[base + "up.bias"]
+
+    entries["quant_conv/kernel"] = _dense_kernel(sd["vae.quant_conv.weight"])
+    entries["quant_conv/bias"] = sd["vae.quant_conv.bias"]
+    entries["post_quant_conv/kernel"] = _dense_kernel(sd["vae.post_quant_conv.weight"])
+    entries["post_quant_conv/bias"] = sd["vae.post_quant_conv.bias"]
+    entries["logvar"] = sd["vae.logvar"]
+
+    tree: Dict = {}
+    for path, value in entries.items():
+        _set(tree, path, value)
+    return tree
+
+
+def load_torch_checkpoint(path, n_levels: int = 3, num_res_blocks: int = 1
+                          ) -> Dict:
+    """Load a reference .pt checkpoint file (either a raw state_dict or the
+    trainer schema with 'model_state_dict')."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) \
+        else ckpt
+    return params_from_torch_state_dict(state_dict, n_levels, num_res_blocks)

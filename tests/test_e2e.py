@@ -1,0 +1,276 @@
+"""End-to-end pipeline test on the CPU mesh: synthetic granules -> stats ->
+tiles (+L2) -> short training (base and L2-supervised) -> checkpoint sweep ->
+PCA -> probe analysis, all through the CLI mains (the full user surface)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from tempo_tpu.data.synthetic import make_granule_corpus
+
+pytestmark = pytest.mark.slow
+
+N_SPECTRAL = 16
+TILE = 16
+PRODUCTS = ["NO2", "O3TOT", "HCHO", "CLDO4"]
+
+MODEL_CFG = {
+    "shape": [N_SPECTRAL, TILE, TILE],
+    "embed_dim": 4,
+    "chs": [16, 12, 8],
+    "mid_attn": True,
+    "num_res_blocks": 1,
+    "z_channels": 4,
+    "double_z": True,
+    "n_attention_heads": 2,
+    "norm_groups": 4,
+    "kl_weight": 1e-6,
+    "nll_loss_type": "l1",
+    "compute_dtype": "float32",
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    make_granule_corpus(root / "data", n_granules=5, n_mirror=40, n_track=48,
+                        n_spectral=N_SPECTRAL, l2_products=PRODUCTS, seed=3)
+    return root
+
+
+def _write(path: Path, cfg: dict) -> str:
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def stats_dir(pipeline_dir):
+    from tempo_tpu.cli.compute_stats import main
+
+    cfg = _write(pipeline_dir / "stats.yaml", {
+        "input_dir": str(pipeline_dir / "data" / "l1" / "raw"),
+        "output_dir": str(pipeline_dir / "stats"),
+        "max_files": 5,
+    })
+    main(cfg)
+    out = pipeline_dir / "stats"
+    assert (out / "tempo_mean_spectrum.npy").exists()
+    assert (out / "manifest.yaml").exists()
+    mean = np.load(out / "tempo_mean_spectrum.npy")
+    assert mean.shape == (N_SPECTRAL,)
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiles_dir(pipeline_dir, stats_dir):
+    from tempo_tpu.cli.prepare_tiles import main
+
+    cfg = _write(pipeline_dir / "tiles.yaml", {
+        "input_dir": str(pipeline_dir / "data" / "l1" / "raw"),
+        "output_dir": str(pipeline_dir / "tiles"),
+        "normalization": {
+            "mean_file": str(stats_dir / "tempo_mean_spectrum.npy"),
+            "std_file": str(stats_dir / "tempo_std_spectrum.npy"),
+        },
+        "processing": {
+            "tile_size": [TILE, TILE],
+            "tiles_per_file": 16,
+            "n_spectral": N_SPECTRAL,
+            "min_radiance": 1.0,
+            "clip_min": -10,
+            "clip_max": 10,
+        },
+        "l2": {
+            "base_path": str(pipeline_dir / "data"),
+            "components": PRODUCTS,
+            "products": {p: p for p in PRODUCTS},
+            "subdirs": {p: f"l2_{p}" for p in PRODUCTS},
+            "fields": {
+                "NO2": "vertical_column_troposphere",
+                "O3TOT": "column_amount_o3",
+                "HCHO": "vertical_column",
+                "CLDO4": "cloud_fraction",
+            },
+            "scales": {"NO2": 1e15, "O3TOT": 1.0, "HCHO": 1e16, "CLDO4": 1.0},
+            "norm_types": {"NO2": "asinh", "O3TOT": "zscore",
+                           "HCHO": "asinh", "CLDO4": "logit"},
+            "compute_global_stats": True,
+        },
+        "split": {"val_fraction": 0.3, "seed": 42},
+    })
+    main(cfg)
+    out = pipeline_dir / "tiles"
+    split = json.loads((out / "split_info.json").read_text())
+    assert split["split_config"]["n_train"] >= 1
+    assert split["split_config"]["n_val"] >= 1
+    # L2 shards exist next to the spectral shards
+    train_shards = list((out / "train").glob("*.npy"))
+    assert train_shards
+    for p in PRODUCTS:
+        assert (out / "train" / f"l2_{p}" / train_shards[0].name).exists()
+    # normalized spectral tiles within the clip range
+    tiles = np.load(train_shards[0])
+    assert tiles.shape[1:] == (TILE, TILE, N_SPECTRAL)
+    assert np.abs(tiles).max() <= 10.0
+    return out
+
+
+@pytest.fixture(scope="module")
+def run_dir(pipeline_dir, tiles_dir):
+    from tempo_tpu.cli.train_vae import main
+
+    cfg = _write(pipeline_dir / "train.yaml", {
+        "output_dir": str(pipeline_dir / "run"),
+        "seed": 42,
+        "data": {
+            "train_dir": str(tiles_dir / "train"),
+            "val_dir": str(tiles_dir / "val"),
+            "batch_size": 8,
+            "min_buffer_size": 16,
+            "val_min_buffer_size": 8,
+        },
+        "model": MODEL_CFG,
+        "optimizer": {"lr": 1e-3, "betas": [0.9, 0.95], "weight_decay": 0.05},
+        "training": {"n_steps": 30, "save_every": 15, "val_every": 10,
+                     "log_every": 5, "plot_every": 15},
+    })
+    main(cfg)
+    out = pipeline_dir / "run"
+    metrics = json.loads((out / "metrics.json").read_text())
+    losses = [m["loss"] for m in metrics["train"]]
+    assert losses[-1] < losses[0]
+    assert (out / "checkpoints" / "ckpt_step=000030.msgpack").exists()
+    assert (out / "summary" / "loss.png").exists()
+    assert (out / "training_info.yaml").exists()
+    return out
+
+
+def test_train_l2_supervised(pipeline_dir, tiles_dir):
+    from tempo_tpu.cli.train_vae_l2 import main
+
+    cfg = _write(pipeline_dir / "train_l2.yaml", {
+        "output_dir": str(pipeline_dir / "run_l2"),
+        "seed": 42,
+        "data": {
+            "data_dir": str(tiles_dir),
+            "batch_size": 8,
+            "min_buffer_size": 16,
+            "val_min_buffer_size": 8,
+        },
+        "model": MODEL_CFG,
+        "l2": {"components": PRODUCTS, "mlp_hidden": [16, 16]},
+        "optimizer": {"lr": 1e-3},
+        "training": {"n_steps": 20, "save_every": 10, "val_every": 10,
+                     "log_every": 5, "plot_every": 10},
+    })
+    main(cfg)
+    out = pipeline_dir / "run_l2"
+    metrics = json.loads((out / "metrics.json").read_text())
+    last = metrics["train"][-1]
+    for p in PRODUCTS:
+        assert f"{p}_loss" in last
+    assert (out / "summary" / "l2_losses.png").exists()
+    assert (out / "figures").exists()
+
+
+def test_evaluate_reconstruction_sweep(pipeline_dir, run_dir, tiles_dir):
+    from tempo_tpu.cli.evaluate_reconstruction import main
+
+    cfg = _write(pipeline_dir / "eval.yaml", {
+        "output_dir": "eval_reconstruction",
+        "exp_dir": str(run_dir),
+        "data": {"val_dir": str(tiles_dir / "val"), "max_val_samples": 8},
+        "model": {"training_config_path": "config.yaml"},
+        "evaluation": {"batch_size": 4, "metrics": ["mse", "mae", "psnr"]},
+        "plotting": {"plot_metrics": True, "dpi": 72},
+        "seed": 42,
+    })
+    main(cfg)
+    out = run_dir / "eval_reconstruction"
+    results = json.loads(
+        (out / "results" / "reconstruction_metrics.json").read_text())
+    assert len(results) == 2  # checkpoints at 15 and 30
+    assert {"checkpoint", "step", "mse", "mae", "psnr"} <= set(results[0])
+    assert (out / "figures" / "metrics_vs_step.png").exists()
+
+
+def test_extract_pca_and_analyze(pipeline_dir, run_dir, stats_dir, tiles_dir):
+    from tempo_tpu.cli.analyze_reconstruction import main as analyze_main
+    from tempo_tpu.cli.extract_pca import main as pca_main
+
+    pca_cfg = _write(pipeline_dir / "pca.yaml", {
+        "input_dir": str(pipeline_dir / "data" / "l1" / "raw"),
+        "output_dir": str(pipeline_dir / "pca"),
+        "normalization": {
+            "mean_file": str(stats_dir / "tempo_mean_spectrum.npy"),
+            "std_file": str(stats_dir / "tempo_std_spectrum.npy"),
+        },
+        "sampling": {"pixels_per_file": 64, "max_files": 4, "seed": 42},
+        "pca": {"n_components": 3},
+        "processing": {"min_radiance": 1.0, "clip_min": -10, "clip_max": 10},
+    })
+    pca_main(pca_cfg)
+    assert (pipeline_dir / "pca" / "pca_components.npz").exists()
+
+    analyze_cfg = _write(pipeline_dir / "analyze.yaml", {
+        "output_dir": str(pipeline_dir / "analysis_recon"),
+        "model": {
+            "checkpoint_path": str(run_dir / "checkpoints" /
+                                   "ckpt_step=000030.msgpack"),
+            "training_config_path": str(run_dir / "config.yaml"),
+        },
+        "data": {
+            "nc_path": str(pipeline_dir / "data" / "l1"),
+            "tiles_path": str(tiles_dir),
+        },
+        "visualization": {
+            "mode": "pca_rgb",
+            "pca_components_path": str(pipeline_dir / "pca" /
+                                       "pca_components.npz"),
+        },
+        "seed": 42,
+    })
+    analyze_main(analyze_cfg)
+    pngs = list((pipeline_dir / "analysis_recon").glob("*_pca_rgb.png"))
+    assert pngs
+
+
+def test_probe_analysis(pipeline_dir, run_dir, tiles_dir):
+    from tempo_tpu.cli.probe_analysis import main
+
+    cfg = _write(pipeline_dir / "probe.yaml", {
+        "output_dir": str(pipeline_dir / "probes"),
+        "seed": 42,
+        "data": {
+            "l1_nc_path": str(pipeline_dir / "data" / "l1"),
+            "l2_base_path": str(pipeline_dir / "data"),
+            "tiles_path": str(tiles_dir),
+            "l2_products": {p: f"l2_{p}" for p in PRODUCTS},
+        },
+        "model": {
+            "checkpoint_path": str(run_dir / "checkpoints" /
+                                   "ckpt_step=000030.msgpack"),
+            "training_config_path": str(run_dir / "config.yaml"),
+        },
+        "probe": {"n_pixels_per_file": 50, "test_split": 0.2,
+                  "max_epochs": 20, "learning_rate": 1e-2,
+                  "weight_decay": 0.01, "batch_size": 64},
+        "components": {
+            "NO2": {"field": "vertical_column_troposphere", "scale": 1e15,
+                    "norm_type": "asinh"},
+            "CLDO4": {"field": "cloud_fraction", "scale": 1.0,
+                      "norm_type": "logit"},
+        },
+    })
+    main(cfg)
+    out = pipeline_dir / "probes"
+    results = json.loads((out / "results" / "probe_results.json").read_text())
+    assert set(results) == {"NO2", "CLDO4"}
+    for comp in results.values():
+        assert "r2_score" in comp and np.isfinite(comp["r2_score"])
+    assert (out / "figures" / "probe_summary.png").exists()
+    assert (out / "models" / "probe_NO2.npz").exists()
