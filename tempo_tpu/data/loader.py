@@ -25,6 +25,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Union
 
 import numpy as np
 
+from tempo_tpu.data.native import gather_batch
 from tempo_tpu.data.tiles import load_tile_shard
 
 
@@ -112,8 +113,11 @@ class TileLoader:
     # ------------------------------------------------------------- loading
 
     def _load_file_items(self, file_idx: int) -> list:
+        # Memory-mapped shards: buffer items are page-cache VIEWS; the copy
+        # happens once, at batch-gather time, in the native multi-threaded
+        # gather (tempo_tpu.data.native).
         spectral_path = self.files[file_idx]
-        spectral = load_tile_shard(spectral_path)
+        spectral = load_tile_shard(spectral_path, mmap=True)
         if spectral.ndim == 3:
             spectral = spectral[None]
         if self.l2_products is None:
@@ -130,7 +134,7 @@ class TileLoader:
                 if not alt.exists():
                     raise FileNotFoundError(f"FATAL: L2 shard not found: {l2_path}")
                 l2_path = alt
-            l2_batches[product] = load_tile_shard(l2_path)
+            l2_batches[product] = load_tile_shard(l2_path, mmap=True)
 
         items = []
         for t in range(spectral.shape[0]):
@@ -173,12 +177,12 @@ class TileLoader:
                 self._fill_sem.release()
 
         if self.l2_products is None:
-            return np.ascontiguousarray(np.stack(samples), dtype=np.float32)
-        batch = {"spectral": np.ascontiguousarray(
-            np.stack([s["spectral"] for s in samples]), dtype=np.float32)}
+            return gather_batch(samples, n_threads=self.num_threads + 2)
+        batch = {"spectral": gather_batch([s["spectral"] for s in samples],
+                                          n_threads=self.num_threads + 2)}
         for product in self.l2_products:
-            batch[product] = np.ascontiguousarray(
-                np.stack([s[product] for s in samples]), dtype=np.float32)
+            batch[product] = gather_batch([s[product] for s in samples],
+                                          n_threads=self.num_threads + 2)
         return batch
 
     def _batch_loop(self) -> None:

@@ -93,16 +93,19 @@ def extract_l2_tiles(l2_field: np.ndarray, positions: List[TilePosition],
 
 # ----------------------------------------------------------------- shards
 
-def save_tile_shard(path, tiles: np.ndarray) -> None:
-    """tiles: [N, H, W, C] (or [N, H, W] for L2) float32 -> .npy."""
-    np.save(path, np.asarray(tiles, dtype=np.float32))
+def save_tile_shard(path, tiles: np.ndarray, dtype=np.float32) -> None:
+    """tiles: [N, H, W, C] (or [N, H, W] for L2) -> .npy. dtype float16
+    halves shard size; the loader widens to float32 on gather."""
+    np.save(path, np.asarray(tiles, dtype=dtype))
 
 
-def load_tile_shard(path) -> np.ndarray:
-    """Load a shard: .npy (native) or .pt (reference interop)."""
+def load_tile_shard(path, mmap: bool = False) -> np.ndarray:
+    """Load a shard: .npy (native; optionally memory-mapped so tiles stay
+    page-cache views until the batch gather copies them) or .pt
+    (reference interop)."""
     path = str(path)
     if path.endswith(".npy"):
-        return np.load(path, mmap_mode=None)
+        return np.load(path, mmap_mode="r" if mmap else None)
     if path.endswith(".pt"):
         import torch
 

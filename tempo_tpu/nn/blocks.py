@@ -128,11 +128,13 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from tempo_tpu.ops.norms import group_norm_act
+
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,)) if self.affine else None
         bias = self.param("bias", nn.initializers.zeros, (c,)) if self.affine else None
-        act_fn = ACTIVATIONS[self.act] if self.act is not None else None
-        return group_norm(x, self.num_groups, scale, bias, self.eps, act=act_fn)
+        return group_norm_act(x, self.num_groups, scale, bias, self.eps,
+                              act_name=self.act)
 
 
 class ResNetBlock(nn.Module):

@@ -13,10 +13,51 @@ tempo_tpu.ops.pallas_gn (perf pass).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+# GroupNorm backend selection (env TEMPO_TPU_PALLAS_GN = xla | pallas).
+# Measured on v5e (flagship config, bf16): the Pallas fused kernel beats the
+# XLA lowering in isolation (1.14 ms vs 1.62 ms at [8,64,64,512]), but
+# inside the full train step the custom-call acts as a fusion barrier for
+# the surrounding conv chains and the step regresses 107 -> 119 ms.
+# Default is therefore 'xla'; 'pallas' remains available for kernel work
+# and for configurations where the tradeoff differs.
+GN_BACKEND = os.environ.get("TEMPO_TPU_PALLAS_GN", "xla")
+
+
+def _pallas_gn_applicable(shape, dtype) -> bool:
+    if GN_BACKEND != "pallas":
+        return False
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    from tempo_tpu.ops.pallas_gn import pallas_gn_supported
+
+    return pallas_gn_supported(shape, dtype)
+
+
+def group_norm_act(x: jax.Array, num_groups: int, scale: Optional[jax.Array],
+                   bias: Optional[jax.Array], eps: float = 1e-6,
+                   act_name: Optional[str] = None) -> jax.Array:
+    """GroupNorm + optional named activation, routed to the Pallas fused
+    kernel on TPU when the shape qualifies (see tempo_tpu.ops.pallas_gn)."""
+    if (scale is not None and bias is not None
+            and _pallas_gn_applicable(x.shape, x.dtype)):
+        from tempo_tpu.ops.pallas_gn import fused_group_norm_act
+
+        return fused_group_norm_act(x, scale, bias, num_groups, eps, act_name)
+    act = None
+    if act_name is not None:
+        from tempo_tpu.nn.blocks import ACTIVATIONS
+
+        act = ACTIVATIONS[act_name]
+    return group_norm(x, num_groups, scale, bias, eps, act=act)
 
 
 def group_norm(x: jax.Array, num_groups: int, scale: Optional[jax.Array],
