@@ -117,6 +117,13 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                            method=AutoencoderKL.reconstruct)
 
     train_cfg = config["training"]
+    save_steps = None
+    if train_cfg.get("save_schedule") == "sqrt":
+        from tempo_tpu.train.schedules import sqrt_save_steps
+
+        save_steps = sqrt_save_steps(train_cfg["n_steps"],
+                                     train_cfg.get("n_saves", 100))
+    profile_steps = train_cfg.get("profile_steps")  # e.g. [100, 110]
     trainer = Trainer(
         loss_fn=vae_loss_fn(model),
         tx=tx,
@@ -128,6 +135,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         plot_every=train_cfg.get("plot_every", 50),
         place_fn=place_fn,
         recon_fn=recon_fn,
+        profile_steps=tuple(profile_steps) if profile_steps else None,
+        save_steps=save_steps,
     )
 
     if "resume_from" in train_cfg:

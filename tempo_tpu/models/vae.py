@@ -55,6 +55,12 @@ class VAEConfig:
     kl_weight: float = 1e-6
     nll_loss_type: str = "l1"
     logvar_init: float = 6.0
+    # Vestigial in-model NO2 probe (src/model.py:619-632, 671-679): a
+    # 1x1-conv ReLU MLP on the latent mean, enabled when no2_mlp_hidden is
+    # set and no2_weight > 0. Never enabled by any reference config
+    # (superseded by the L2-supervised variant) but part of the API surface.
+    no2_weight: float = 0.0
+    no2_mlp_hidden: Optional[Tuple[int, ...]] = None
     # TPU compute policy (params stay float32; activations/matmuls in this).
     compute_dtype: str = "bfloat16"
 
@@ -120,6 +126,13 @@ class AutoencoderKL(nn.Module):
             "logvar",
             lambda key: jnp.asarray(cfg.logvar_init, dtype=jnp.float32),
         )
+        if cfg.no2_mlp_hidden is not None and cfg.no2_weight > 0:
+            self.no2_probe = [
+                Dense(h, dtype=cfg.dtype, name=f"no2_probe_{i}")
+                for i, h in enumerate(cfg.no2_mlp_hidden)
+            ] + [Dense(1, dtype=cfg.dtype, name="no2_probe_out")]
+        else:
+            self.no2_probe = None
 
     def encode(self, x: jax.Array, deterministic: bool = True) -> DiagonalGaussian:
         h = self.encoder(x, deterministic)
@@ -146,6 +159,16 @@ class AutoencoderKL(nn.Module):
                     sample_posterior: bool = True) -> jax.Array:
         recon, _ = self(x, rng=rng, sample_posterior=sample_posterior)
         return recon
+
+    def predict_no2(self, x: jax.Array) -> jax.Array:
+        """Latent-mean -> NO2 map via the in-model probe
+        (src/model.py:671-679)."""
+        if self.no2_probe is None:
+            raise ValueError("NO2 probe not initialized")
+        h = self.encode(x).mean.astype(self.config.dtype)
+        for layer in self.no2_probe[:-1]:
+            h = jax.nn.relu(layer(h))
+        return self.no2_probe[-1](h)
 
     def get_loss(self, x: jax.Array, rng: jax.Array
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:

@@ -53,6 +53,8 @@ class Trainer:
         recon_fn: Optional[Callable[[Any, Any, jax.Array], Any]] = None,
         l2_products: Optional[Sequence[str]] = None,
         verbose: bool = True,
+        profile_steps: Optional[tuple] = None,  # (start, end) step window
+        save_steps: Optional[Sequence[int]] = None,  # explicit schedule
     ):
         self.tx = tx
         self.state = state
@@ -66,6 +68,8 @@ class Trainer:
         self.recon_fn = recon_fn
         self.l2_products = list(l2_products) if l2_products else None
         self.verbose = verbose
+        self.profile_steps = profile_steps
+        self.save_steps = set(save_steps) if save_steps is not None else None
 
         self.ckpt_dir = self.output_dir / "checkpoints"
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -171,12 +175,22 @@ class Trainer:
                 keys = list(metrics_shape.keys()) + ["grad_norm"]
                 self.state = init_ema(self.state, keys)
 
+            if self.profile_steps and self.step == self.profile_steps[0]:
+                jax.profiler.start_trace(str(self.output_dir / "profile"))
+
             # Steps are dispatched without any host sync; the device queue
             # throttles the loop. The only periodic sync is the EMA fetch
             # every log_every steps.
             self.state, _ = self.train_step(self.state, device_batch)
             self.step += 1
             samples_done += bsz
+
+            if self.profile_steps and self.step == self.profile_steps[1]:
+                jax.device_get(self.state.ema)  # flush queue before stopping
+                jax.profiler.stop_trace()
+                if self.verbose:
+                    print(f"Saved profiler trace to "
+                          f"{self.output_dir / 'profile'}")
 
             if self.step % self.log_every == 0:
                 self._log_ema()
@@ -197,7 +211,10 @@ class Trainer:
                         msg = ", ".join(f"{k}={v:.4f}" for k, v in vm.items())
                         print(f"Step {self.step}: {msg}")
 
-            if self.step % self.save_every == 0 or self.step == n_steps:
+            should_save = (self.step in self.save_steps
+                           if self.save_steps is not None
+                           else self.step % self.save_every == 0)
+            if should_save or self.step == n_steps:
                 self.save_checkpoint()
                 self._save_recon_figure(last_batch)
 

@@ -158,3 +158,34 @@ def test_trainer_loop_artifacts(tmp_path):
                        output_dir=tmp_path, verbose=False)
     trainer2.load_checkpoint(tmp_path / "checkpoints" / "ckpt_step=000020.msgpack")
     assert trainer2.step == 20
+
+
+def test_sqrt_save_schedule():
+    from tempo_tpu.train.schedules import sqrt_save_steps
+
+    steps = sqrt_save_steps(200000, n_saves=100)
+    assert steps[-1] == 200000
+    assert steps == sorted(set(steps))
+    # sqrt(linspace) rises steeply then flattens: gaps shrink, so coverage
+    # densifies toward the end of training
+    assert steps[2] - steps[1] > steps[-1] - steps[-2]
+
+
+def test_no2_probe_head():
+    """Vestigial in-model NO2 probe (reference src/model.py:619-632,
+    671-679): enabled via no2_weight>0 + no2_mlp_hidden."""
+    import jax
+    import jax.numpy as jnp
+
+    from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig(shape=(8, 16, 16), chs=(12, 8, 8), z_channels=4,
+                    embed_dim=4, n_attention_heads=2, norm_groups=4,
+                    no2_weight=1.0, no2_mlp_hidden=(16,),
+                    compute_dtype="float32")
+    model = AutoencoderKL(cfg)
+    x = jnp.ones((2, 16, 16, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x,
+                        method=AutoencoderKL.predict_no2)
+    pred = model.apply(params, x, method=AutoencoderKL.predict_no2)
+    assert pred.shape == (2, 4, 4, 1)
