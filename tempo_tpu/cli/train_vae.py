@@ -66,17 +66,36 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         config["training"]["plot_every"] = 20
 
     data_cfg = config["data"]
+    n_chips_early = jax.device_count()
     print("\nLoading training data...")
-    train_loader = TileLoader(
-        data_dir=data_cfg["train_dir"],
-        batch_size=data_cfg.get("batch_size", 16),
-        min_buffer_size=data_cfg.get("min_buffer_size", 200),
-        seed=seed,
-        prefetch=data_cfg.get("prefetch", 2),
-        num_threads=data_cfg.get("loader_threads",
-                                 data_cfg.get("num_workers", 2)),
-        verbose=True,
-    )
+    loader_kind = data_cfg.get("loader", "host")
+    if loader_kind == "device" and n_chips_early == 1:
+        # Device-resident shuffle buffer: batches are gathered in HBM, the
+        # host only streams one shard per swap interval (the right choice
+        # when host cores are scarce relative to step rate).
+        from tempo_tpu.data.device_buffer import DeviceTileBuffer
+
+        train_loader = DeviceTileBuffer(
+            data_dir=data_cfg["train_dir"],
+            batch_size=data_cfg.get("batch_size", 16),
+            slots=data_cfg.get("buffer_slots", 4),
+            swap_every=data_cfg.get("swap_every", 16),
+            seed=seed,
+            dtype=data_cfg.get("buffer_dtype", "float32"),
+        )
+    else:
+        if loader_kind == "device":
+            print("loader=device requires a single chip; using host loader")
+        train_loader = TileLoader(
+            data_dir=data_cfg["train_dir"],
+            batch_size=data_cfg.get("batch_size", 16),
+            min_buffer_size=data_cfg.get("min_buffer_size", 200),
+            seed=seed,
+            prefetch=data_cfg.get("prefetch", 2),
+            num_threads=data_cfg.get("loader_threads",
+                                     data_cfg.get("num_workers", 2)),
+            verbose=True,
+        )
     val_loader = None
     if "val_dir" in data_cfg:
         print("\nLoading validation data...")

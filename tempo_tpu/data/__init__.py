@@ -5,6 +5,7 @@ from tempo_tpu.data.normalize import (
     compute_l2_stats,
 )
 from tempo_tpu.data.loader import TileLoader, load_normalization_stats
+from tempo_tpu.data.device_buffer import DeviceTileBuffer
 
 __all__ = [
     "read_radiance",
@@ -14,5 +15,6 @@ __all__ = [
     "normalize_l2",
     "compute_l2_stats",
     "TileLoader",
+    "DeviceTileBuffer",
     "load_normalization_stats",
 ]

@@ -191,8 +191,14 @@ def vae_loss(x: jax.Array, recon: jax.Array, posterior: DiagonalGaussian,
         rec_err = jnp.abs(x32 - r32)
     elif cfg.nll_loss_type == "l2":
         rec_err = jnp.square(x32 - r32)
+    elif cfg.nll_loss_type == "ms_mse":
+        # FFT-space wavenumber-weighted MSE (library ancestor capability,
+        # reference src/mltools/losses.py:5-31)
+        from tempo_tpu.ops.losses import multiscale_mse
+
+        rec_err = multiscale_mse(x32, r32)
     else:
-        raise ValueError("nll_loss_type must be l1 or l2")
+        raise ValueError("nll_loss_type must be l1, l2 or ms_mse")
 
     batch = x.shape[0]
     nll_loss = jnp.sum(rec_err / jnp.exp(logvar) + logvar) / batch

@@ -1,0 +1,33 @@
+"""Auxiliary reconstruction losses.
+
+multiscale_mse reproduces the capability of the reference's vendored
+MultiScaleMSE (reference: src/mltools/losses.py:5-31 — an FFT-space,
+wavenumber-weighted spectral MSE, available to the library VAE as
+nll_loss_type 'ms_mse' via src/mltools/models/vae_model.py): the squared
+error of the 2D Fourier coefficients is averaged per isotropic |k| weight so
+large-scale structure isn't drowned out by high-frequency energy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def multiscale_mse(x: jax.Array, recon: jax.Array) -> jax.Array:
+    """x, recon: [B, H, W, C]. Returns per-element-comparable error map
+    [B, H, W, C] in k-space: |FFT(x) - FFT(recon)|^2 / (1 + |k|), normalized
+    so a zero reconstruction yields finite, scale-balanced loss."""
+    x32 = x.astype(jnp.float32)
+    r32 = recon.astype(jnp.float32)
+    fx = jnp.fft.fft2(x32, axes=(1, 2), norm="ortho")
+    fr = jnp.fft.fft2(r32, axes=(1, 2), norm="ortho")
+
+    h, w = x.shape[1], x.shape[2]
+    ky = jnp.fft.fftfreq(h)[:, None] * h
+    kx = jnp.fft.fftfreq(w)[None, :] * w
+    kmag = jnp.sqrt(ky ** 2 + kx ** 2)
+    weight = 1.0 / (1.0 + kmag)  # [H, W]
+
+    err = jnp.abs(fx - fr) ** 2 * weight[None, :, :, None]
+    return err

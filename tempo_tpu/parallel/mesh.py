@@ -56,3 +56,25 @@ def shard_state(state: Any, mesh: Mesh) -> Any:
     """Replicate a train state (params/opt state) across the mesh."""
     repl = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Mesh:
+    """Multi-host (DCN) data parallelism: initialize the JAX distributed
+    runtime and return a mesh over ALL processes' devices. Each host feeds
+    its own per-process batch shard (the loaders are already
+    process-local); gradient sync rides ICI within a slice and DCN across
+    hosts via the same jit-inserted collectives. On single-process setups
+    (including TPU-pod auto-detection environments) arguments may be None.
+    """
+    if coordinator_address is not None or num_processes is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process; nothing to coordinate
+    return create_mesh()

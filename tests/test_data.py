@@ -175,3 +175,44 @@ def test_granule_corpus_layout(tmp_path):
     for f in l1_files:
         l2_name = l2_filename_for(f.name, "NO2")
         assert (paths["NO2"] / "raw" / l2_name).exists()
+
+
+def test_device_tile_buffer(tmp_path):
+    from tempo_tpu.data.device_buffer import DeviceTileBuffer
+
+    make_tile_shards(tmp_path, n_files=4, tiles_per_file=8, tile=8,
+                     n_spectral=4, seed=1)
+    buf = DeviceTileBuffer(tmp_path, batch_size=4, slots=2, swap_every=2,
+                           seed=0)
+    try:
+        seen = []
+        for _ in range(8):  # crosses several swap boundaries
+            batch = buf.__next__()
+            assert batch.shape == (4, 8, 8, 4)
+            seen.append(np.asarray(batch))
+        stacked = np.stack(seen)
+        assert np.isfinite(stacked).all()
+        # batches differ (random gather, not a constant slice)
+        assert not np.array_equal(seen[0], seen[1])
+    finally:
+        buf.close()
+
+
+def test_device_tile_buffer_distribution(tmp_path):
+    """Every resident tile must be reachable: over many draws from a single
+    static pool, all (slot, tile) pairs appear."""
+    from tempo_tpu.data.device_buffer import DeviceTileBuffer
+
+    make_tile_shards(tmp_path, n_files=1, tiles_per_file=8, tile=4,
+                     n_spectral=2, seed=2)
+    buf = DeviceTileBuffer(tmp_path, batch_size=16, slots=2,
+                           swap_every=10_000, seed=0)
+    try:
+        signatures = set()
+        for _ in range(40):
+            batch = np.asarray(buf.__next__())
+            for row in batch.reshape(16, -1):
+                signatures.add(row.tobytes())
+        assert len(signatures) == 8  # all 8 resident tiles sampled
+    finally:
+        buf.close()

@@ -164,3 +164,34 @@ def test_build_vae_from_config_dict():
     assert cfg.kl_weight == 1e-5
     assert cfg.nll_loss_type == "l2"
     assert cfg.chs == (16, 12, 8)
+
+
+def test_ms_mse_loss_option():
+    """FFT-space multiscale MSE (mltools ancestor capability): finite,
+    differentiable, zero at perfect reconstruction."""
+    from tempo_tpu.ops.losses import multiscale_mse
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    err = multiscale_mse(x, x)
+    np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-10)
+
+    r = x + 0.1
+    err = multiscale_mse(x, r)
+    assert np.isfinite(np.asarray(err)).all()
+    assert float(jnp.sum(err)) > 0
+
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, nll_loss_type="ms_mse",
+                              shape=(3, 8, 8), chs=(8, 8, 8), norm_groups=4)
+    model = AutoencoderKL(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+
+    def loss_fn(p):
+        loss, _ = model.apply(p, x, jax.random.PRNGKey(2),
+                              method=AutoencoderKL.get_loss)
+        return loss
+
+    jax.grad(loss_fn)(params)  # differentiable through the fft
+    assert np.isfinite(float(loss_fn(params)))
