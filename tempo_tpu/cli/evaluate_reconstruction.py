@@ -80,10 +80,14 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     metrics_list = config.get("evaluation", {}).get("metrics",
                                                     ["mse", "mae", "psnr"])
     batch_size = config.get("evaluation", {}).get("batch_size", 8)
+    # optional custom glob relative to exp_dir (reference
+    # model.checkpoint_pattern contract)
+    pattern = config["model"].get("checkpoint_pattern")
     results = evaluate_checkpoints(
-        model, params_template, exp_dir / "checkpoints", val_tiles,
+        model, params_template,
+        exp_dir if pattern else exp_dir / "checkpoints", val_tiles,
         batch_size=batch_size, metrics_list=metrics_list,
-        max_checkpoints=1 if debug else None)
+        max_checkpoints=1 if debug else None, pattern=pattern)
 
     results_file = output_dir / "results" / "reconstruction_metrics.json"
     with open(results_file, "w") as f:

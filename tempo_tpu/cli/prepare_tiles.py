@@ -230,11 +230,14 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             save_dir, sources, split_name = train_dir, train_sources, "train"
             train_count += 1
 
-        save_tile_shard(save_dir / tile_filename, result["spectral"])
+        shard_dtype = np.dtype(config["processing"].get("shard_dtype",
+                                                        "float32"))
+        save_tile_shard(save_dir / tile_filename, result["spectral"],
+                        dtype=shard_dtype)
         sources[tile_filename] = str(nc_path.relative_to(input_dir))
         for component in l2_components:
             save_tile_shard(save_dir / f"l2_{component}" / tile_filename,
-                            result[f"l2_{component}"])
+                            result[f"l2_{component}"], dtype=shard_dtype)
             l2_availability[component][split_name] += 1
         print(f"[{i + 1}/{len(nc_files)}] {nc_path.name} -> "
               f"{split_name}/{tile_filename}")

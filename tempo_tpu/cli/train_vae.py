@@ -69,12 +69,15 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     n_chips_early = jax.device_count()
     print("\nLoading training data...")
     loader_kind = data_cfg.get("loader", "host")
-    if loader_kind == "device" and n_chips_early == 1:
+    if loader_kind == "device":
         # Device-resident shuffle buffer: batches are gathered in HBM, the
         # host only streams one shard per swap interval (the right choice
-        # when host cores are scarce relative to step rate).
+        # when host cores are scarce relative to step rate). With multiple
+        # chips the pool is replicated and gathers shard on the batch axis.
         from tempo_tpu.data.device_buffer import DeviceTileBuffer
+        from tempo_tpu.parallel.mesh import create_mesh as _create_mesh
 
+        loader_mesh = _create_mesh() if n_chips_early > 1 else None
         train_loader = DeviceTileBuffer(
             data_dir=data_cfg["train_dir"],
             batch_size=data_cfg.get("batch_size", 16),
@@ -82,10 +85,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             swap_every=data_cfg.get("swap_every", 16),
             seed=seed,
             dtype=data_cfg.get("buffer_dtype", "float32"),
+            mesh=loader_mesh,
         )
     else:
-        if loader_kind == "device":
-            print("loader=device requires a single chip; using host loader")
         train_loader = TileLoader(
             data_dir=data_cfg["train_dir"],
             batch_size=data_cfg.get("batch_size", 16),

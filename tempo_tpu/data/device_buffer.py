@@ -52,8 +52,12 @@ class DeviceTileBuffer:
         seed: Optional[int] = None,
         dtype: str = "float32",
         device: Optional[jax.Device] = None,
-        sharding=None,
+        mesh=None,
     ):
+        """With a mesh, the pool is replicated and each gathered batch is
+        sharded on its leading axis over the mesh's 'data' axis (each chip
+        materializes only its local batch slice), so the device buffer also
+        feeds data-parallel training."""
         self.files = _find_shards(data_dir)
         self.batch_size = batch_size
         self.slots = slots
@@ -61,7 +65,15 @@ class DeviceTileBuffer:
         self.dtype = jnp.dtype(dtype)
         self._rng = np.random.default_rng(seed)
         self._device = device
-        self._sharding = sharding
+        self._mesh = mesh
+        if mesh is not None:
+            from tempo_tpu.parallel.mesh import batch_sharding, replicate_sharding
+
+            self._sharding = replicate_sharding(mesh)   # pool: replicated
+            self._batch_sharding = batch_sharding(mesh)  # gather output
+        else:
+            self._sharding = None
+            self._batch_sharding = None
         self._batches_since_swap = 0
         self._next_slot = 0
         self._pending: Optional[tuple] = None  # (slot, thread, result holder)
@@ -73,7 +85,13 @@ class DeviceTileBuffer:
             pool.append(self._load(int(self._rng.integers(0, len(self.files)))))
         self._pool = self._put(np.stack(pool))  # [S, T, H, W, C]
 
-        @jax.jit
+        if self._batch_sharding is not None:
+            gather_jit = functools.partial(
+                jax.jit, out_shardings=self._batch_sharding)
+        else:
+            gather_jit = jax.jit
+
+        @gather_jit
         def gather(pool, slot_idx, tile_idx):
             return pool[slot_idx, tile_idx]
 

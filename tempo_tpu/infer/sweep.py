@@ -85,11 +85,16 @@ def evaluate_checkpoints(model: AutoencoderKL, params_template,
                          batch_size: int = 8,
                          metrics_list: Sequence[str] = ("mse", "mae", "psnr"),
                          max_checkpoints: int | None = None,
+                         pattern: str | None = None,
                          verbose: bool = True) -> List[Dict]:
-    """Sweep every ckpt_step=* checkpoint; returns
-    [{'checkpoint', 'step', <metrics>...}] sorted by step."""
+    """Sweep every ckpt_step=* checkpoint (or a custom glob `pattern`
+    relative to ckpt_dir); returns [{'checkpoint', 'step', <metrics>...}]
+    sorted by step."""
     results = []
-    paths = list_checkpoints(ckpt_dir)
+    if pattern is not None:
+        paths = sorted(Path(ckpt_dir).glob(pattern))
+    else:
+        paths = list_checkpoints(ckpt_dir)
     if max_checkpoints is not None:
         paths = paths[:max_checkpoints]
     if not paths:

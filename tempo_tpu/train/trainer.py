@@ -219,8 +219,7 @@ class Trainer:
                 self._save_recon_figure(last_batch)
 
         elapsed = time.perf_counter() - t_start
-        if int(self.state.step) % self.save_every != 0:
-            self.save_checkpoint()
+        # the loop always checkpoints at n_steps; nothing left to flush here
         save_metrics(self.output_dir, self.train_metrics, self.val_metrics)
         stats = {
             "elapsed_s": elapsed,

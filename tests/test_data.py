@@ -216,3 +216,26 @@ def test_device_tile_buffer_distribution(tmp_path):
         assert len(signatures) == 8  # all 8 resident tiles sampled
     finally:
         buf.close()
+
+
+def test_device_tile_buffer_multichip(tmp_path):
+    """With a mesh, the pool replicates and each gathered batch is sharded
+    on its leading axis — the device buffer feeds DP training directly."""
+    import jax
+
+    from tempo_tpu.data.device_buffer import DeviceTileBuffer
+    from tempo_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    make_tile_shards(tmp_path, n_files=2, tiles_per_file=8, tile=8,
+                     n_spectral=4, seed=3)
+    mesh = create_mesh()
+    buf = DeviceTileBuffer(tmp_path, batch_size=16, slots=2, swap_every=4,
+                           seed=0, mesh=mesh)
+    try:
+        for _ in range(6):
+            batch = buf.__next__()
+            assert batch.shape == (16, 8, 8, 4)
+            assert batch.sharding == batch_sharding(mesh)
+            assert np.isfinite(np.asarray(batch)).all()
+    finally:
+        buf.close()

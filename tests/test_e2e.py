@@ -274,3 +274,29 @@ def test_probe_analysis(pipeline_dir, run_dir, tiles_dir):
         assert "r2_score" in comp and np.isfinite(comp["r2_score"])
     assert (out / "figures" / "probe_summary.png").exists()
     assert (out / "models" / "probe_NO2.npz").exists()
+
+
+def test_encode_granules_sweep(pipeline_dir, run_dir, stats_dir):
+    from tempo_tpu.cli.encode_granules import main
+
+    cfg = _write(pipeline_dir / "encode.yaml", {
+        "output_dir": str(pipeline_dir / "encoded"),
+        "input_dir": str(pipeline_dir / "data" / "l1" / "raw"),
+        "data": {"tiles_path": str(pipeline_dir / "tiles")},
+        "model": {
+            "checkpoint_path": str(run_dir / "checkpoints" /
+                                   "ckpt_step=000030.msgpack"),
+            "training_config_path": str(run_dir / "config.yaml"),
+        },
+        "decode_roundtrip": True,
+        "max_files": 2,
+    })
+    main(cfg)
+    out = pipeline_dir / "encoded"
+    summary = json.loads((out / "encode_summary.json").read_text())
+    assert summary["n_granules"] == 2
+    for g in summary["granules"]:
+        assert "mse" in g and "psnr" in g
+        lat = np.load(out / "latents" / (Path(g["granule"]).stem + ".npz"))
+        h, w, _ = g["input_shape"]
+        assert lat["latent"].shape == (h // 4, w // 4, 4)
