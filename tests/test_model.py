@@ -195,3 +195,30 @@ def test_ms_mse_loss_option():
 
     jax.grad(loss_fn)(params)  # differentiable through the fft
     assert np.isfinite(float(loss_fn(params)))
+
+
+def test_remat_matches_no_remat():
+    """remat=True must not change numerics — only the backward's memory."""
+    import dataclasses
+
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, 16, 16, 12), dtype=np.float32))
+    base = AutoencoderKL(TINY)
+    params = base.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+    remat = AutoencoderKL(dataclasses.replace(TINY, remat=True))
+
+    def loss(model, p):
+        l, _ = model.apply(p, x, jax.random.PRNGKey(2),
+                           method=AutoencoderKL.get_loss)
+        return l
+
+    l_base = float(loss(base, params))
+    l_remat = float(loss(remat, params))
+    np.testing.assert_allclose(l_remat, l_base, rtol=1e-6)
+
+    g_base = jax.grad(lambda p: loss(base, p))(params)
+    g_remat = jax.grad(lambda p: loss(remat, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_base),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
