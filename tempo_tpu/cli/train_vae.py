@@ -15,7 +15,6 @@ Config extras over the reference schema:
 
 from __future__ import annotations
 
-import time
 from datetime import datetime
 from pathlib import Path
 

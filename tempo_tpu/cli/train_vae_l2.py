@@ -22,7 +22,6 @@ from tempo_tpu.models.vae import VAEConfig
 from tempo_tpu.models.vae_l2 import L2_PRODUCTS, VAEWithL2Head
 from tempo_tpu.parallel.mesh import create_mesh, make_place_fn, shard_state
 from tempo_tpu.train.state import create_train_state, make_optimizer_from_config
-from tempo_tpu.train.step import vae_l2_loss_fn
 from tempo_tpu.train.trainer import Trainer
 from tempo_tpu.utils.config import copy_config, load_config, require_keys, save_yaml
 from tempo_tpu.utils.dirs import init_directory

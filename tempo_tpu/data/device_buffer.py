@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import threading
 from pathlib import Path
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

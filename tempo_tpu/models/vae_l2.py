@@ -26,7 +26,6 @@ from tempo_tpu.models.vae import AutoencoderKL, VAEConfig, vae_loss
 from tempo_tpu.nn.blocks import GroupNorm
 from tempo_tpu.nn.init import torch_bias_init, torch_dense_kernel_init
 from tempo_tpu.ops.convs import dense
-from tempo_tpu.ops.norms import gelu_exact
 
 L2_PRODUCTS: Tuple[str, ...] = ("NO2", "O3TOT", "HCHO", "CLDO4")
 DEFAULT_L2_WEIGHTS: Dict[str, float] = {p: 0.1 for p in L2_PRODUCTS}

@@ -30,7 +30,7 @@ from tempo_tpu.nn.init import (
     zeros_init,
 )
 from tempo_tpu.ops.convs import conv2d_nhwc, dense, depth_to_space_2x, space_to_depth_2x
-from tempo_tpu.ops.norms import gelu_exact, group_norm
+from tempo_tpu.ops.norms import gelu_exact
 
 Dtype = Any
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tempo_tpu.ops.norms import gelu_exact, group_norm
+from tempo_tpu.ops.norms import group_norm
 
 def _erf_approx(x: jax.Array) -> jax.Array:
     """Abramowitz & Stegun 7.1.26 rational erf approximation (max abs error

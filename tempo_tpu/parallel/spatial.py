@@ -17,8 +17,6 @@ already guarantees 64 | W, so any power-of-two mesh up to 16 qualifies.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

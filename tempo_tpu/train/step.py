@@ -14,7 +14,7 @@ and inserts the gradient all-reduce over ICI automatically.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tempo_tpu.nn.blocks import AttnBlock, Conv, Dense, Downsample2x, GroupNorm, ResNetBlock, Upsample2x
+from tempo_tpu.nn.blocks import AttnBlock, Downsample2x, ResNetBlock, Upsample2x
 from tempo_tpu.ops.convs import conv2d_nhwc, dense, depth_to_space_2x, space_to_depth_2x
 from tempo_tpu.ops.norms import gelu_exact, group_norm
 

@@ -2,11 +2,9 @@
 f16-widening), and the loader integration with memory-mapped shards."""
 
 import numpy as np
-import pytest
 
 from tempo_tpu.data.loader import TileLoader
 from tempo_tpu.data.native import gather_batch, native_available
-from tempo_tpu.data.synthetic import make_tile_shards
 from tempo_tpu.data.tiles import load_tile_shard, save_tile_shard
 
 

@@ -3,7 +3,6 @@ round-trip exactly, AdamW semantics match torch, and the trainer loop
 produces the reference's artifact tree."""
 
 import json
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,7 @@ from tempo_tpu.train.checkpoint import (
 )
 from tempo_tpu.train.metrics import RunningMetrics
 from tempo_tpu.train.state import create_train_state, make_optimizer
-from tempo_tpu.train.step import make_eval_step, make_train_step, vae_loss_fn
+from tempo_tpu.train.step import make_train_step, vae_loss_fn
 from tempo_tpu.train.trainer import Trainer
 
 TINY = VAEConfig(shape=(8, 16, 16), chs=(12, 8, 8), z_channels=4,
