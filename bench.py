@@ -107,6 +107,20 @@ def bench_encode(batch_size: int = 32, warmup: int = 2, iters: int = 10,
 
 
 def main():
+    try:
+        _main()
+    except Exception as exc:  # the driver expects exactly one JSON line
+        print(json.dumps({
+            "metric": "train_patches_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "patches/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(exc).__name__}: {exc}",
+        }))
+        raise SystemExit(1)
+
+
+def _main():
     train = bench_train()
     encode = bench_encode()
     value = train["patches_per_sec_per_chip"]
