@@ -216,14 +216,23 @@ class TileLoader:
     def __iter__(self) -> Iterator:
         return self
 
-    def __next__(self):
+    def __next__(self, _deadline_s: float = 300.0):
+        # Patient stall detection: a saturated host can legitimately starve
+        # the batch thread for tens of seconds; only give up after the full
+        # deadline or if the workers died.
+        waited = 0.0
         while True:
             try:
-                return self._queue.get(timeout=60.0)
+                return self._queue.get(timeout=10.0)
             except queue.Empty:
                 if self._stop.is_set():
                     raise StopIteration
-                raise RuntimeError("TileLoader stalled: no batch for 60s")
+                waited += 10.0
+                workers_alive = any(t.is_alive() for t in self._threads)
+                if waited >= _deadline_s or not workers_alive:
+                    raise RuntimeError(
+                        f"TileLoader stalled: no batch for {waited:.0f}s "
+                        f"(workers alive: {workers_alive})")
 
     def close(self) -> None:
         self._stop.set()
