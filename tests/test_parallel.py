@@ -113,3 +113,28 @@ def test_spatial_halo_sharded_encode_matches_unsharded():
     dec_got = decode_spatially_sharded(model, params, np.asarray(want), mesh)
     np.testing.assert_allclose(np.asarray(dec_got), np.asarray(dec_want),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_device_buffer_feeds_dp_train_step(tmp_path):
+    """Integration: device-resident buffer (mesh mode) -> fused DP train
+    step, end to end on the CPU mesh."""
+    from tempo_tpu.data.device_buffer import DeviceTileBuffer
+    from tempo_tpu.data.synthetic import make_tile_shards
+
+    make_tile_shards(tmp_path, n_files=2, tiles_per_file=16, tile=16,
+                     n_spectral=8, seed=4)
+    mesh = create_mesh()
+    buf = DeviceTileBuffer(tmp_path, batch_size=8, slots=2, swap_every=3,
+                           seed=0, mesh=mesh)
+    model, tx, state = _setup()
+    state = shard_state(state, mesh)
+    step = make_train_step(vae_loss_fn(model), tx)
+    try:
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, next(buf))
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert int(state.step) == 8
+    finally:
+        buf.close()
