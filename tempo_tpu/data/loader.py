@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import queue
 import threading
+import time
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Union
 
@@ -100,6 +101,7 @@ class TileLoader:
                 self.l2_dirs[product] = l2_dir
 
         self._rng = np.random.default_rng(seed)
+        self._last_error: Optional[str] = None
         self._buffer = RandomBuffer(self._rng)
         self._lock = threading.Lock()
         self._fill_sem = threading.Semaphore(0)
@@ -158,8 +160,12 @@ class TileLoader:
             self._fill_sem.acquire()
             if self._stop.is_set():
                 return
-            idx = int(self._rng.integers(0, len(self.files)))
-            items = self._load_file_items(idx)  # disk IO off the main thread
+            try:
+                idx = int(self._rng.integers(0, len(self.files)))
+                items = self._load_file_items(idx)  # disk IO off main thread
+            except Exception as exc:  # record and keep serving
+                self._last_error = f"refill: {type(exc).__name__}: {exc}"
+                continue
             with self._lock:
                 for item in items:
                     self._buffer.put(item)
@@ -167,8 +173,14 @@ class TileLoader:
     def _sample_batch(self):
         samples = []
         with self._lock:
-            for _ in range(self.batch_size):
-                samples.append(self._buffer.get())
+            try:
+                for _ in range(self.batch_size):
+                    samples.append(self._buffer.get())
+            except IndexError:
+                # transiently short: put the partial pop back, retry later
+                for item in samples:
+                    self._buffer.put(item)
+                raise
             deficit = self.min_buffer_size - len(self._buffer)
         if deficit > 0:
             # one refill request per (roughly) shard-sized deficit
@@ -190,8 +202,14 @@ class TileLoader:
             try:
                 batch = self._sample_batch()
             except IndexError:
-                # buffer transiently exhausted; force refills and retry
+                # buffer transiently exhausted; force refills, yield the
+                # core to them, and retry
                 self._fill_sem.release()
+                time.sleep(0.05)
+                continue
+            except Exception as exc:
+                self._last_error = f"batch: {type(exc).__name__}: {exc}"
+                time.sleep(0.5)
                 continue
             while not self._stop.is_set():
                 try:
@@ -230,9 +248,12 @@ class TileLoader:
                 waited += 10.0
                 workers_alive = any(t.is_alive() for t in self._threads)
                 if waited >= _deadline_s or not workers_alive:
+                    with self._lock:
+                        buffered = len(self._buffer)
                     raise RuntimeError(
                         f"TileLoader stalled: no batch for {waited:.0f}s "
-                        f"(workers alive: {workers_alive})")
+                        f"(workers alive: {workers_alive}, buffered tiles: "
+                        f"{buffered}, last error: {self._last_error})")
 
     def close(self) -> None:
         self._stop.set()
