@@ -48,7 +48,12 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     config = load_config(config_path)
     validate_config(config)
 
-    output_dir = init_directory(config["output_dir"], overwrite=overwrite)
+    # resume_from: auto re-enters an existing output dir and continues from
+    # its latest checkpoint — the preemption-recovery path (the v5e
+    # operational reality; the reference only has explicit resume_from).
+    resume_auto = config["training"].get("resume_from") == "auto"
+    output_dir = init_directory(config["output_dir"], overwrite=overwrite,
+                                allow_existing=resume_auto)
     (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
     (output_dir / "figures").mkdir(parents=True, exist_ok=True)
     (output_dir / "logs").mkdir(parents=True, exist_ok=True)
@@ -159,9 +164,16 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         save_steps=save_steps,
     )
 
-    if "resume_from" in train_cfg:
-        print(f"\nResuming from checkpoint: {train_cfg['resume_from']}")
-        trainer.load_checkpoint(train_cfg["resume_from"])
+    resume_from = train_cfg.get("resume_from")
+    if resume_from == "auto":
+        from tempo_tpu.train.checkpoint import latest_checkpoint
+
+        resume_from = latest_checkpoint(output_dir / "checkpoints")
+        if resume_from is None:
+            print("\nresume_from: auto — no checkpoint found, starting fresh")
+    if resume_from:
+        print(f"\nResuming from checkpoint: {resume_from}")
+        trainer.load_checkpoint(resume_from)
 
     n_steps = train_cfg["n_steps"]
     print(f"\nStarting training for {n_steps} steps...")

@@ -36,7 +36,11 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     if not data_dir.exists():
         raise ValueError(f"FATAL: data directory doesn't exist: {data_dir}")
 
-    output_dir = init_directory(config["output_dir"], overwrite=overwrite)
+    # resume_from: auto re-enters an existing output dir and continues from
+    # its latest checkpoint (preemption recovery — see cli/train_vae.py).
+    resume_auto = config["training"].get("resume_from") == "auto"
+    output_dir = init_directory(config["output_dir"], overwrite=overwrite,
+                                allow_existing=resume_auto)
     (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
     (output_dir / "figures").mkdir(parents=True, exist_ok=True)
     copy_config(config_path, output_dir)
@@ -59,16 +63,34 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     data_cfg = config["data"]
     print("\nLoading training data...")
-    train_loader = TileLoader(
-        data_dir=data_dir / "train",
-        batch_size=data_cfg.get("batch_size", 32),
-        min_buffer_size=data_cfg.get("min_buffer_size", 200),
-        l2_products=products,
-        seed=seed,
-        num_threads=data_cfg.get("loader_threads",
-                                 data_cfg.get("num_workers", 2)),
-        verbose=True,
-    )
+    if data_cfg.get("loader", "host") == "device":
+        # Device-resident shuffle buffer pooling spectral + L2 product
+        # shards in HBM — dict batches gather on device, so L2-supervised
+        # training runs at the same input rate as the base VAE.
+        from tempo_tpu.data.device_buffer import DeviceTileBuffer
+
+        loader_mesh = create_mesh() if jax.device_count() > 1 else None
+        train_loader = DeviceTileBuffer(
+            data_dir=data_dir / "train",
+            batch_size=data_cfg.get("batch_size", 32),
+            slots=data_cfg.get("buffer_slots", 4),
+            swap_every=data_cfg.get("swap_every", 16),
+            seed=seed,
+            dtype=data_cfg.get("buffer_dtype", "float32"),
+            mesh=loader_mesh,
+            l2_products=products,
+        )
+    else:
+        train_loader = TileLoader(
+            data_dir=data_dir / "train",
+            batch_size=data_cfg.get("batch_size", 32),
+            min_buffer_size=data_cfg.get("min_buffer_size", 200),
+            l2_products=products,
+            seed=seed,
+            num_threads=data_cfg.get("loader_threads",
+                                     data_cfg.get("num_workers", 2)),
+            verbose=True,
+        )
     val_loader = None
     if (data_dir / "val").exists():
         print("\nLoading validation data...")
@@ -143,9 +165,16 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         l2_products=products,
     )
 
-    if "resume_from" in train_cfg:
-        print(f"\nResuming from checkpoint: {train_cfg['resume_from']}")
-        trainer.load_checkpoint(train_cfg["resume_from"])
+    resume_from = train_cfg.get("resume_from")
+    if resume_from == "auto":
+        from tempo_tpu.train.checkpoint import latest_checkpoint
+
+        resume_from = latest_checkpoint(output_dir / "checkpoints")
+        if resume_from is None:
+            print("\nresume_from: auto — no checkpoint found, starting fresh")
+    if resume_from:
+        print(f"\nResuming from checkpoint: {resume_from}")
+        trainer.load_checkpoint(resume_from)
 
     n_steps = train_cfg["n_steps"]
     print(f"\nStarting L2-supervised training for {n_steps} steps...")

@@ -1,5 +1,6 @@
 """Device-resident shuffle buffer: the TPU-native redesign of the
-reference's host RandomBuffer (reference: src/tempo_data.py:13-106).
+reference's host RandomBuffer (reference: src/tempo_data.py:13-106; the
+L2 dict-batch variant mirrors src/tempo_data_with_l2.py:35-176).
 
 Motivation: a flagship batch (64 tiles x 16.8 MB) is ~1 GB of input per
 ~200 ms step — far beyond what a 1-core host can re-copy per step. Instead
@@ -10,10 +11,22 @@ background host thread streams a replacement shard into the
 least-recently-refreshed slot every `swap_every` batches. Host traffic drops
 from ~5 GB/s to shard_bytes/swap_interval (tens of MB/s).
 
+With `l2_products`, the pool is a pytree {spectral: [S,T,H,W,C],
+<PRODUCT>: [S,T,H,W]} and each gather yields the dict batches the
+L2-supervised trainer consumes — the same device-side fast path as the base
+VAE (the reference streams L2 dicts through DataLoader worker processes).
+
 Sampling semantics: uniform-with-replacement over the resident pool, with
 the pool refreshed from uniformly random files — the same stationary tile
 distribution as the reference's pop-without-replacement buffer (documented
 stochastic equivalence; SURVEY.md SS7 'match in distribution').
+
+Reproducibility: with a fixed `seed`, both the gather-index stream and the
+shard-swap schedule derive from seeded generators, and swaps are applied at
+deterministic batch boundaries (the pending transfer is joined at the next
+swap interval rather than applied whenever IO happens to finish) — so the
+same seed yields an identical batch stream across runs. With seed=None the
+swap application stays opportunistic (never blocks the step loop).
 
 Measured (v5e, flagship 1028-ch model, batch 64, f16 shards on disk):
 host-loader end-to-end 0.8 patches/s (input-transfer bound) vs device-buffer
@@ -27,21 +40,22 @@ from __future__ import annotations
 import functools
 import threading
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tempo_tpu.data.loader import _find_shards
-from tempo_tpu.data.tiles import load_tile_shard
+from tempo_tpu.data.tiles import find_l2_shard, load_tile_shard
 
 
 class DeviceTileBuffer:
     """Infinite batched stream of tiles gathered on-device.
 
-    Yields [B, H, W, C] device arrays (compute-ready, no host copy on the
-    batch path)."""
+    Yields [B, H, W, C] device arrays, or {'spectral': [B,H,W,C],
+    '<PRODUCT>': [B,H,W]} dicts when l2_products is given (compute-ready,
+    no host copy on the batch path)."""
 
     def __init__(
         self,
@@ -53,17 +67,34 @@ class DeviceTileBuffer:
         dtype: str = "float32",
         device: Optional[jax.Device] = None,
         mesh=None,
+        l2_products: Optional[Sequence[str]] = None,
     ):
         """With a mesh, the pool is replicated and each gathered batch is
         sharded on its leading axis over the mesh's 'data' axis (each chip
         materializes only its local batch slice), so the device buffer also
         feeds data-parallel training."""
+        self.data_dir = Path(data_dir)
         self.files = _find_shards(data_dir)
         self.batch_size = batch_size
         self.slots = slots
         self.swap_every = swap_every
         self.dtype = jnp.dtype(dtype)
+        self.l2_products = list(l2_products) if l2_products else None
+        if self.l2_products:
+            self.l2_dirs = {}
+            for product in self.l2_products:
+                l2_dir = self.data_dir / f"l2_{product}"
+                if not l2_dir.exists():
+                    raise FileNotFoundError(
+                        f"FATAL: L2 directory not found: {l2_dir}")
+                self.l2_dirs[product] = l2_dir
+        # Independent streams for batch-index sampling and the swap
+        # schedule, both derived from the one seed, so the pool evolution
+        # cannot perturb the gather-index stream (and vice versa).
         self._rng = np.random.default_rng(seed)
+        self._swap_rng = np.random.default_rng(
+            None if seed is None else seed + 7919)
+        self._deterministic = seed is not None
         self._device = device
         self._mesh = mesh
         if mesh is not None:
@@ -78,12 +109,15 @@ class DeviceTileBuffer:
         self._next_slot = 0
         self._pending: Optional[tuple] = None  # (slot, thread, result holder)
 
-        first = self._load(int(self._rng.integers(0, len(self.files))))
-        self.tiles_per_shard = first.shape[0]
-        pool = [first]
+        first = self._load(int(self._swap_rng.integers(0, len(self.files))))
+        spectral0 = first["spectral"] if isinstance(first, dict) else first
+        self.tiles_per_shard = spectral0.shape[0]
+        shards = [first]
         for _ in range(slots - 1):
-            pool.append(self._load(int(self._rng.integers(0, len(self.files)))))
-        self._pool = self._put(np.stack(pool))  # [S, T, H, W, C]
+            shards.append(self._load(
+                int(self._swap_rng.integers(0, len(self.files)))))
+        pool = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
+        self._pool = self._put(pool)  # leaves: [S, T, ...]
 
         if self._batch_sharding is not None:
             gather_jit = functools.partial(
@@ -93,43 +127,64 @@ class DeviceTileBuffer:
 
         @gather_jit
         def gather(pool, slot_idx, tile_idx):
-            return pool[slot_idx, tile_idx]
+            return jax.tree_util.tree_map(
+                lambda a: a[slot_idx, tile_idx], pool)
 
         # donate the pool: the update happens in place instead of holding
         # two multi-GB copies in HBM
         @functools.partial(jax.jit, donate_argnums=(0,))
         def replace_slot(pool, slot, shard):
-            return jax.lax.dynamic_update_index_in_dim(pool, shard, slot, 0)
+            return jax.tree_util.tree_map(
+                lambda p, s: jax.lax.dynamic_update_index_in_dim(p, s, slot, 0),
+                pool, shard)
 
         self._gather = gather
         self._replace = replace_slot
 
     # ------------------------------------------------------------ internals
 
-    def _load(self, file_idx: int) -> np.ndarray:
-        shard = load_tile_shard(self.files[file_idx], mmap=True)
+    def _load(self, file_idx: int):
+        """Load one shard (with matching L2 shards when configured) as the
+        pool-item pytree."""
+        spectral_path = self.files[file_idx]
+        shard = load_tile_shard(spectral_path, mmap=True)
         if shard.ndim == 3:
             shard = shard[None]
-        return np.asarray(shard, dtype=self.dtype)
+        spectral = np.asarray(shard, dtype=self.dtype)
+        if self.l2_products is None:
+            return spectral
+        item = {"spectral": spectral}
+        name = Path(spectral_path).name
+        for product in self.l2_products:
+            l2 = load_tile_shard(find_l2_shard(self.l2_dirs[product], name),
+                                 mmap=True)
+            if l2.ndim == 2:
+                l2 = l2[None]
+            item[product] = np.asarray(l2, dtype=self.dtype)
+        return item
 
-    def _put(self, arr: np.ndarray) -> jax.Array:
+    def _put(self, tree):
         if self._sharding is not None:
-            return jax.device_put(jnp.asarray(arr), self._sharding)
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), self._sharding), tree)
         if self._device is not None:
-            return jax.device_put(jnp.asarray(arr), self._device)
-        return jnp.asarray(arr)
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), self._device), tree)
+        return jax.tree_util.tree_map(jnp.asarray, tree)
 
     def _start_swap(self) -> None:
         slot = self._next_slot
         self._next_slot = (self._next_slot + 1) % self.slots
+        # Draw the replacement file on the main thread from the seeded swap
+        # stream — the background thread only does IO, never RNG.
+        file_idx = int(self._swap_rng.integers(0, len(self.files)))
         holder: dict = {}
 
         def work():
             # Disk read AND host->device transfer both happen off the step
             # loop; only the cheap on-device slot update runs on the main
             # thread. jax device transfers are thread-safe.
-            idx = int(np.random.default_rng().integers(0, len(self.files)))
-            shard_dev = self._put(self._load(idx))
+            shard_dev = self._put(self._load(file_idx))
             jax.block_until_ready(shard_dev)
             holder["shard"] = shard_dev
 
@@ -137,12 +192,14 @@ class DeviceTileBuffer:
         thread.start()
         self._pending = (slot, thread, holder)
 
-    def _finish_swap_if_ready(self) -> None:
+    def _finish_swap_if_ready(self, block: bool = False) -> None:
         if self._pending is None:
             return
         slot, thread, holder = self._pending
         if thread.is_alive():
-            return  # transfer still in flight; never stall the step loop
+            if not block:
+                return  # transfer still in flight; never stall the step loop
+            thread.join()
         shard = holder.get("shard")
         if shard is not None:
             self._pool = self._replace(self._pool, slot, shard)
@@ -153,12 +210,19 @@ class DeviceTileBuffer:
     def __iter__(self):
         return self
 
-    def __next__(self) -> jax.Array:
-        self._finish_swap_if_ready()
+    def __next__(self):
         self._batches_since_swap += 1
-        if self._batches_since_swap >= self.swap_every and self._pending is None:
+        if self._batches_since_swap >= self.swap_every:
             self._batches_since_swap = 0
-            self._start_swap()
+            # Seeded mode: the pending shard (started one full interval ago,
+            # plenty of IO overlap) is joined and applied exactly here, so
+            # the pool content at every batch index is a pure function of
+            # the seed.
+            self._finish_swap_if_ready(block=self._deterministic)
+            if self._pending is None:
+                self._start_swap()
+        elif not self._deterministic:
+            self._finish_swap_if_ready()
 
         slot_idx = jnp.asarray(self._rng.integers(
             0, self.slots, size=self.batch_size), jnp.int32)

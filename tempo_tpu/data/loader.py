@@ -27,7 +27,7 @@ from typing import Iterator, List, Optional, Sequence, Union
 import numpy as np
 
 from tempo_tpu.data.native import gather_batch
-from tempo_tpu.data.tiles import load_tile_shard
+from tempo_tpu.data.tiles import find_l2_shard, load_tile_shard
 
 
 def _find_shards(data_dir: Union[str, Path]) -> List[str]:
@@ -128,14 +128,7 @@ class TileLoader:
         name = Path(spectral_path).name
         l2_batches = {}
         for product in self.l2_products:
-            l2_path = self.l2_dirs[product] / name
-            if not l2_path.exists():
-                # interop: reference shards are .pt, ours .npy
-                alt = (self.l2_dirs[product] / Path(name).stem).with_suffix(
-                    ".pt" if name.endswith(".npy") else ".npy")
-                if not alt.exists():
-                    raise FileNotFoundError(f"FATAL: L2 shard not found: {l2_path}")
-                l2_path = alt
+            l2_path = find_l2_shard(self.l2_dirs[product], name)
             l2_batches[product] = load_tile_shard(l2_path, mmap=True)
 
         items = []

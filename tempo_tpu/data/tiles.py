@@ -93,6 +93,25 @@ def extract_l2_tiles(l2_field: np.ndarray, positions: List[TilePosition],
 
 # ----------------------------------------------------------------- shards
 
+def find_l2_shard(l2_dir, spectral_name: str):
+    """Resolve the L2 shard matching a spectral shard filename inside an
+    l2_<PRODUCT>/ directory, tolerating the .npy<->.pt format mismatch when
+    mixing native and reference-produced tiles. Raises FileNotFoundError
+    (fail-loud, matching the L2 pipeline contract, reference:
+    src/scripts/prepare_tempo_tiles_with_l2.py:470-478)."""
+    from pathlib import Path
+
+    l2_dir = Path(l2_dir)
+    path = l2_dir / spectral_name
+    if path.exists():
+        return path
+    alt = (l2_dir / Path(spectral_name).stem).with_suffix(
+        ".pt" if spectral_name.endswith(".npy") else ".npy")
+    if alt.exists():
+        return alt
+    raise FileNotFoundError(f"FATAL: L2 shard not found: {path}")
+
+
 def save_tile_shard(path, tiles: np.ndarray, dtype=np.float32) -> None:
     """tiles: [N, H, W, C] (or [N, H, W] for L2) -> .npy. dtype float16
     halves shard size; the loader widens to float32 on gather."""

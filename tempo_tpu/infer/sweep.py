@@ -20,9 +20,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from tempo_tpu.models.vae import AutoencoderKL
-from tempo_tpu.train.checkpoint import checkpoint_step, list_checkpoints, load_params
+from tempo_tpu.train.checkpoint import (
+    CKPT_PREFIX,
+    checkpoint_step,
+    list_checkpoints,
+    load_params,
+)
 
 PSNR_MAX_VAL = 20.0  # data range [-10, 10] after clipping
+
+
+def _load_ckpt_params(path: Path, params_template):
+    """Load checkpoint parameters from either a native msgpack checkpoint or
+    a reference torch .pt checkpoint (converted on the fly through the
+    interop layer) — the reference analysis consumes its own ckpt_step=*.pt
+    files directly (reference:
+    src/scripts/evaluate_reconstruction.py:145-149), so the sweep does too."""
+    if path.suffix == ".pt":
+        from flax import serialization
+
+        from tempo_tpu.interop.torch_ckpt import load_torch_checkpoint
+
+        return serialization.from_state_dict(params_template,
+                                             load_torch_checkpoint(path))
+    return load_params(path, params_template)
 
 
 def compute_metrics(gt: np.ndarray, recon: np.ndarray,
@@ -87,20 +108,22 @@ def evaluate_checkpoints(model: AutoencoderKL, params_template,
                          max_checkpoints: int | None = None,
                          pattern: str | None = None,
                          verbose: bool = True) -> List[Dict]:
-    """Sweep every ckpt_step=* checkpoint (or a custom glob `pattern`
-    relative to ckpt_dir); returns [{'checkpoint', 'step', <metrics>...}]
-    sorted by step."""
+    """Sweep every ckpt_step=* checkpoint — native .msgpack and reference
+    torch .pt alike — or a custom glob `pattern` relative to ckpt_dir;
+    returns [{'checkpoint', 'step', <metrics>...}] sorted by step."""
     results = []
     if pattern is not None:
-        paths = sorted(Path(ckpt_dir).glob(pattern))
+        paths = sorted(Path(ckpt_dir).glob(pattern), key=checkpoint_step)
     else:
         paths = list_checkpoints(ckpt_dir)
+        paths += sorted(Path(ckpt_dir).glob(f"{CKPT_PREFIX}*.pt"))
+        paths = sorted(paths, key=checkpoint_step)
     if max_checkpoints is not None:
         paths = paths[:max_checkpoints]
     if not paths:
         raise ValueError(f"FATAL: no checkpoints found in {ckpt_dir}")
     for path in paths:
-        params = load_params(path, params_template)
+        params = _load_ckpt_params(path, params_template)
         metrics = evaluate_checkpoint(model, params, val_tiles, batch_size,
                                       metrics_list)
         entry = {"checkpoint": path.name, "step": checkpoint_step(path),

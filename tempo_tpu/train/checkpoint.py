@@ -86,9 +86,19 @@ def load_params(path: Union[str, Path], params_template: Any) -> Any:
 
 def list_checkpoints(ckpt_dir: Union[str, Path]) -> List[Path]:
     ckpt_dir = Path(ckpt_dir)
-    return sorted(ckpt_dir.glob(f"{CKPT_PREFIX}*{CKPT_SUFFIX}"))
+    return sorted(ckpt_dir.glob(f"{CKPT_PREFIX}*{CKPT_SUFFIX}"),
+                  key=checkpoint_step)
+
+
+def latest_checkpoint(ckpt_dir: Union[str, Path]) -> Optional[Path]:
+    """Highest-step checkpoint in a directory, or None — the preemption
+    auto-resume hook (`training.resume_from: auto`)."""
+    ckpts = list_checkpoints(ckpt_dir)
+    return ckpts[-1] if ckpts else None
 
 
 def checkpoint_step(path: Union[str, Path]) -> int:
-    name = Path(path).name
-    return int(name[len(CKPT_PREFIX):-len(CKPT_SUFFIX)])
+    """Parse the step out of ckpt_step=NNNNNN.<ext> for any extension
+    (native .msgpack and reference .pt checkpoints alike)."""
+    stem = Path(path).stem
+    return int(stem[len(CKPT_PREFIX):])

@@ -107,7 +107,11 @@ class Trainer:
     # ------------------------------------------------------------ validate
 
     def validate(self, val_iter: Iterator) -> Dict[str, float]:
-        totals: Dict[str, float] = {}
+        # Sample-weighted sums accumulate ON DEVICE (async dispatches); the
+        # single host sync is the one device_get after the loop — on a
+        # high-dispatch-latency transport a per-batch fetch would serialize
+        # the whole validation pass.
+        totals = None
         n_samples = 0
         for i, batch in enumerate(val_iter):
             if i >= self.n_val_batches:
@@ -115,13 +119,15 @@ class Trainer:
             bsz = _batch_size(batch)
             batch = self.place_fn(batch)
             rng = jax.random.fold_in(self.eval_rng, i)
-            metrics = jax.device_get(self.eval_step(self.state.params, batch, rng))
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * bsz
+            metrics = self.eval_step(self.state.params, batch, rng)
+            weighted = jax.tree_util.tree_map(lambda v: v * float(bsz), metrics)
+            totals = weighted if totals is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, totals, weighted)
             n_samples += bsz
         if n_samples == 0:
             return {}
-        return {f"val_{k}": v / n_samples for k, v in totals.items()}
+        totals = jax.device_get(totals)
+        return {f"val_{k}": float(v) / n_samples for k, v in totals.items()}
 
     # -------------------------------------------------------------- figures
 

@@ -22,11 +22,15 @@ class DirectoryExistsError(SystemExit):
     pass
 
 
-def init_directory(directory: Union[str, Path], overwrite: bool = False) -> Path:
+def init_directory(directory: Union[str, Path], overwrite: bool = False,
+                   allow_existing: bool = False) -> Path:
     """Create `directory`, enforcing the overwrite safety contract.
 
     - If it does not exist: create it (with parents) and return it.
-    - If it exists and overwrite=False: exit with an error.
+    - If it exists and overwrite=False: exit with an error — unless
+      allow_existing=True (the preemption auto-resume path, which must
+      re-enter its own output directory), in which case it is returned
+      untouched.
     - If it exists and overwrite=True: require DATA_DIR to be set and to be a
       path prefix of the resolved directory, then rm -rf and recreate.
     """
@@ -34,6 +38,8 @@ def init_directory(directory: Union[str, Path], overwrite: bool = False) -> Path
     directory = Path(directory)
 
     if directory.exists():
+        if allow_existing and not overwrite:
+            return directory
         if not overwrite:
             print(f"Error: Directory {directory} already exists!")
             print("Use --overwrite to remove it, or choose a different path.")

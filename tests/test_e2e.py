@@ -300,3 +300,40 @@ def test_encode_granules_sweep(pipeline_dir, run_dir, stats_dir):
         lat = np.load(out / "latents" / (Path(g["granule"]).stem + ".npz"))
         h, w, _ = g["input_shape"]
         assert lat["latent"].shape == (h // 4, w // 4, 4)
+
+
+def test_train_resume_auto_after_kill(pipeline_dir, tiles_dir):
+    """Preemption recovery: a run killed mid-way restarts with
+    training.resume_from: auto, re-enters its own output dir, continues from
+    the latest checkpoint, and keeps the metric history intact."""
+    from tempo_tpu.cli.train_vae import main
+
+    out = pipeline_dir / "run_resume"
+    base = {
+        "output_dir": str(out),
+        "seed": 42,
+        "data": {
+            "train_dir": str(tiles_dir / "train"),
+            "batch_size": 8,
+            "min_buffer_size": 16,
+        },
+        "model": MODEL_CFG,
+        "optimizer": {"lr": 1e-3},
+        "training": {"n_steps": 10, "save_every": 5, "log_every": 5,
+                     "plot_every": 1000, "resume_from": "auto"},
+    }
+    # phase 1: "preempted" after 10 steps (checkpoints at 5 and 10)
+    main(_write(pipeline_dir / "resume1.yaml", base))
+    assert (out / "checkpoints" / "ckpt_step=000010.msgpack").exists()
+
+    # phase 2: restart the same config with more steps -> continues from 10
+    base["training"]["n_steps"] = 20
+    main(_write(pipeline_dir / "resume2.yaml", base))
+    assert (out / "checkpoints" / "ckpt_step=000020.msgpack").exists()
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    steps = [m["step"] for m in metrics["train"]]
+    # history spans BOTH phases continuously (5,10 from phase 1; 15,20 new)
+    assert steps == sorted(steps)
+    assert min(steps) <= 5 and max(steps) == 20
+    assert 15 in steps  # phase-2 logging continued the same history

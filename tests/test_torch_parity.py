@@ -151,3 +151,31 @@ def test_full_granule_shape_parity(models, rng):
     assert post.mean.shape == (1, 8, 12, 4)
     np.testing.assert_allclose(np.asarray(post.mean),
                                _to_nhwc(post_ref.mean), atol=3e-4)
+
+
+def test_sweep_consumes_reference_pt_checkpoints(models, tmp_path, rng):
+    """The checkpoint sweep enumerates reference torch ckpt_step=*.pt files
+    directly (converted through interop on the fly), matching the reference
+    analysis contract (src/scripts/evaluate_reconstruction.py:145-149)."""
+    from tempo_tpu.infer.sweep import evaluate_checkpoints
+
+    ref, ours, ours_cfg, params = models
+    ckpt_dir = tmp_path / "checkpoints"
+    ckpt_dir.mkdir()
+    for step in (5, 10):
+        torch.save({"step": step, "model_state_dict": ref.state_dict()},
+                   ckpt_dir / f"ckpt_step={step:06d}.pt")
+
+    val_tiles = rng.standard_normal((6, 16, 16, 12)).astype(np.float32)
+    results = evaluate_checkpoints(ours, params, ckpt_dir, val_tiles,
+                                   batch_size=4, verbose=False)
+    assert [r["step"] for r in results] == [5, 10]
+    for r in results:
+        assert np.isfinite(r["mse"]) and np.isfinite(r["psnr"])
+    # both .pt checkpoints hold the same weights => identical metrics, and
+    # they must match the converted-params model evaluated directly
+    assert results[0]["mse"] == pytest.approx(results[1]["mse"])
+
+    from tempo_tpu.infer.sweep import evaluate_checkpoint
+    direct = evaluate_checkpoint(ours, params, val_tiles, batch_size=4)
+    assert results[0]["mse"] == pytest.approx(direct["mse"], rel=1e-5)
