@@ -14,18 +14,59 @@ import json
 from pathlib import Path
 
 import jax
-import matplotlib
+import numpy as np
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
-import numpy as np  # noqa: E402
+from tempo_tpu.cli import run_cli
+from tempo_tpu.data.tiles import load_tile_shard
+from tempo_tpu.infer.sweep import evaluate_checkpoints
+from tempo_tpu.models.vae import build_vae
+from tempo_tpu.utils import figures as fig_kit
+from tempo_tpu.utils.config import copy_config, load_config, require_keys
+from tempo_tpu.utils.dirs import init_directory
 
-from tempo_tpu.cli import run_cli  # noqa: E402
-from tempo_tpu.data.tiles import load_tile_shard  # noqa: E402
-from tempo_tpu.infer.sweep import evaluate_checkpoints  # noqa: E402
-from tempo_tpu.models.vae import build_vae  # noqa: E402
-from tempo_tpu.utils.config import copy_config, load_config, require_keys  # noqa: E402
-from tempo_tpu.utils.dirs import init_directory  # noqa: E402
+LOWER_IS_BETTER = {"mse", "mae"}
+
+
+def _best_entry(results, metric):
+    pick = min if metric in LOWER_IS_BETTER else max
+    return pick(results, key=lambda r: r[metric])
+
+
+def save_sweep_figures(output_dir, results, metrics_list, exp_name,
+                       dpi=150) -> dict:
+    """metrics_vs_step.png (per-metric curve with the best checkpoint
+    highlighted) + best_metrics_summary.png (annotated bars) — the two
+    sweep artifacts the reference analysis emits. Returns the best-per-
+    metric summary."""
+    steps = [r["step"] for r in results]
+    best = {m: _best_entry(results, m) for m in metrics_list}
+
+    fig, axes = fig_kit.new_grid(1, len(metrics_list), panel=(5, 4))
+    for ax, metric in zip(axes[0], metrics_list):
+        fig_kit.curve_panel(ax, steps, {metric: [r[metric] for r in results]},
+                            title=f"{metric.upper()} vs Training Step",
+                            xlabel="Training Step", ylabel=metric.upper())
+        champion = best[metric]
+        ax.scatter([champion["step"]], [champion[metric]], marker="*", s=180,
+                   color="tab:red", zorder=3,
+                   label=f"Best: {champion[metric]:.4f}")
+        ax.legend()
+    fig_kit.finish(fig, output_dir / "figures" / "metrics_vs_step.png",
+                   suptitle=f"Reconstruction Metrics - {exp_name}", dpi=dpi)
+
+    fig, axes = fig_kit.new_grid(1, 1, panel=(8, 5))
+    fig_kit.annotated_bars(
+        axes[0, 0],
+        [m.upper() for m in metrics_list],
+        [best[m][m] for m in metrics_list],
+        labels=[f"{best[m][m]:.4f}\n(step {best[m]['step']})"
+                for m in metrics_list],
+        title="Best Checkpoint Performance by Metric")
+    fig_kit.finish(fig, output_dir / "figures" / "best_metrics_summary.png",
+                   dpi=dpi)
+
+    return {m: {"value": best[m][m], "step": best[m]["step"],
+                "checkpoint": best[m]["checkpoint"]} for m in metrics_list}
 
 
 def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None:
@@ -96,49 +137,10 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     plotting = config.get("plotting", {})
     if plotting.get("plot_metrics", True) and len(results) > 1:
-        steps = [r["step"] for r in results]
-        fig, axes = plt.subplots(1, len(metrics_list),
-                                 figsize=(5 * len(metrics_list), 4))
-        if len(metrics_list) == 1:
-            axes = [axes]
-        best = {}
-        for idx, metric in enumerate(metrics_list):
-            values = [r[metric] for r in results]
-            axes[idx].plot(steps, values, "o-", linewidth=2, markersize=6)
-            axes[idx].set_xlabel("Training Step")
-            axes[idx].set_ylabel(metric.upper())
-            axes[idx].set_title(f"{metric.upper()} vs Training Step")
-            axes[idx].grid(True, alpha=0.3)
-            best_idx = (np.argmin(values) if metric in ("mse", "mae")
-                        else np.argmax(values))
-            best[metric] = {"value": values[best_idx], "step": steps[best_idx],
-                            "checkpoint": results[best_idx]["checkpoint"]}
-            axes[idx].plot(steps[best_idx], values[best_idx], "r*",
-                           markersize=15,
-                           label=f"Best: {values[best_idx]:.4f}")
-            axes[idx].legend()
-        plt.suptitle(f"Reconstruction Metrics - {exp_dir.name}")
-        plt.tight_layout()
-        dpi = plotting.get("dpi", 150)
-        plt.savefig(output_dir / "figures" / "metrics_vs_step.png", dpi=dpi,
-                    bbox_inches="tight")
-        plt.close()
-
-        fig, ax = plt.subplots(figsize=(8, 5))
-        names = list(best.keys())
-        vals = [best[m]["value"] for m in names]
-        bars = ax.bar(range(len(names)), vals)
-        ax.set_xticks(range(len(names)))
-        ax.set_xticklabels([m.upper() for m in names])
-        ax.set_title("Best Checkpoint Performance by Metric")
-        for bar, m in zip(bars, names):
-            ax.text(bar.get_x() + bar.get_width() / 2, bar.get_height(),
-                    f"{best[m]['value']:.4f}\n(step {best[m]['step']})",
-                    ha="center", va="bottom", fontsize=9)
-        plt.tight_layout()
-        plt.savefig(output_dir / "figures" / "best_metrics_summary.png",
-                    dpi=dpi, bbox_inches="tight")
-        plt.close()
+        best = save_sweep_figures(output_dir, results, metrics_list,
+                                  exp_dir.name,
+                                  dpi=plotting.get("dpi", 150))
+        print("Best checkpoints:", json.dumps(best, indent=2))
 
     print(f"\nEvaluation complete! Results saved to {output_dir}")
 

@@ -19,26 +19,19 @@ import warnings
 from pathlib import Path
 
 import jax
-import matplotlib
+import numpy as np
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
-import numpy as np  # noqa: E402
-
-from tempo_tpu.analysis.probes import r2_score, train_probe  # noqa: E402
-from tempo_tpu.cli import run_cli  # noqa: E402
-from tempo_tpu.data.granule import (  # noqa: E402
-    l2_filename_for,
-    read_l2_field,
-    read_radiance,
-)
-from tempo_tpu.data.loader import load_normalization_stats  # noqa: E402
-from tempo_tpu.data.normalize import normalize_l2  # noqa: E402
-from tempo_tpu.infer.granule_codec import GranuleCodec  # noqa: E402
-from tempo_tpu.models.vae import build_vae  # noqa: E402
-from tempo_tpu.train.checkpoint import load_params  # noqa: E402
-from tempo_tpu.utils.config import copy_config, load_config, require_keys  # noqa: E402
-from tempo_tpu.utils.dirs import init_directory  # noqa: E402
+from tempo_tpu.analysis.probes import r2_score, train_probe
+from tempo_tpu.cli import run_cli
+from tempo_tpu.data.granule import l2_filename_for, read_l2_field, read_radiance
+from tempo_tpu.data.loader import load_normalization_stats
+from tempo_tpu.data.normalize import normalize_l2
+from tempo_tpu.infer.granule_codec import GranuleCodec
+from tempo_tpu.models.vae import build_vae
+from tempo_tpu.train.checkpoint import load_params
+from tempo_tpu.utils import figures as fig_kit
+from tempo_tpu.utils.config import copy_config, load_config, require_keys
+from tempo_tpu.utils.dirs import init_directory
 
 
 def nanmean_pool(field: np.ndarray, factor: int) -> np.ndarray:
@@ -49,6 +42,118 @@ def nanmean_pool(field: np.ndarray, factor: int) -> np.ndarray:
         warnings.filterwarnings("ignore", r"Mean of empty slice")
         warnings.filterwarnings("ignore", r"invalid value encountered")
         return np.nanmean(blocks, axis=(1, 3))
+
+
+def save_data_stat_figures(stats_dir, components, all_targets, all_latents,
+                           raw_samples) -> None:
+    """The three data_stats diagnostics the reference probe analysis emits
+    (src/scripts/linear_probe_analysis.py:504-677): the raw-vs-normalized
+    2xN comparison panel with per-panel summary stats, the shared input
+    latent distributions, and the per-component normalized target
+    distributions."""
+    comps = [c for c in components if all_targets.get(c)]
+    if not comps:
+        return
+
+    # 1. raw (top row) vs normalized (bottom row), one column per component
+    fig, axes = fig_kit.new_grid(2, len(comps))
+    for idx, comp in enumerate(comps):
+        color = fig_kit.product_color(idx)
+        cfg = components[comp]
+        raw = raw_samples.get(comp)
+        if raw is not None:
+            fig_kit.hist_panel(axes[0, idx], raw, title=f"{comp} - Raw",
+                               xlabel=f"Scale: {cfg.get('scale', 1.0)}",
+                               color=color)
+        else:
+            axes[0, idx].axis("off")
+        fig_kit.hist_panel(axes[1, idx], np.concatenate(all_targets[comp]),
+                           title=f"{comp} - {cfg['norm_type']}",
+                           xlabel="Normalized value", color=color,
+                           stats_face="lightyellow")
+    fig_kit.finish(fig, stats_dir / "all_normalizations_comparison.png",
+                   suptitle="Component Fields: Raw vs Normalized "
+                            "Distributions")
+
+    # 2. the latent inputs every probe regresses from (pixels are shared
+    #    across components; take the first component's collection)
+    latents = np.concatenate(all_latents[comps[0]], axis=0)
+    z_ch = latents.shape[1]
+    fig, axes = fig_kit.new_grid(1, 2, panel=(6, 5))
+    show = sorted({0, z_ch // 4, z_ch // 2, 3 * z_ch // 4, z_ch - 1})
+    for ch in show:
+        axes[0, 0].hist(latents[:, ch], bins=50, alpha=0.5, density=True,
+                        label=f"Ch {ch}")
+    axes[0, 0].set_title("Input Latent Distributions (sample channels)")
+    axes[0, 0].set_xlabel("Latent Values")
+    axes[0, 0].set_ylabel("Density")
+    axes[0, 0].legend()
+    axes[0, 0].grid(True, alpha=fig_kit.GRID_ALPHA)
+    fig_kit.hist_panel(axes[0, 1], latents.ravel(),
+                       title="All Input Latent Values",
+                       xlabel="Latent Values (all channels)",
+                       ylabel="Density", density=True, log_y=False,
+                       show_stats=False)
+    fig_kit.stats_box(axes[0, 1], latents.ravel(), face="wheat")
+    fig_kit.finish(fig, stats_dir / "input_latent_distributions.png",
+                   suptitle="Shared Input Latent Distributions "
+                            "(for all regressions)")
+
+    # 3. normalized target distributions
+    cols = 2 if len(comps) >= 3 else len(comps)
+    rows = -(-len(comps) // cols)
+    fig, axes = fig_kit.new_grid(rows, cols, panel=(6, 5))
+    for idx, comp in enumerate(comps):
+        ax = axes[idx // cols, idx % cols]
+        y = np.concatenate(all_targets[comp])
+        fig_kit.hist_panel(ax, y, bins=50, density=True, log_y=False,
+                           title=f"{comp} Target Distribution",
+                           xlabel="Normalized Values", ylabel="Density",
+                           color=fig_kit.product_color(idx), show_stats=False)
+        fig_kit.stats_box(ax, y, count=True)
+    for idx in range(len(comps), rows * cols):
+        axes[idx // cols, idx % cols].axis("off")
+    fig_kit.finish(fig, stats_dir / "target_distributions.png",
+                   suptitle="Normalized Target Distributions "
+                            "(post-normalization)")
+
+
+def save_probe_figure(figures_dir, comp_name, probe, y_test, y_pred, r2,
+                      n_show) -> None:
+    """probe_<comp>.png: learning curves (log-log, best epoch marked) |
+    truth-vs-prediction scatter | residual histogram."""
+    epochs = np.arange(1, len(probe.train_losses) + 1)
+    fig, axes = fig_kit.new_grid(1, 3, panel=(5, 5))
+
+    fig_kit.curve_panel(axes[0, 0], epochs,
+                        {"Train": probe.train_losses,
+                         "Validation": probe.val_losses},
+                        title=f"{comp_name} - Learning Curves",
+                        xlabel="Epoch (log scale)", ylabel="MSE Loss",
+                        log_x=True, log_y=True)
+    axes[0, 0].axvline(probe.best_epoch + 1, color="tab:red",
+                       linestyle=":", alpha=0.6,
+                       label=f"Best @ {probe.best_epoch + 1}")
+    axes[0, 0].legend()
+
+    scatter_ax = axes[0, 1]
+    scatter_ax.scatter(y_test[:n_show], y_pred[:n_show], alpha=0.5, s=12)
+    lims = (float(y_test.min()), float(y_test.max()))
+    scatter_ax.plot(lims, lims, color="tab:red", linestyle=":",
+                    label="Perfect prediction")
+    scatter_ax.set_title(f"{comp_name} - R^2 = {r2:.4f}")
+    scatter_ax.set_xlabel("Ground Truth")
+    scatter_ax.set_ylabel("Predicted")
+    scatter_ax.legend()
+    scatter_ax.grid(True, alpha=fig_kit.GRID_ALPHA)
+
+    fig_kit.hist_panel(axes[0, 2], y_test - y_pred, bins=50, log_y=False,
+                       title=f"{comp_name} - Residual Distribution",
+                       xlabel="Residual (True - Predicted)",
+                       show_stats=False)
+    axes[0, 2].axvline(0, color="tab:red", linestyle=":", alpha=0.6)
+
+    fig_kit.finish(fig, figures_dir / f"probe_{comp_name}.png")
 
 
 def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None:
@@ -104,6 +209,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     all_latents = {c: [] for c in components}
     all_targets = {c: [] for c in components}
     comp_norm_stats = {c: None for c in components}
+    raw_samples = {c: None for c in components}  # pre-normalization values
 
     print(f"Processing {len(val_files)} validation files...")
     for filename in val_files:
@@ -135,6 +241,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                 f"{comp_name} field {field.shape} smaller than L1 crop "
                 f"{gt.shape[:2]}")
             field = field[:gt.shape[0], :gt.shape[1]]
+            if raw_samples[comp_name] is None:
+                raw_samples[comp_name] = field[np.isfinite(field)]
             normalized, stats = normalize_l2(field, comp_cfg["norm_type"])
             pooled = nanmean_pool(normalized, factor)
             assert pooled.shape == (h_lat, w_lat), (
@@ -155,26 +263,10 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     with open(output_dir / "results" / "component_norm_stats.json", "w") as f:
         json.dump({k: v for k, v in comp_norm_stats.items() if v}, f, indent=2)
 
-    # Target distribution histograms (data_stats parity figure)
-    n_comp = len(components)
-    fig, axes = plt.subplots(1, n_comp, figsize=(4 * n_comp, 4))
-    if n_comp == 1:
-        axes = [axes]
-    colors = ["red", "blue", "green", "purple"]
-    for idx, comp_name in enumerate(components):
-        if not all_targets[comp_name]:
-            continue
-        y = np.concatenate(all_targets[comp_name])
-        axes[idx].hist(y, bins=100, alpha=0.7, color=colors[idx % 4])
-        axes[idx].set_title(
-            f"{comp_name} - {components[comp_name]['norm_type']}")
-        axes[idx].set_yscale("log")
-        axes[idx].grid(True, alpha=0.3)
-    plt.suptitle("Normalized Target Distributions")
-    plt.tight_layout()
-    plt.savefig(output_dir / "data_stats" / "target_distributions.png",
-                dpi=150, bbox_inches="tight")
-    plt.close()
+    # data_stats diagnostics: raw-vs-normalized comparison, shared latent
+    # inputs, normalized target distributions
+    save_data_stat_figures(output_dir / "data_stats", components,
+                           all_targets, all_latents, raw_samples)
 
     # Train probes
     results = {}
@@ -209,59 +301,23 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                  train_losses=np.asarray(probe.train_losses),
                  val_losses=np.asarray(probe.val_losses))
 
-        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
-        epochs = np.arange(1, len(probe.train_losses) + 1)
-        axes[0].plot(epochs, probe.train_losses, label="Train", alpha=0.7)
-        axes[0].plot(epochs, probe.val_losses, label="Validation", alpha=0.7)
-        axes[0].axvline(probe.best_epoch + 1, color="red", linestyle="--",
-                        alpha=0.5, label=f"Best @ {probe.best_epoch + 1}")
-        axes[0].set_xscale("log")
-        axes[0].set_yscale("log")
-        axes[0].set_xlabel("Epoch (log scale)")
-        axes[0].set_ylabel("MSE Loss")
-        axes[0].set_title(f"{comp_name} - Learning Curves")
-        axes[0].legend()
-
         n_show = min(config.get("visualization", {}).get("n_examples", 100),
                      len(y_test))
-        axes[1].scatter(y_test[:n_show], y_pred[:n_show], alpha=0.5)
-        lims = [y_test.min(), y_test.max()]
-        axes[1].plot(lims, lims, "r--", label="Perfect prediction")
-        axes[1].set_xlabel("Ground Truth")
-        axes[1].set_ylabel("Predicted")
-        axes[1].set_title(f"{comp_name} - R^2 = {r2:.4f}")
-        axes[1].legend()
-
-        residuals = y_test - y_pred
-        axes[2].hist(residuals, bins=50, alpha=0.7)
-        axes[2].axvline(0, color="r", linestyle="--", alpha=0.5)
-        axes[2].set_xlabel("Residual (True - Predicted)")
-        axes[2].set_title(f"{comp_name} - Residual Distribution")
-
-        plt.tight_layout()
-        plt.savefig(output_dir / "figures" / f"probe_{comp_name}.png",
-                    dpi=150, bbox_inches="tight")
-        plt.close()
+        save_probe_figure(output_dir / "figures", comp_name, probe,
+                          y_test, y_pred, r2, n_show)
 
     with open(output_dir / "results" / "probe_results.json", "w") as f:
         json.dump(results, f, indent=2)
 
     if results:
-        fig, ax = plt.subplots(figsize=(10, 6))
-        names = list(results.keys())
-        scores = [results[c]["r2_score"] for c in names]
-        bars = ax.bar(names, scores)
-        ax.set_ylabel("R^2 Score")
-        ax.set_title(f"{config['probe'].get('architecture', 'linear').title()}"
-                     " Probe Performance")
-        ax.set_ylim([0, 1])
-        for bar, score in zip(bars, scores):
-            ax.text(bar.get_x() + bar.get_width() / 2, bar.get_height(),
-                    f"{score:.3f}", ha="center", va="bottom")
-        plt.tight_layout()
-        plt.savefig(output_dir / "figures" / "probe_summary.png", dpi=150,
-                    bbox_inches="tight")
-        plt.close()
+        fig, axes = fig_kit.new_grid(1, 1, panel=(10, 6))
+        arch = config["probe"].get("architecture", "linear").title()
+        fig_kit.annotated_bars(
+            axes[0, 0], list(results),
+            [results[c]["r2_score"] for c in results],
+            title=f"{arch} Probe Performance", ylabel="R^2 Score",
+            ylim=(0, 1))
+        fig_kit.finish(fig, output_dir / "figures" / "probe_summary.png")
 
     print(f"\nAnalysis complete! Results saved to {output_dir}")
     print(f"Component R^2 scores: {results}")

@@ -274,6 +274,11 @@ def test_probe_analysis(pipeline_dir, run_dir, tiles_dir):
         assert "r2_score" in comp and np.isfinite(comp["r2_score"])
     assert (out / "figures" / "probe_summary.png").exists()
     assert (out / "models" / "probe_NO2.npz").exists()
+    # data_stats diagnostics incl. the raw-vs-normalized comparison panel
+    for stat_fig in ("all_normalizations_comparison.png",
+                     "input_latent_distributions.png",
+                     "target_distributions.png"):
+        assert (out / "data_stats" / stat_fig).exists()
 
 
 def test_encode_granules_sweep(pipeline_dir, run_dir, stats_dir):
