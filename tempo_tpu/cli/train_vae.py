@@ -24,7 +24,12 @@ import numpy as np
 from tempo_tpu.cli import run_cli
 from tempo_tpu.data.loader import TileLoader
 from tempo_tpu.models.vae import AutoencoderKL, build_vae
-from tempo_tpu.parallel.mesh import create_mesh, make_place_fn, shard_state
+from tempo_tpu.parallel.mesh import (
+    create_mesh,
+    make_place_fn,
+    maybe_initialize_distributed,
+    shard_state,
+)
 from tempo_tpu.train.state import create_train_state, make_optimizer_from_config
 from tempo_tpu.train.step import vae_loss_fn
 from tempo_tpu.train.trainer import Trainer
@@ -48,16 +53,23 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     config = load_config(config_path)
     validate_config(config)
 
+    # Multi-host (DCN) data parallelism: must join the cluster before any
+    # other JAX backend use. Returns the global mesh, or None.
+    dist_mesh = maybe_initialize_distributed(config)
+    is_primary = jax.process_index() == 0
+
     # resume_from: auto re-enters an existing output dir and continues from
     # its latest checkpoint — the preemption-recovery path (the v5e
     # operational reality; the reference only has explicit resume_from).
     resume_auto = config["training"].get("resume_from") == "auto"
-    output_dir = init_directory(config["output_dir"], overwrite=overwrite,
-                                allow_existing=resume_auto)
-    (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
-    (output_dir / "figures").mkdir(parents=True, exist_ok=True)
-    (output_dir / "logs").mkdir(parents=True, exist_ok=True)
-    copy_config(config_path, output_dir)
+    output_dir = Path(config["output_dir"])
+    if is_primary:
+        output_dir = init_directory(output_dir, overwrite=overwrite,
+                                    allow_existing=resume_auto)
+        (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+        (output_dir / "figures").mkdir(parents=True, exist_ok=True)
+        (output_dir / "logs").mkdir(parents=True, exist_ok=True)
+        copy_config(config_path, output_dir)
 
     seed = config.get("seed", 42)
 
@@ -71,6 +83,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     data_cfg = config["data"]
     n_chips_early = jax.device_count()
+    # each process feeds its own batch shard from an independent stream
+    loader_seed = seed + 1000 * jax.process_index()
     print("\nLoading training data...")
     loader_kind = data_cfg.get("loader", "host")
     if loader_kind == "device":
@@ -79,14 +93,17 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         # when host cores are scarce relative to step rate). With multiple
         # chips the pool is replicated and gathers shard on the batch axis.
         from tempo_tpu.data.device_buffer import DeviceTileBuffer
-        from tempo_tpu.parallel.mesh import create_mesh as _create_mesh
 
-        loader_mesh = _create_mesh() if n_chips_early > 1 else None
+        loader_mesh = (dist_mesh if dist_mesh is not None
+                       else create_mesh() if n_chips_early > 1 else None)
         train_loader = DeviceTileBuffer(
             data_dir=data_cfg["train_dir"],
             batch_size=data_cfg.get("batch_size", 16),
             slots=data_cfg.get("buffer_slots", 4),
             swap_every=data_cfg.get("swap_every", 16),
+            # all processes must share one seed: the pool is replicated and
+            # every process issues identical gather indices for the global
+            # batch (batch_size here is the GLOBAL batch)
             seed=seed,
             dtype=data_cfg.get("buffer_dtype", "float32"),
             mesh=loader_mesh,
@@ -96,7 +113,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             data_dir=data_cfg["train_dir"],
             batch_size=data_cfg.get("batch_size", 16),
             min_buffer_size=data_cfg.get("min_buffer_size", 200),
-            seed=seed,
+            seed=loader_seed,
             prefetch=data_cfg.get("prefetch", 2),
             num_threads=data_cfg.get("loader_threads",
                                      data_cfg.get("num_workers", 2)),
@@ -109,7 +126,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             data_dir=data_cfg["val_dir"],
             batch_size=data_cfg.get("batch_size", 16),
             min_buffer_size=data_cfg.get("val_min_buffer_size", 100),
-            seed=seed + 1,
+            seed=loader_seed + 1,
             num_threads=data_cfg.get("val_num_workers", 1),
             verbose=True,
         )
@@ -131,10 +148,12 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
 
     n_chips = jax.device_count()
-    mesh = create_mesh() if n_chips > 1 else None
+    mesh = (dist_mesh if dist_mesh is not None
+            else create_mesh() if n_chips > 1 else None)
     if mesh is not None:
         state = shard_state(state, mesh)
-        print(f"Data-parallel over {n_chips} chips")
+        print(f"Data-parallel over {n_chips} chips "
+              f"({jax.process_count()} process(es))")
     place_fn = make_place_fn(mesh)
 
     def recon_fn(params, x, rng):
@@ -190,18 +209,20 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     if val_loader:
         val_loader.close()
 
-    save_yaml({
-        "seed": seed,
-        "device": str(jax.devices()[0]),
-        "n_devices": n_chips,
-        "n_params": int(n_params),
-        "compute_dtype": model_cfg.compute_dtype,
-        "training_time": str(end_time - start_time),
-        "start_time": start_time.isoformat(),
-        "end_time": end_time.isoformat(),
-        "samples_per_sec": float(stats["samples_per_sec"]),
-    }, output_dir / "training_info.yaml")
-    print(f"Training info saved to {output_dir / 'training_info.yaml'}")
+    if is_primary:
+        save_yaml({
+            "seed": seed,
+            "device": str(jax.devices()[0]),
+            "n_devices": n_chips,
+            "n_processes": jax.process_count(),
+            "n_params": int(n_params),
+            "compute_dtype": model_cfg.compute_dtype,
+            "training_time": str(end_time - start_time),
+            "start_time": start_time.isoformat(),
+            "end_time": end_time.isoformat(),
+            "samples_per_sec": float(stats["samples_per_sec"]),
+        }, output_dir / "training_info.yaml")
+        print(f"Training info saved to {output_dir / 'training_info.yaml'}")
     print("\nDone!")
 
 

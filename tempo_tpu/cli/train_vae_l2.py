@@ -36,14 +36,22 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     if not data_dir.exists():
         raise ValueError(f"FATAL: data directory doesn't exist: {data_dir}")
 
+    # Multi-host (DCN) DP: join the cluster before any other JAX use.
+    from tempo_tpu.parallel.mesh import maybe_initialize_distributed
+
+    dist_mesh = maybe_initialize_distributed(config)
+    is_primary = jax.process_index() == 0
+
     # resume_from: auto re-enters an existing output dir and continues from
     # its latest checkpoint (preemption recovery — see cli/train_vae.py).
     resume_auto = config["training"].get("resume_from") == "auto"
-    output_dir = init_directory(config["output_dir"], overwrite=overwrite,
-                                allow_existing=resume_auto)
-    (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
-    (output_dir / "figures").mkdir(parents=True, exist_ok=True)
-    copy_config(config_path, output_dir)
+    output_dir = Path(config["output_dir"])
+    if is_primary:
+        output_dir = init_directory(output_dir, overwrite=overwrite,
+                                    allow_existing=resume_auto)
+        (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+        (output_dir / "figures").mkdir(parents=True, exist_ok=True)
+        copy_config(config_path, output_dir)
 
     seed = config.get("seed", 42)
 
@@ -69,7 +77,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         # training runs at the same input rate as the base VAE.
         from tempo_tpu.data.device_buffer import DeviceTileBuffer
 
-        loader_mesh = create_mesh() if jax.device_count() > 1 else None
+        loader_mesh = (dist_mesh if dist_mesh is not None
+                       else create_mesh() if jax.device_count() > 1 else None)
         train_loader = DeviceTileBuffer(
             data_dir=data_dir / "train",
             batch_size=data_cfg.get("batch_size", 32),
@@ -81,12 +90,13 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             l2_products=products,
         )
     else:
+        loader_seed = seed + 1000 * jax.process_index()
         train_loader = TileLoader(
             data_dir=data_dir / "train",
             batch_size=data_cfg.get("batch_size", 32),
             min_buffer_size=data_cfg.get("min_buffer_size", 200),
             l2_products=products,
-            seed=seed,
+            seed=loader_seed,
             num_threads=data_cfg.get("loader_threads",
                                      data_cfg.get("num_workers", 2)),
             verbose=True,
@@ -99,7 +109,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             batch_size=data_cfg.get("batch_size", 32),
             min_buffer_size=data_cfg.get("val_min_buffer_size", 100),
             l2_products=products,
-            seed=seed + 1,
+            seed=seed + 1 + 1000 * jax.process_index(),
             num_threads=data_cfg.get("val_num_workers", 1),
             verbose=True,
         )
@@ -137,10 +147,12 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
 
     n_chips = jax.device_count()
-    mesh = create_mesh() if n_chips > 1 else None
+    mesh = (dist_mesh if dist_mesh is not None
+            else create_mesh() if n_chips > 1 else None)
     if mesh is not None:
         state = shard_state(state, mesh)
-        print(f"Data-parallel over {n_chips} chips")
+        print(f"Data-parallel over {n_chips} chips "
+              f"({jax.process_count()} process(es))")
     place_fn = make_place_fn(mesh)
 
     def loss_fn(p, batch, rng):
@@ -189,15 +201,17 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     if val_loader:
         val_loader.close()
 
-    save_yaml({
-        "seed": seed,
-        "n_devices": n_chips,
-        "n_params": int(n_params),
-        "l2_products": products,
-        "l2_weights": l2_weights,
-        "training_time": str(end_time - start_time),
-        "samples_per_sec": float(stats["samples_per_sec"]),
-    }, output_dir / "training_info.yaml")
+    if is_primary:
+        save_yaml({
+            "seed": seed,
+            "n_devices": n_chips,
+            "n_processes": jax.process_count(),
+            "n_params": int(n_params),
+            "l2_products": products,
+            "l2_weights": l2_weights,
+            "training_time": str(end_time - start_time),
+            "samples_per_sec": float(stats["samples_per_sec"]),
+        }, output_dir / "training_info.yaml")
     print("\nDone!")
 
 

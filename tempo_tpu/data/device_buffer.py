@@ -97,11 +97,19 @@ class DeviceTileBuffer:
         self._deterministic = seed is not None
         self._device = device
         self._mesh = mesh
+        self._multiprocess = False
         if mesh is not None:
             from tempo_tpu.parallel.mesh import batch_sharding, replicate_sharding
 
             self._sharding = replicate_sharding(mesh)   # pool: replicated
             self._batch_sharding = batch_sharding(mesh)  # gather output
+            self._multiprocess = len(
+                {d.process_index for d in mesh.devices.flat}) > 1
+            if self._multiprocess and seed is None:
+                raise ValueError(
+                    "FATAL: DeviceTileBuffer on a multi-process mesh needs a "
+                    "seed — every process must load identical pools and "
+                    "issue identical gather indices")
         else:
             self._sharding = None
             self._batch_sharding = None
@@ -165,6 +173,12 @@ class DeviceTileBuffer:
 
     def _put(self, tree):
         if self._sharding is not None:
+            if self._multiprocess:
+                # replicated global array assembled from each process's
+                # identical local copy (same seed -> same shard loads)
+                return jax.tree_util.tree_map(
+                    lambda a: jax.make_array_from_process_local_data(
+                        self._sharding, np.asarray(a)), tree)
             return jax.tree_util.tree_map(
                 lambda a: jax.device_put(jnp.asarray(a), self._sharding), tree)
         if self._device is not None:

@@ -71,12 +71,17 @@ class Trainer:
         self.profile_steps = profile_steps
         self.save_steps = set(save_steps) if save_steps is not None else None
 
+        # Multi-host: every process runs the step loop (multi-controller
+        # SPMD), but only process 0 writes artifacts.
+        self.is_primary = jax.process_index() == 0
+        self.multiprocess = jax.process_count() > 1
+
         self.ckpt_dir = self.output_dir / "checkpoints"
-        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         self.summary_dir = self.output_dir / "summary"
-        self.summary_dir.mkdir(parents=True, exist_ok=True)
         self.figures_dir = self.output_dir / "figures"
-        self.figures_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_primary:
+            for d in (self.ckpt_dir, self.summary_dir, self.figures_dir):
+                d.mkdir(parents=True, exist_ok=True)
 
         self.loss_fn = loss_fn
         self.train_step = make_train_step(loss_fn, tx)
@@ -89,7 +94,9 @@ class Trainer:
 
     # ------------------------------------------------------------------ io
 
-    def save_checkpoint(self) -> Path:
+    def save_checkpoint(self) -> Optional[Path]:
+        if not self.is_primary:
+            return None  # state is replicated; process 0's copy suffices
         path = ckpt_lib.save_checkpoint(self.ckpt_dir, self.state,
                                         self.train_metrics, self.val_metrics)
         if self.verbose:
@@ -133,6 +140,10 @@ class Trainer:
 
     def _save_recon_figure(self, batch) -> None:
         if self.recon_fn is None:
+            return
+        if self.multiprocess:
+            # the batch is globally sharded (not addressable from one
+            # process); figures come from offline analysis in pod runs
             return
         x = batch["spectral"] if isinstance(batch, dict) else batch
         x = np.asarray(jax.device_get(x))[:8]
@@ -201,7 +212,8 @@ class Trainer:
             if self.step % self.log_every == 0:
                 self._log_ema()
 
-            if self.step % self.plot_every == 0 and self.step > 0:
+            if (self.step % self.plot_every == 0 and self.step > 0
+                    and self.is_primary):
                 update_summary_plots(self.summary_dir, self.train_metrics,
                                      self.val_metrics)
                 if self.l2_products:
@@ -226,7 +238,8 @@ class Trainer:
 
         elapsed = time.perf_counter() - t_start
         # the loop always checkpoints at n_steps; nothing left to flush here
-        save_metrics(self.output_dir, self.train_metrics, self.val_metrics)
+        if self.is_primary:
+            save_metrics(self.output_dir, self.train_metrics, self.val_metrics)
         stats = {
             "elapsed_s": elapsed,
             "steps": self.step,

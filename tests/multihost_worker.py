@@ -1,0 +1,73 @@
+"""Worker process for the multi-host DCN test (launched by
+tests/test_multihost.py, one subprocess per simulated host).
+
+Each worker contributes 4 virtual CPU devices to a 2-process / 8-device
+global mesh, then drives the REAL Trainer for a few data-parallel steps:
+per-host local batches are assembled into global arrays, the fused train
+step runs SPMD across both processes (gradient all-reduce over the
+simulated DCN), and only process 0 writes artifacts.
+
+Prints RESULT lines the test harness parses.
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main() -> None:
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], sys.argv[4])
+
+    from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tempo_tpu.parallel.mesh import (
+        initialize_multihost,
+        make_place_fn,
+        shard_state,
+    )
+    from tempo_tpu.train.state import create_train_state, make_optimizer
+    from tempo_tpu.train.step import vae_loss_fn
+    from tempo_tpu.train.trainer import Trainer
+
+    mesh = initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    print(f"RESULT pid={pid} local={jax.local_device_count()} "
+          f"global={jax.device_count()}", flush=True)
+
+    cfg = VAEConfig(shape=(8, 16, 16), chs=(12, 8, 8), z_channels=4,
+                    embed_dim=4, n_attention_heads=2, norm_groups=4,
+                    compute_dtype="float32")
+    model = AutoencoderKL(cfg)
+    x0 = jnp.zeros((8, 16, 16, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0,
+                        rng=jax.random.PRNGKey(1))["params"]
+    tx = make_optimizer(lr=1e-3)
+    state = shard_state(create_train_state(params, tx, jax.random.PRNGKey(2)),
+                        mesh)
+
+    def local_batches():
+        # each host feeds its own shard stream (per-process seed offset)
+        rng = np.random.default_rng(100 + pid)
+        while True:
+            yield rng.standard_normal((4, 16, 16, 8)).astype(np.float32)
+
+    trainer = Trainer(vae_loss_fn(model), tx, state, outdir,
+                      save_every=2, val_every=1000, log_every=1,
+                      plot_every=1000, place_fn=make_place_fn(mesh),
+                      verbose=False)
+    trainer.train(local_batches(), None, n_steps=4)
+
+    losses = [round(m["loss"], 4) for m in trainer.train_metrics]
+    print(f"RESULT pid={pid} losses={losses}", flush=True)
+    leaf_sum = sum(float(np.abs(np.asarray(jax.device_get(leaf))).sum())
+                   for leaf in jax.tree_util.tree_leaves(trainer.state.params))
+    print(f"RESULT pid={pid} leafsum={leaf_sum:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

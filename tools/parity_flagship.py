@@ -48,7 +48,25 @@ def make_batches() -> np.ndarray:
         (N_STEPS, BATCH, TILE, TILE, N_SPECTRAL)).astype(np.float32)
 
 
-def run_torch(out: Path) -> None:
+def _suffix(perturb: bool) -> str:
+    return "_perturbed" if perturb else ""
+
+
+def perturb_zero_params(ref, torch) -> None:
+    """Replace every all-zero weight tensor (the reference's zero-init final
+    convs, src/model.py:13-17) with small N(0, 0.02) noise so the decode
+    path contributes from step 0. Without this the early trajectory is
+    dominated by the learned logvar scalar and |x| itself (recon starts at
+    exactly 0), which makes the parity check insensitive to compute dtype;
+    the perturbed run measures the real bfloat16 drift envelope."""
+    gen = torch.Generator().manual_seed(99)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if p.ndim >= 2 and bool((p == 0).all()):
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.02)
+
+
+def run_torch(out: Path, perturb: bool = False) -> None:
     import importlib.util
     import sys
 
@@ -74,7 +92,9 @@ def run_torch(out: Path) -> None:
     ref.train()
     n_params = sum(p.numel() for p in ref.parameters())
     assert n_params == 27289893, n_params
-    torch.save(ref.state_dict(), out / "init_weights.pt")
+    if perturb:
+        perturb_zero_params(ref, torch)
+    torch.save(ref.state_dict(), out / f"init_weights{_suffix(perturb)}.pt")
 
     opt = torch.optim.AdamW(ref.parameters(), lr=LR, betas=BETAS, eps=1e-8,
                             weight_decay=WD)
@@ -99,15 +119,16 @@ def run_torch(out: Path) -> None:
         print(f"torch step {step}: loss={losses[-1]:.3f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
-    (out / "oracle.json").write_text(json.dumps({
+    (out / f"oracle{_suffix(perturb)}.json").write_text(json.dumps({
         "n_steps": N_STEPS, "batch": BATCH, "seed": DATA_SEED,
-        "n_params": n_params, "loss": losses, "nll": nlls, "kl": kls,
+        "n_params": n_params, "perturbed": perturb,
+        "loss": losses, "nll": nlls, "kl": kls,
         "elapsed_s": time.time() - t0,
     }))
-    print(f"oracle written to {out / 'oracle.json'}")
+    print(f"oracle written to {out / f'oracle{_suffix(perturb)}.json'}")
 
 
-def run_jax(out: Path, dtype: str) -> None:
+def run_jax(out: Path, dtype: str, perturb: bool = False) -> None:
     import jax
 
     if dtype == "float32":
@@ -124,7 +145,7 @@ def run_jax(out: Path, dtype: str) -> None:
     from tempo_tpu.train.state import create_train_state, make_optimizer
     from tempo_tpu.train.step import make_train_step
 
-    oracle = json.loads((out / "oracle.json").read_text())
+    oracle = json.loads((out / f"oracle{_suffix(perturb)}.json").read_text())
     cfg = VAEConfig(shape=FLAGSHIP["shape"], chs=FLAGSHIP["chs"],
                     z_channels=FLAGSHIP["z_channels"],
                     embed_dim=FLAGSHIP["embed_dim"],
@@ -136,8 +157,8 @@ def run_jax(out: Path, dtype: str) -> None:
     template = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), x0,
                            rng=jax.random.PRNGKey(1))["params"])
-    state_dict = torch.load(out / "init_weights.pt", map_location="cpu",
-                            weights_only=True)
+    state_dict = torch.load(out / f"init_weights{_suffix(perturb)}.pt",
+                            map_location="cpu", weights_only=True)
     params = serialization.from_state_dict(
         jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template),
         params_from_torch_state_dict(state_dict))
@@ -153,30 +174,46 @@ def run_jax(out: Path, dtype: str) -> None:
     step_fn = make_train_step(loss_fn, tx, donate=False)
 
     batches = make_batches()
-    losses = []
+    losses, nlls, kls = [], [], []
     t0 = time.time()
     for step in range(N_STEPS):
         state, metrics = step_fn(state, jnp.asarray(batches[step]))
         losses.append(float(metrics["loss"]))  # scalar fetch = true barrier
+        nlls.append(float(metrics["nll_loss"]))
+        kls.append(float(metrics["kl_loss"]))
         print(f"jax[{dtype}] step {step}: loss={losses[-1]:.3f} "
               f"(ref {oracle['loss'][step]:.3f}, {time.time() - t0:.0f}s)",
               flush=True)
 
-    ref_losses = np.asarray(oracle["loss"])
-    our_losses = np.asarray(losses)
-    rel = np.abs(our_losses - ref_losses) / np.abs(ref_losses)
+    def rel_err(ours, ref, floor=0.0):
+        ours, ref = np.asarray(ours), np.asarray(ref)
+        # floor guards terms that start at exactly 0 (KL under zero-init)
+        return np.abs(ours - ref) / np.maximum(np.abs(ref), floor if floor
+                                               else np.abs(ref).min() + 1e-30)
+
+    rel = rel_err(losses, oracle["loss"])
+    # the total loss is dominated by the logvar*N constant; nll/kl expose
+    # the reconstruction- and encoder-dependent numerics much more sharply
+    rel_nll = rel_err(nlls, oracle["nll"])
+    kl_floor = max(np.abs(oracle["kl"]).max() * 1e-3, 1e-12)
+    rel_kl = rel_err(kls, oracle["kl"], floor=kl_floor)
     result = {
         "dtype": dtype, "n_steps": N_STEPS, "batch": BATCH,
+        "perturbed": perturb,
         "device": str(jax.devices()[0]),
-        "loss": losses,
+        "loss": losses, "nll": nlls, "kl": kls,
         "rel_err_per_step": rel.tolist(),
         "rel_err_max": float(rel.max()),
         "rel_err_mean": float(rel.mean()),
+        "nll_rel_err_max": float(rel_nll.max()),
+        "kl_rel_err_max": float(rel_kl.max()),
         "elapsed_s": time.time() - t0,
     }
-    (out / f"jax_{dtype}.json").write_text(json.dumps(result))
-    print(f"max rel err vs oracle: {rel.max():.3e}  (mean {rel.mean():.3e})")
-    print(f"written to {out / f'jax_{dtype}.json'}")
+    path = out / f"jax_{dtype}{_suffix(perturb)}.json"
+    path.write_text(json.dumps(result))
+    print(f"max rel err vs oracle: {rel.max():.3e}  (mean {rel.mean():.3e}); "
+          f"nll {rel_nll.max():.3e}; kl {rel_kl.max():.3e}")
+    print(f"written to {path}")
 
 
 def main() -> None:
@@ -185,13 +222,16 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/parity_flagship")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--perturb", action="store_true",
+                    help="break the zero-init final convs (shared noise) so "
+                         "the decode path is live from step 0")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     if args.phase == "torch":
-        run_torch(out)
+        run_torch(out, perturb=args.perturb)
     else:
-        run_jax(out, args.dtype)
+        run_jax(out, args.dtype, perturb=args.perturb)
 
 
 if __name__ == "__main__":
