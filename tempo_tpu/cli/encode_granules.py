@@ -70,8 +70,18 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     params_template = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
                               sample)["params"]
     params = load_params(config["model"]["checkpoint_path"], params_template)
+    # spatial_sharding: true splits every whole-granule forward along the
+    # track axis across all chips (for granules past one chip's HBM)
+    mesh = None
+    if config.get("spatial_sharding", False) and jax.device_count() > 1:
+        from tempo_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        print(f"Spatially sharding granules over {jax.device_count()} chips")
     codec = GranuleCodec(model, params, mean_spectrum, std_spectrum,
-                         multiple=tile, seed=config.get("seed", 42))
+                         multiple=tile, seed=config.get("seed", 42),
+                         mesh=mesh,
+                         shape_bucket=int(config.get("shape_bucket", 1)))
 
     decode_roundtrip = bool(config.get("decode_roundtrip", False))
     results = []

@@ -9,7 +9,14 @@ latent on the 4x-downsampled grid.
 
 XLA static shapes: jitted encode/decode are cached per (H, W) shape class;
 TEMPO granules share a handful of shapes (131x2048 etc.), so in practice each
-shape compiles once per process.
+shape compiles once per process. shape_bucket > 1 coarsens the crop grid
+(multiple * shape_bucket) to bound recompiles further on heterogeneous
+archives.
+
+With a mesh, every forward routes through the spatial (halo) sharding in
+tempo_tpu.parallel.spatial: the track axis is split across the devices and
+XLA inserts the conv halo exchanges — granules larger than one chip's HBM
+decode across the slice (test-pinned equal to the unsharded result).
 """
 
 from __future__ import annotations
@@ -37,20 +44,45 @@ class GranuleCodec:
     def __init__(self, model: AutoencoderKL, params,
                  mean_spectrum: Optional[np.ndarray] = None,
                  std_spectrum: Optional[np.ndarray] = None,
-                 multiple: int = 64, seed: int = 42):
+                 multiple: int = 64, seed: int = 42,
+                 mesh=None, shape_bucket: int = 1):
         self.model = model
-        self.params = params
         self.mean_spectrum = mean_spectrum
         self.std_spectrum = std_spectrum
-        self.multiple = multiple
+        self.multiple = multiple * shape_bucket
         self.rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh
 
-        self._encode = jax.jit(lambda p, x: model.apply(
+        if mesh is not None:
+            from tempo_tpu.parallel.mesh import replicate_sharding
+            from tempo_tpu.parallel.spatial import spatial_sharding
+
+            self._sharding = spatial_sharding(mesh)
+            params = jax.device_put(params, replicate_sharding(mesh))
+            # a single sharding broadcasts over the output pytree (the
+            # posterior's mean/logvar leaves share the [B,h,w,c] layout)
+            import functools
+
+            sharded_jit = functools.partial(jax.jit,
+                                            out_shardings=self._sharding)
+        else:
+            self._sharding = None
+            sharded_jit = jax.jit
+        self.params = params
+
+        self._encode = sharded_jit(lambda p, x: model.apply(
             {"params": p}, x, method=AutoencoderKL.encode))
-        self._decode = jax.jit(lambda p, z: model.apply(
+        self._decode = sharded_jit(lambda p, z: model.apply(
             {"params": p}, z, method=AutoencoderKL.decode))
-        self._reconstruct = jax.jit(lambda p, x, rng: model.apply(
+        self._reconstruct = sharded_jit(lambda p, x, rng: model.apply(
             {"params": p}, x, rng=rng, method=AutoencoderKL.reconstruct))
+
+    def _put(self, arr) -> jax.Array:
+        """Batchify + (optionally) shard the track axis across the mesh."""
+        x = jnp.asarray(arr)[None]
+        if self._sharding is not None:
+            x = jax.device_put(x, self._sharding)
+        return x
 
     # ------------------------------------------------------------ plumbing
 
@@ -65,22 +97,20 @@ class GranuleCodec:
     def encode(self, granule_hwc: np.ndarray) -> jax.Array:
         """Normalized [H, W, C] -> posterior MEAN latent [H/4, W/4, Z]
         (the representation the probes consume)."""
-        x = jnp.asarray(granule_hwc)[None]
-        posterior = self._encode(self.params, x)
+        posterior = self._encode(self.params, self._put(granule_hwc))
         return posterior.mean[0]
 
     def encode_posterior(self, granule_hwc: np.ndarray):
-        x = jnp.asarray(granule_hwc)[None]
-        return self._encode(self.params, x)
+        return self._encode(self.params, self._put(granule_hwc))
 
     def decode(self, latent_hwc: jax.Array) -> np.ndarray:
-        z = jnp.asarray(latent_hwc)[None]
+        z = self._put(latent_hwc)
         return np.asarray(self._decode(self.params, z)[0])
 
     def reconstruct(self, granule_hwc: np.ndarray,
                     sample_posterior: bool = True) -> np.ndarray:
         """Normalized [H, W, C] -> single-forward reconstruction [H, W, C]."""
-        x = jnp.asarray(granule_hwc)[None]
+        x = self._put(granule_hwc)
         if sample_posterior:
             self.rng, sub = jax.random.split(self.rng)
             out = self._reconstruct(self.params, x, sub)

@@ -181,3 +181,37 @@ def test_device_buffer_feeds_l2_dp_train_step(tmp_path):
         assert int(state.step) == 6
     finally:
         buf.close()
+
+
+def test_granule_codec_sharded_matches_unsharded():
+    """GranuleCodec(mesh=...): whole-granule encode/decode/reconstruct with
+    the track axis split over 8 devices — each device holds a 16-column
+    share of a 128-wide granule — must equal the single-device codec
+    (VERDICT round-1 item #8)."""
+    from tempo_tpu.infer.granule_codec import GranuleCodec
+
+    model = AutoencoderKL(TINY)
+    granule = np.random.default_rng(11).standard_normal(
+        (32, 128, 8)).astype(np.float32)  # [H, W, C]; W = 8 devices x 16
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(granule)[None],
+                        rng=jax.random.PRNGKey(1))["params"]
+
+    plain = GranuleCodec(model, params, multiple=16, seed=0)
+    mesh = create_mesh()
+    sharded = GranuleCodec(model, params, multiple=16, seed=0, mesh=mesh)
+
+    lat_plain = np.asarray(plain.encode(granule))
+    lat_sharded_dev = sharded.encode(granule)
+    # the [H/4, W/4, Z] latent stays split along W across all 8 devices
+    assert len(lat_sharded_dev.sharding.device_set) == 8
+    lat_sharded = np.asarray(lat_sharded_dev)
+    assert lat_plain.shape == (8, 32, 4)
+    np.testing.assert_allclose(lat_sharded, lat_plain, atol=2e-4, rtol=1e-3)
+
+    rec_plain = plain.reconstruct(granule, sample_posterior=False)
+    rec_sharded = sharded.reconstruct(granule, sample_posterior=False)
+    np.testing.assert_allclose(rec_sharded, rec_plain, atol=2e-4, rtol=1e-3)
+
+    dec_plain = plain.decode(lat_plain)
+    dec_sharded = sharded.decode(lat_plain)
+    np.testing.assert_allclose(dec_sharded, dec_plain, atol=2e-4, rtol=1e-3)
