@@ -7,10 +7,16 @@ Prints ONE JSON line:
 Baseline: the reference PyTorch run trained 200k steps x batch 32 in ~41 h on
 one GPU => ~43 patches/sec (BASELINE.md). vs_baseline is patches/sec/chip
 relative to that.
+
+Flags (each mode still prints exactly one JSON line):
+  --batch N       per-chip batch size (default 64)
+  --sweep A,B,C   measure several batch sizes; value = the best
+  --l2            benchmark the L2-supervised multi-task train step instead
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -76,6 +82,69 @@ def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
     }
 
 
+def bench_train_l2(batch_size: int = 64, warmup: int = 3, iters: int = 10,
+                   compute_dtype: str = "bfloat16") -> dict:
+    """Flagship VAE + L2 multi-task head on dict batches (spectral + 4
+    products) — the fused L2-supervised step at full scale."""
+    from tempo_tpu.models.vae import VAEConfig
+    from tempo_tpu.models.vae_l2 import L2_PRODUCTS, VAEWithL2Head
+    from tempo_tpu.parallel.mesh import create_mesh, make_place_fn, shard_state
+    from tempo_tpu.train.state import create_train_state, make_optimizer
+    from tempo_tpu.train.step import make_train_step
+
+    n_chips = jax.device_count()
+    config = VAEConfig(compute_dtype=compute_dtype)
+    model = VAEWithL2Head(config)
+
+    global_batch = batch_size * n_chips
+    rng = np.random.default_rng(0)
+    batch_host = {"spectral": rng.standard_normal(
+        (global_batch, 64, 64, 1028)).astype(np.float32)}
+    for p in L2_PRODUCTS:
+        field = rng.standard_normal((global_batch, 64, 64)).astype(np.float32)
+        field[rng.random(field.shape) < 0.1] = np.nan
+        batch_host[p] = field
+    sample = {k: v[:2] for k, v in batch_host.items()}
+
+    init_fn = jax.jit(lambda k1, k2, b: model.init(
+        k1, b, k2, method=VAEWithL2Head.compute_loss))
+    params = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                     sample)["params"]
+    tx = make_optimizer()
+
+    mesh = create_mesh() if n_chips > 1 else None
+    place = make_place_fn(mesh)
+    state = create_train_state(params, tx, jax.random.PRNGKey(2))
+    if mesh is not None:
+        state = shard_state(state, mesh)
+    batch = place(batch_host)
+
+    def loss_fn(p, b, rng):
+        return model.apply({"params": p}, b, rng,
+                           method=VAEWithL2Head.compute_loss)
+
+    step = make_train_step(loss_fn, tx)
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = global_batch * iters / dt
+    return {
+        "patches_per_sec": patches_per_sec,
+        "patches_per_sec_per_chip": patches_per_sec / n_chips,
+        "step_ms": 1000 * dt / iters,
+        "n_chips": n_chips,
+        "global_batch": global_batch,
+        "loss": loss,
+    }
+
+
 def bench_encode(batch_size: int = 32, warmup: int = 2, iters: int = 10,
                  compute_dtype: str = "bfloat16") -> dict:
     from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
@@ -107,8 +176,15 @@ def bench_encode(batch_size: int = 32, warmup: int = 2, iters: int = 10,
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--sweep", type=str, default=None,
+                    help="comma-separated batch sizes; value = best")
+    ap.add_argument("--l2", action="store_true",
+                    help="benchmark the L2-supervised multi-task step")
+    args = ap.parse_args()
     try:
-        _main()
+        _main(args)
     except Exception as exc:  # the driver expects exactly one JSON line
         print(json.dumps({
             "metric": "train_patches_per_sec_per_chip",
@@ -120,12 +196,24 @@ def main():
         raise SystemExit(1)
 
 
-def _main():
-    train = bench_train()
-    encode = bench_encode()
+def _main(args):
+    bench_fn = bench_train_l2 if args.l2 else bench_train
+    metric = ("l2_train_patches_per_sec_per_chip" if args.l2
+              else "train_patches_per_sec_per_chip")
+    if args.sweep:
+        sizes = [int(s) for s in args.sweep.split(",")]
+        runs = {b: bench_fn(batch_size=b) for b in sizes}
+        train = max(runs.values(),
+                    key=lambda r: r["patches_per_sec_per_chip"])
+        sweep_detail = {str(b): round(r["patches_per_sec_per_chip"], 2)
+                        for b, r in runs.items()}
+    else:
+        train = bench_fn(batch_size=args.batch)
+        sweep_detail = None
+
     value = train["patches_per_sec_per_chip"]
     result = {
-        "metric": "train_patches_per_sec_per_chip",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "patches/s/chip",
         "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),
@@ -133,10 +221,15 @@ def _main():
             "step_ms": round(train["step_ms"], 2),
             "n_chips": train["n_chips"],
             "global_batch": train["global_batch"],
-            "encode_patches_per_sec": round(encode["encode_patches_per_sec"], 2),
             "compute_dtype": "bfloat16",
         },
     }
+    if sweep_detail:
+        result["detail"]["batch_sweep"] = sweep_detail
+    if not args.l2:
+        encode = bench_encode()
+        result["detail"]["encode_patches_per_sec"] = round(
+            encode["encode_patches_per_sec"], 2)
     print(json.dumps(result))
 
 

@@ -102,3 +102,20 @@ def test_ten_step_loss_trajectory_matches_torch(rng):
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
     # and the trajectory must actually move (optimizer really stepped)
     assert ref_losses[-1] != ref_losses[0]
+
+
+def test_flagship_parity_artifacts_beat_north_star():
+    """The measured flagship-scale (27.3M-param, 1028-ch) parity artifacts
+    — produced on real TPU hardware by tools/parity_flagship.py against the
+    torch oracle — must beat the <1e-3 loss-curve north-star in every
+    recorded configuration (fp32 + shipped bf16, reference + perturbed
+    init)."""
+    import json
+
+    art_dir = Path(__file__).parent.parent / "artifacts" / "parity"
+    runs = sorted(art_dir.glob("jax_*.json"))
+    assert len(runs) >= 4, "flagship parity artifacts missing"
+    for path in runs:
+        data = json.loads(path.read_text())
+        assert data["n_steps"] >= 50
+        assert data["rel_err_max"] < 1e-3, (path.name, data["rel_err_max"])
