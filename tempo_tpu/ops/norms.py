@@ -64,26 +64,56 @@ def group_norm(x: jax.Array, num_groups: int, scale: Optional[jax.Array],
                bias: Optional[jax.Array], eps: float = 1e-6,
                act: Optional[Callable[[jax.Array], jax.Array]] = None) -> jax.Array:
     """x: [B, H, W, C] (or [B, ..., C]); normalizes over all non-batch dims
-    within each channel group."""
+    within each channel group.
+
+    TPU layout strategy: the big activation is NEVER reshaped — a
+    channel-splitting reshape would shrink the lane axis (C -> C/groups)
+    and force a full relayout copy in and out of the op. Instead, sum and
+    sum-of-squares reduce over the spatial axes only (a layout-friendly
+    [B, C] reduction XLA fuses into ONE pass over the input); the
+    channel->group fold then happens on the tiny [B, C] tensors, and the
+    apply step is a pure per-(batch, channel) affine the compiler fuses
+    into the neighboring ops."""
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
-    spatial = x.shape[1:-1]
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n_per_group = (np_prod(x.shape[1:-1]) * c) // num_groups
 
-    x32 = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
-    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
-    x32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    x32 = x32.reshape(b, *spatial, c)
+    x32 = x.astype(jnp.float32)
+    # one fused pass: both rowwise moments from a single read of x
+    sum_c = jnp.sum(x32, axis=spatial_axes)            # [B, C]
+    sumsq_c = jnp.sum(jnp.square(x32), axis=spatial_axes)
+    sum_g = jnp.sum(sum_c.reshape(b, num_groups, -1), axis=-1)      # [B, G]
+    sumsq_g = jnp.sum(sumsq_c.reshape(b, num_groups, -1), axis=-1)
+    mean_g = sum_g / n_per_group
+    # E[x^2] - E[x]^2 in float32 (the formulation torch's rowwise-moments
+    # kernels use); activations are O(1) here so cancellation is benign
+    var_g = jnp.maximum(sumsq_g / n_per_group - jnp.square(mean_g), 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)                 # [B, G]
 
+    # fold the group stats (and affine) into per-(B, C) coefficients
+    alpha = jnp.repeat(inv_g, c // num_groups, axis=1)   # [B, C]
+    mean_c = jnp.repeat(mean_g, c // num_groups, axis=1)
     if scale is not None:
-        x32 = x32 * scale.astype(jnp.float32)
+        alpha = alpha * scale.astype(jnp.float32)[None, :]
+    beta = -mean_c * alpha
     if bias is not None:
-        x32 = x32 + bias.astype(jnp.float32)
+        beta = beta + bias.astype(jnp.float32)[None, :]
+
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    out = x32 * alpha.reshape(shape) + beta.reshape(shape)
     if act is not None:
-        x32 = act(x32)
-    return x32.astype(orig_dtype)
+        out = act(out)
+    return out.astype(orig_dtype)
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
 
 
 def gelu_exact(x: jax.Array) -> jax.Array:
