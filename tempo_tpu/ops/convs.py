@@ -14,11 +14,41 @@ Design notes (TPU-first, not a port):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+# TPU vector lane width: the channel (minor) axis is tiled in units of 128.
+_LANES = 128
+
+
+def _ragged_split(c: int):
+    """Split a channel count into (tile-aligned main, small tail), or None.
+
+    A channel count like 1028 = 8*128 + 4 forces XLA's conv emitter onto a
+    4-wide output-channel window (measured: the 1028-channel boundary convs
+    run at ~40% of the rate of the 512-channel convs in the same step, and
+    together cost ~73 ms of a 206 ms flagship train step). Splitting the
+    conv into a 1024-lane-aligned part plus a 4-channel tail lets the main
+    part use full 128-lane MXU windows; the tail is bandwidth-trivial.
+    """
+    main = (c // _LANES) * _LANES
+    tail = c - main
+    if tail == 0 or main < 2 * _LANES:
+        return None
+    return main, tail
+
+
+def _split_conv_mode() -> str:
+    """TEMPO_TPU_SPLIT_RAGGED_CONV: '1' (default) = split forward with
+    raw-conv transposes in the backward (measured best: the split helps the
+    conv+loss/stats forward fusions but the sliced cotangents regress every
+    backward op); 'naive' = split with plain autodiff; '0' = off."""
+    return os.environ.get("TEMPO_TPU_SPLIT_RAGGED_CONV", "1")
 
 
 def _precision_for(dtype) -> lax.Precision | None:
@@ -37,17 +67,83 @@ def conv2d_nhwc(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
     # Output dtype follows the input dtype: the TPU MXU accumulates bf16
     # contractions in fp32 internally, and keeping operand/cotangent dtypes
     # uniform is required for conv's transpose rule under autodiff.
-    out = lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=pad,
-        dimension_numbers=_DIMENSION_NUMBERS,
-        precision=_precision_for(x.dtype),
-    )
+    kernel = kernel.astype(x.dtype)
+
+    def raw_conv(xx, kk):
+        return lax.conv_general_dilated(
+            xx,
+            kk,
+            window_strides=(stride, stride),
+            padding=pad,
+            dimension_numbers=_DIMENSION_NUMBERS,
+            precision=_precision_for(x.dtype),
+        )
+
+    mode = _split_conv_mode()
+    out = None
+    if mode != "0":
+        cin, cout = kernel.shape[2], kernel.shape[3]
+        if _ragged_split(cout) or _ragged_split(cin):
+            if mode == "naive":
+                out = _conv_lane_split(x, kernel, raw_conv)
+            else:
+                out = _conv_split_fwd_raw_bwd(x, kernel, raw_conv)
+    if out is None:
+        out = raw_conv(x, kernel)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _conv_split_fwd_raw_bwd(x: jax.Array, kernel: jax.Array, raw_conv) -> jax.Array:
+    """Lane-split conv forward with the RAW conv's native transposes as the
+    backward. Measured on the flagship step (batch 64, v5e): splitting the
+    1028-channel boundary convs speeds the forward's conv+loss/conv+stats
+    fusions by ~5 ms, but autodiff of the split slices every cotangent and
+    regresses the backward by ~7 ms; the raw ragged wgrad/dgrad are the
+    fastest backward formulations (tools/boundary_conv_experiments.py). The
+    two formulations are algebraically identical, so mixing them changes
+    gradients only by fp32 reassociation."""
+
+    @jax.custom_vjp
+    def conv_fn(xx, kk):
+        return _conv_lane_split(xx, kk, raw_conv)
+
+    def fwd(xx, kk):
+        return conv_fn(xx, kk), (xx, kk)
+
+    def bwd(res, g):
+        xx, kk = res
+        # linear_transpose traces (never executes) the raw forward, yielding
+        # XLA's native dgrad/wgrad convs for the ragged shape.
+        dx, = jax.linear_transpose(lambda v: raw_conv(v, kk), xx)(g)
+        dk, = jax.linear_transpose(lambda v: raw_conv(xx, v), kk)(g)
+        return dx, dk
+
+    conv_fn.defvjp(fwd, bwd)
+    return conv_fn(x, kernel)
+
+
+def _conv_lane_split(x: jax.Array, kernel: jax.Array, raw_conv) -> jax.Array | None:
+    """Decompose a conv with a ragged (non-multiple-of-128) channel axis into
+    a lane-aligned main conv plus a small tail, or return None if already
+    aligned. The splits/concat land on 128-lane tile boundaries, so they are
+    cheap relayouts next to the conv itself, and autodiff of this composition
+    yields lane-aligned weight/input gradients too (the wgrad/dgrad of the
+    ragged convs are exactly the other hot ops this fixes)."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    s_out = _ragged_split(cout)
+    if s_out is not None:
+        main, _ = s_out
+        a = raw_conv(x, kernel[..., :main])
+        b = raw_conv(x, kernel[..., main:])
+        return jnp.concatenate([a, b], axis=-1)
+    s_in = _ragged_split(cin)
+    if s_in is not None:
+        main, _ = s_in
+        return (raw_conv(x[..., :main], kernel[:, :, :main, :])
+                + raw_conv(x[..., main:], kernel[:, :, main:, :]))
+    return None
 
 
 def space_to_depth_2x(x: jax.Array) -> jax.Array:

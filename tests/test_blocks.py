@@ -54,6 +54,34 @@ def test_conv2d_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
+def test_conv2d_lane_split_matches_unsplit(rng, monkeypatch):
+    """Ragged channel counts (e.g. the 1028-channel spectral boundary) are
+    decomposed into a 128-lane-aligned conv plus a small tail for MXU tiling
+    (ops/convs.py:_conv_lane_split); forward and gradients must agree with
+    the plain conv to fp32 summation-order tolerance."""
+    x = rng.standard_normal((2, 8, 8, 260), dtype=np.float32)  # 2*128 + 4
+    w = rng.standard_normal((3, 3, 260, 300)).astype(np.float32) * 0.05
+    b = rng.standard_normal(300).astype(np.float32)
+    xj, wj, bj = jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)
+
+    def fwd_and_grads():
+        y = conv2d_nhwc(xj, wj, bj, padding=1)
+        gw, gx = jax.grad(
+            lambda ww, xx: jnp.sum(jnp.tanh(conv2d_nhwc(xx, ww, bj,
+                                                        padding=1))),
+            argnums=(0, 1))(wj, xj)
+        return np.asarray(y), np.asarray(gw), np.asarray(gx)
+
+    monkeypatch.setenv("TEMPO_TPU_SPLIT_RAGGED_CONV", "1")
+    y1, gw1, gx1 = fwd_and_grads()
+    monkeypatch.setenv("TEMPO_TPU_SPLIT_RAGGED_CONV", "0")
+    y0, gw0, gx0 = fwd_and_grads()
+
+    np.testing.assert_allclose(y1, y0, atol=1e-4)
+    np.testing.assert_allclose(gw1, gw0, atol=1e-3)
+    np.testing.assert_allclose(gx1, gx0, atol=1e-3)
+
+
 def test_space_to_depth_matmul_equals_stride2_conv(rng):
     """Downsample2x must be algebraically identical to a k=2 s=2 conv."""
     x = rng.standard_normal((2, 8, 8, 6), dtype=np.float32)

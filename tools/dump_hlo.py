@@ -37,10 +37,21 @@ def main() -> None:
     key = jax.random.PRNGKey(3)
 
     xs = jax.ShapeDtypeStruct((args.batch, 64, 64, 1028), jnp.float32)
-    pa = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
-    fn = jax.jit(lambda p, xx, k: loss_fn(p, xx, k)[0])
-    compiled = fn.lower(pa, xs, key).compile()
+    if args.what == "full_step":
+        from tempo_tpu.train.state import create_train_state, make_optimizer
+        from tempo_tpu.train.step import init_ema, make_train_step
+
+        tx = make_optimizer()
+        state = create_train_state(params, tx, jax.random.PRNGKey(2))
+        step = make_train_step(loss_fn, tx, donate=False)
+        sa = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state)
+        compiled = jax.jit(step).lower(sa, xs).compile()
+    else:
+        pa = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+        fn = jax.jit(lambda p, xx, k: loss_fn(p, xx, k)[0])
+        compiled = fn.lower(pa, xs, key).compile()
     txt = compiled.as_text()
     with open(args.out, "w") as f:
         f.write(txt)

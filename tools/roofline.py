@@ -10,6 +10,9 @@ peak. Run on CPU (the cost model is shape-based, not backend-based):
       python tools/roofline.py [--batch 64] [--step-ms 211]
 
 v5e peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM.
+Attainable matmul rate measured on this chip via a chained-matmul probe
+(tools/peak_probe.py, amortizing the axon transport's ~14 ms dispatch
+latency): 173 TFLOP/s — "attainable" rows use that.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ import numpy as np
 
 V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_PEAK_HBM_GBS = 819.0
+MEASURED_ATTAINABLE_TFLOPS = 173.0  # tools/peak_probe.py on this chip
 
 
 def analyze(batch_size: int, compute_dtype: str = "bfloat16") -> dict:
@@ -78,6 +82,8 @@ def main() -> None:
             1000 * tflop_per_step / V5E_PEAK_BF16_TFLOPS, 1),
         "memory_bound_floor_ms": round(
             1000 * gb_per_step / V5E_PEAK_HBM_GBS, 1),
+        "attainable_compute_floor_ms": round(
+            1000 * tflop_per_step / MEASURED_ATTAINABLE_TFLOPS, 1),
     }
     if args.step_ms:
         out["measured_step_ms"] = args.step_ms
@@ -86,6 +92,8 @@ def main() -> None:
         floor = max(out["compute_bound_floor_ms"],
                     out["memory_bound_floor_ms"])
         out["fraction_of_roofline"] = round(floor / args.step_ms, 3)
+        out["fraction_of_attainable"] = round(
+            out["attainable_compute_floor_ms"] / args.step_ms, 3)
     print(json.dumps(out, indent=2))
 
 
