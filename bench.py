@@ -30,7 +30,8 @@ BASELINE_PATCHES_PER_SEC = 43.0
 def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
                 compute_dtype: str = "bfloat16") -> dict:
     """batch 64/chip measured fastest on v5e (285/293/303/304 patches/s at
-    batch 16/32/64/128)."""
+    batch 16/32/64/128 round 1; 307 vs 291 at 64 vs 128 round 2 with the
+    lane-split boundary convs)."""
     from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
     from tempo_tpu.parallel.mesh import create_mesh, make_place_fn, shard_state
     from tempo_tpu.train.state import create_train_state, make_optimizer

@@ -147,10 +147,13 @@ def main() -> None:
     ref3 = report("d2s_current", d2s_a, xs, wd)
 
     def d2s_convt(xx, ww):
-        # ConvTranspose k2s2 == conv_general_dilated with lhs_dilation=2
+        # ConvTranspose k2s2 == conv_general_dilated with lhs_dilation=2 and
+        # (k-1, k-1) padding; kernel spatially flipped to match transpose
+        # semantics.
         k = ww.reshape(512, 2, 2, 512).transpose(1, 2, 0, 3)  # HWIO
+        k = jnp.flip(k, axis=(0, 1))
         return lax.conv_general_dilated(
-            xx, k, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+            xx, k, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
