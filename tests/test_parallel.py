@@ -115,6 +115,73 @@ def test_spatial_halo_sharded_encode_matches_unsharded():
                                atol=2e-4, rtol=1e-3)
 
 
+def test_tensor_parallel_step_matches_single_device():
+    """Channel-sharded (tensor-parallel) training over a ('data','model')
+    mesh: kernels/biases sharded on their output-channel axis, XLA SPMD
+    inserts the activation collectives. Must match the unsharded step to
+    fp32 reassociation tolerance, with optimizer state actually sharded."""
+    from tempo_tpu.parallel.tensor import (
+        MODEL_AXIS,
+        create_tp_mesh,
+        shard_state_tp,
+        tp_sharding_rule,
+    )
+
+    model, tx, state_a = _setup()
+    step = make_train_step(vae_loss_fn(model), tx, donate=False)
+    batch_np = np.random.default_rng(7).standard_normal(
+        (8, 16, 16, 8)).astype(np.float32)
+
+    state_1, metrics_1 = step(state_a, jnp.asarray(batch_np))
+
+    _, _, state_b = _setup()
+    mesh = create_tp_mesh(n_model=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    state_b = shard_state_tp(state_b, mesh)
+
+    # conv kernels really are sharded on their last (output-channel) axis
+    kernel = state_b.params["encoder"]["conv_in"]["kernel"]
+    assert kernel.sharding.spec[-1] == MODEL_AXIS
+    # RNG key stays replicated even when its trailing dim divides the axis
+    assert state_b.rng.sharding.is_fully_replicated
+
+    batch = make_place_fn(mesh)(batch_np)
+    state_tp, metrics_tp = step(state_b, batch)
+
+    np.testing.assert_allclose(float(metrics_1["loss"]),
+                               float(metrics_tp["loss"]), rtol=1e-5)
+    flat_1 = jax.tree_util.tree_leaves(state_1.params)
+    flat_tp = jax.tree_util.tree_leaves(state_tp.params)
+    for a, b in zip(flat_1, flat_tp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+    # the update must preserve the channel sharding (no silent regather)
+    kernel_after = state_tp.params["encoder"]["conv_in"]["kernel"]
+    assert kernel_after.sharding.spec == tp_sharding_rule(
+        kernel_after, mesh).spec
+
+
+def test_tensor_parallel_encode_matches_unsharded():
+    from tempo_tpu.parallel.tensor import create_tp_mesh, shard_params_tp
+
+    model = AutoencoderKL(TINY)
+    x = np.random.default_rng(8).standard_normal(
+        (4, 16, 16, 8)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        rng=jax.random.PRNGKey(1))["params"]
+    want = model.apply({"params": params}, jnp.asarray(x),
+                       method=AutoencoderKL.encode).mean
+
+    mesh = create_tp_mesh(n_model=4)
+    params_tp = shard_params_tp(params, mesh)
+    got = jax.jit(lambda p, xx: model.apply(
+        {"params": p}, xx, method=AutoencoderKL.encode).mean)(params_tp,
+                                                             jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_device_buffer_feeds_dp_train_step(tmp_path):
     """Integration: device-resident buffer (mesh mode) -> fused DP train
     step, end to end on the CPU mesh."""
