@@ -78,6 +78,29 @@ def load_checkpoint(path: Union[str, Path], state_template: TrainState
     return state, train_metrics, val_metrics
 
 
+def place_like(state: Any, template: Any) -> Any:
+    """Device-place a host-restored state with the TEMPLATE's shardings.
+
+    A resumed run must come back with the same mesh placement it trains
+    with — replicated for data parallelism, channel-sharded for tensor
+    parallelism (parallel/tensor.py). A bare jax.device_put would commit
+    everything to one device and silently degrade a multi-chip run after
+    resume. On multi-process meshes the host copy is assembled into the
+    global array the same way shard_state does."""
+    multiprocess = jax.process_count() > 1
+
+    def _one(new, old):
+        sharding = getattr(old, "sharding", None)
+        if sharding is None:
+            return jax.device_put(new)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(new))
+        return jax.device_put(new, sharding)
+
+    return jax.tree_util.tree_map(_one, state, template)
+
+
 def load_params(path: Union[str, Path], params_template: Any) -> Any:
     """Restore only the model parameters (for inference/analysis)."""
     raw = serialization.msgpack_restore(Path(path).read_bytes())

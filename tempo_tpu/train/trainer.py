@@ -104,9 +104,12 @@ class Trainer:
         return path
 
     def load_checkpoint(self, path: Union[str, Path]) -> None:
+        template = self.state
         self.state, self.train_metrics, self.val_metrics = ckpt_lib.load_checkpoint(
-            path, self.state)
-        self.state = jax.device_put(self.state)
+            path, template)
+        # keep the live state's mesh placement (replicated DP / channel-
+        # sharded TP) — a bare device_put would demote to one device
+        self.state = ckpt_lib.place_like(self.state, template)
         self.step = int(self.state.step)
         if self.verbose:
             print(f"Loaded checkpoint from step {self.step}")

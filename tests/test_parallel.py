@@ -182,6 +182,31 @@ def test_tensor_parallel_encode_matches_unsharded():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_checkpoint_roundtrip_preserves_mesh_sharding(tmp_path):
+    """Resume must restore the live state's mesh placement: replicated for
+    DP, channel-sharded for TP (train/checkpoint.py:place_like). A bare
+    device_put would silently demote a multi-chip run to one device."""
+    from tempo_tpu.parallel.tensor import create_tp_mesh, shard_state_tp
+    from tempo_tpu.train import checkpoint as ckpt_lib
+
+    _, _, state = _setup()
+    mesh = create_tp_mesh(n_model=4)
+    state = shard_state_tp(state, mesh)
+    path = ckpt_lib.save_checkpoint(tmp_path, state, [], [])
+
+    _, _, template = _setup()
+    template = shard_state_tp(template, mesh)
+    loaded, _, _ = ckpt_lib.load_checkpoint(path, template)
+    loaded = ckpt_lib.place_like(loaded, template)
+
+    kernel = loaded.params["encoder"]["conv_in"]["kernel"]
+    assert kernel.sharding == template.params["encoder"]["conv_in"][
+        "kernel"].sharding
+    for a, b in zip(jax.tree_util.tree_leaves(loaded.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_device_buffer_feeds_dp_train_step(tmp_path):
     """Integration: device-resident buffer (mesh mode) -> fused DP train
     step, end to end on the CPU mesh."""
