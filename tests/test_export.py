@@ -1,0 +1,52 @@
+"""AOT serving export: the serialized StableHLO codec must reproduce the
+live model exactly and serve any batch size from one artifact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
+
+TINY = VAEConfig(shape=(8, 16, 16), chs=(12, 8, 8), z_channels=4,
+                 embed_dim=4, n_attention_heads=2, norm_groups=4,
+                 compute_dtype="float32")
+
+
+def test_export_roundtrip(tmp_path):
+    from tempo_tpu.infer.export_codec import export_codec, load_exported
+
+    model = AutoencoderKL(TINY)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 8)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        rng=jax.random.PRNGKey(1))["params"]
+
+    out = export_codec(params, TINY, tmp_path / "codec", tile_hw=(16, 16))
+    assert (out / "encode.stablehlo").exists()
+    assert (out / "decode.stablehlo").exists()
+
+    encode, decode, meta = load_exported(out)
+    assert meta["spectral_channels"] == 8
+    assert meta["downsample_factor"] == 4
+
+    want_z = model.apply({"params": params}, jnp.asarray(x),
+                         method=AutoencoderKL.encode).mean
+    got_z = encode(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_z), np.asarray(want_z),
+                               atol=1e-6)
+
+    want_rec = model.apply({"params": params}, want_z,
+                           method=AutoencoderKL.decode)
+    got_rec = decode(got_z)
+    assert got_rec.shape == (2, 16, 16, 8)
+    np.testing.assert_allclose(np.asarray(got_rec), np.asarray(want_rec),
+                               atol=1e-6)
+
+    # one artifact serves other batch sizes (symbolic batch dim)
+    x5 = np.random.default_rng(1).standard_normal(
+        (5, 16, 16, 8)).astype(np.float32)
+    z5 = encode(jnp.asarray(x5))
+    assert z5.shape == (5, 4, 4, 4)
+    want5 = model.apply({"params": params}, jnp.asarray(x5),
+                        method=AutoencoderKL.encode).mean
+    np.testing.assert_allclose(np.asarray(z5), np.asarray(want5), atol=1e-6)
