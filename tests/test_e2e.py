@@ -307,6 +307,33 @@ def test_encode_granules_sweep(pipeline_dir, run_dir, stats_dir):
         assert lat["latent"].shape == (h // 4, w // 4, 4)
 
 
+def test_export_codec_cli(pipeline_dir, run_dir):
+    """Train -> AOT export -> serve-from-artifacts: the exported StableHLO
+    codec must rehydrate without model code and roundtrip a batch."""
+    from tempo_tpu.cli.export_codec import main
+    from tempo_tpu.infer.export_codec import load_exported
+
+    cfg = _write(pipeline_dir / "export.yaml", {
+        "output_dir": str(pipeline_dir / "export"),
+        "model": {
+            "checkpoint_path": str(
+                run_dir / "checkpoints" / "ckpt_step=000030.msgpack"),
+            "training_config_path": str(run_dir / "config.yaml"),
+        },
+    })
+    main(cfg)
+
+    encode, decode, meta = load_exported(pipeline_dir / "export" / "codec")
+    tile = meta["tile_hw"][0]
+    x = np.random.default_rng(0).standard_normal(
+        (3, tile, tile, meta["spectral_channels"])).astype(np.float32)
+    z = encode(x)
+    assert tuple(z.shape) == (3, *meta["latent_hw"], meta["embed_dim"])
+    rec = decode(z)
+    assert rec.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(rec)))
+
+
 def test_train_resume_auto_after_kill(pipeline_dir, tiles_dir):
     """Preemption recovery: a run killed mid-way restarts with
     training.resume_from: auto, re-enters its own output dir, continues from

@@ -90,7 +90,10 @@ def main() -> None:
         def f(xx):
             v = xx
             for _ in range(k):
-                v = v * jnp.bfloat16(1.0000001)
+                # data-dependent scale: XLA cannot fold the chain into one
+                # multiply (a constant-scale chain gets constant-folded and
+                # measures nothing)
+                v = v * (jnp.bfloat16(1.0) + jnp.bfloat16(1e-8) * v[0])
             return jnp.sum(v[:8].astype(jnp.float32))
         f(x)
         return lambda: f(x)
