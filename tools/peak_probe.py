@@ -111,7 +111,9 @@ def main() -> None:
             v = xx
             for _ in range(k):
                 acc = acc + jnp.sum(v, dtype=jnp.float32)
-                v = v + jnp.bfloat16(1e-6) * acc.astype(jnp.bfloat16)
+                # nonlinear coupling: a linear update lets the algebraic
+                # simplifier distribute the next sum over the chain
+                v = jnp.abs(v - jnp.bfloat16(1e-9) * acc.astype(jnp.bfloat16))
             return acc
         f(x)
         return lambda: f(x)
@@ -134,7 +136,7 @@ def main() -> None:
                 s1 = jnp.sum(x32, axis=(1, 2))
                 s2 = jnp.sum(jnp.square(x32), axis=(1, 2))
                 acc = acc + jnp.sum(s1) + jnp.sum(s2)
-                v = v + jnp.bfloat16(1e-6) * acc.astype(jnp.bfloat16)
+                v = jnp.abs(v - jnp.bfloat16(1e-9) * acc.astype(jnp.bfloat16))
             return acc
         f(xg)
         return lambda: f(xg)
