@@ -88,8 +88,15 @@ def place_like(state: Any, template: Any) -> Any:
     resume. On multi-process meshes the host copy is assembled into the
     global array the same way shard_state does."""
     multiprocess = jax.process_count() > 1
+    # match leaves by path, not structure: the template may lack subtrees
+    # the checkpoint carries (e.g. ema=None before the first step) — those
+    # fall back to a default placement
+    template_leaves = {
+        jax.tree_util.keystr(kp): leaf
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(template)[0]}
 
-    def _one(new, old):
+    def _one(kp, new):
+        old = template_leaves.get(jax.tree_util.keystr(kp))
         sharding = getattr(old, "sharding", None)
         if sharding is None:
             return jax.device_put(new)
@@ -98,7 +105,7 @@ def place_like(state: Any, template: Any) -> Any:
                 sharding, np.asarray(new))
         return jax.device_put(new, sharding)
 
-    return jax.tree_util.tree_map(_one, state, template)
+    return jax.tree_util.tree_map_with_path(_one, state)
 
 
 def load_params(path: Union[str, Path], params_template: Any) -> Any:
