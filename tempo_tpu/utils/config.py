@@ -8,6 +8,7 @@ output directory for reproducibility.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 from typing import Any, Dict, Iterable, Union
@@ -23,7 +24,23 @@ def load_config(config_path: Union[str, Path]) -> Dict[str, Any]:
         config = yaml.safe_load(f)
     if not isinstance(config, dict):
         raise ValueError(f"FATAL: config must be a mapping: {config_path}")
-    return config
+    return _expand_env(config)
+
+
+def _expand_env(node: Any) -> Any:
+    """Expand ${VAR} in string values (fail-fast on unset variables), so
+    portable configs — e.g. configs/demo/ — can anchor paths on DATA_DIR."""
+    if isinstance(node, dict):
+        return {k: _expand_env(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_expand_env(v) for v in node]
+    if isinstance(node, str) and "${" in node:
+        expanded = os.path.expandvars(node)
+        if "${" in expanded:
+            raise ValueError(
+                f"FATAL: unset environment variable in config value: {node}")
+        return expanded
+    return node
 
 
 def require_keys(config: Dict[str, Any], keys: Iterable[str], where: str = "config") -> None:

@@ -317,3 +317,24 @@ def test_device_tile_buffer_l2_nan_passthrough(tmp_path):
         assert saw_nan  # make_tile_shards plants ~5% NaNs per L2 shard
     finally:
         buf.close()
+
+
+def test_load_config_expands_env(tmp_path, monkeypatch):
+    """configs/demo/ anchors paths on ${DATA_DIR}; unset variables must
+    fail fast rather than produce literal '${...}' paths."""
+    import pytest
+
+    from tempo_tpu.utils.config import load_config
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text('output_dir: "${TEMPO_TEST_ROOT}/run"\nseed: 1\n'
+                   'paths: ["${TEMPO_TEST_ROOT}/a", plain]\n')
+    monkeypatch.setenv("TEMPO_TEST_ROOT", "/data/x")
+    c = load_config(cfg)
+    assert c["output_dir"] == "/data/x/run"
+    assert c["paths"] == ["/data/x/a", "plain"]
+    assert c["seed"] == 1
+
+    monkeypatch.delenv("TEMPO_TEST_ROOT")
+    with pytest.raises(ValueError, match="unset environment variable"):
+        load_config(cfg)
