@@ -147,12 +147,21 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
 
     n_chips = jax.device_count()
-    mesh = (dist_mesh if dist_mesh is not None
-            else create_mesh() if n_chips > 1 else None)
-    if mesh is not None:
-        state = shard_state(state, mesh)
-        print(f"Data-parallel over {n_chips} chips "
-              f"({jax.process_count()} process(es))")
+    n_model = int(config.get("parallel", {}).get("tensor", 1))
+    if n_model > 1:
+        from tempo_tpu.parallel.tensor import create_tp_mesh, shard_state_tp
+
+        mesh = create_tp_mesh(n_model)
+        state = shard_state_tp(state, mesh)
+        print(f"Tensor-parallel over {n_model} chips x data-parallel over "
+              f"{n_chips // n_model} ({jax.process_count()} process(es))")
+    else:
+        mesh = (dist_mesh if dist_mesh is not None
+                else create_mesh() if n_chips > 1 else None)
+        if mesh is not None:
+            state = shard_state(state, mesh)
+            print(f"Data-parallel over {n_chips} chips "
+                  f"({jax.process_count()} process(es))")
     place_fn = make_place_fn(mesh)
 
     def loss_fn(p, batch, rng):

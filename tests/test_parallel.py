@@ -182,6 +182,47 @@ def test_tensor_parallel_encode_matches_unsharded():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_tensor_parallel_l2_step_matches_single_device():
+    """The L2-supervised multi-task step under channel sharding: product
+    heads (1-channel outputs) stay replicated by rule; everything else
+    shards. Must match unsharded execution."""
+    from tempo_tpu.models.vae_l2 import L2_PRODUCTS, VAEWithL2Head
+    from tempo_tpu.parallel.tensor import create_tp_mesh, shard_state_tp
+
+    model = VAEWithL2Head(TINY, mlp_hidden=(16, 16))
+    rng = np.random.default_rng(13)
+    batch_np = {"spectral": rng.standard_normal(
+        (8, 16, 16, 8)).astype(np.float32)}
+    for p in L2_PRODUCTS:
+        field = rng.standard_normal((8, 16, 16)).astype(np.float32)
+        field[rng.random(field.shape) < 0.2] = np.nan
+        batch_np[p] = field
+
+    sample = {k: v[:2] for k, v in batch_np.items()}
+    params = model.init(jax.random.PRNGKey(0), sample, jax.random.PRNGKey(1),
+                        method=VAEWithL2Head.compute_loss)["params"]
+    tx = make_optimizer(lr=1e-3)
+
+    def loss_fn(p, b, rng):
+        return model.apply({"params": p}, b, rng,
+                           method=VAEWithL2Head.compute_loss)
+
+    step = make_train_step(loss_fn, tx, donate=False)
+
+    state_1 = create_train_state(params, tx, jax.random.PRNGKey(42))
+    _, metrics_1 = step(state_1, jax.tree_util.tree_map(jnp.asarray,
+                                                        batch_np))
+
+    mesh = create_tp_mesh(n_model=4)
+    state_tp = shard_state_tp(
+        create_train_state(params, tx, jax.random.PRNGKey(42)), mesh)
+    _, metrics_tp = step(state_tp, make_place_fn(mesh)(batch_np))
+
+    for k in ("loss", "nll_loss", "NO2_loss"):
+        np.testing.assert_allclose(float(metrics_1[k]),
+                                   float(metrics_tp[k]), rtol=1e-5)
+
+
 def test_checkpoint_roundtrip_preserves_mesh_sharding(tmp_path):
     """Resume must restore the live state's mesh placement: replicated for
     DP, channel-sharded for TP (train/checkpoint.py:place_like). A bare
