@@ -128,9 +128,10 @@ def _conv_lane_split(x: jax.Array, kernel: jax.Array, raw_conv) -> jax.Array | N
     """Decompose a conv with a ragged (non-multiple-of-128) channel axis into
     a lane-aligned main conv plus a small tail, or return None if already
     aligned. The splits/concat land on 128-lane tile boundaries, so they are
-    cheap relayouts next to the conv itself, and autodiff of this composition
-    yields lane-aligned weight/input gradients too (the wgrad/dgrad of the
-    ragged convs are exactly the other hot ops this fixes)."""
+    cheap relayouts next to the conv itself. NOTE: plain autodiff of this
+    composition slices every cotangent and measured SLOWER than the raw
+    ragged wgrad/dgrad — that is why the default path wraps it in
+    _conv_split_fwd_raw_bwd rather than differentiating through it."""
     cin, cout = kernel.shape[2], kernel.shape[3]
     s_out = _ragged_split(cout)
     if s_out is not None:
