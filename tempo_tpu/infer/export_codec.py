@@ -50,8 +50,11 @@ def export_codec(params, config: VAEConfig, out_dir: Union[str, Path],
     enc_spec = jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
     dec_spec = jax.ShapeDtypeStruct((b, h // f, w // f, zc), jnp.float32)
 
-    enc = jexport.export(jax.jit(encode))(enc_spec)
-    dec = jexport.export(jax.jit(decode))(dec_spec)
+    # cross-platform lowering: one artifact serves CPU and TPU hosts
+    # regardless of which platform ran the export
+    platforms = ("cpu", "tpu")
+    enc = jexport.export(jax.jit(encode), platforms=platforms)(enc_spec)
+    dec = jexport.export(jax.jit(decode), platforms=platforms)(dec_spec)
     (out_dir / "encode.stablehlo").write_bytes(enc.serialize())
     (out_dir / "decode.stablehlo").write_bytes(dec.serialize())
     (out_dir / "meta.json").write_text(json.dumps({
