@@ -65,6 +65,7 @@ def export_codec(params, config: VAEConfig, out_dir: Union[str, Path],
         "downsample_factor": f,
         "compute_dtype": config.compute_dtype,
         "format": "jax.export StableHLO",
+        "platforms": list(platforms),
     }, indent=2))
     return out_dir
 
