@@ -307,6 +307,35 @@ def test_encode_granules_sweep(pipeline_dir, run_dir, stats_dir):
         assert lat["latent"].shape == (h // 4, w // 4, 4)
 
 
+def test_train_tensor_parallel_cli(pipeline_dir, tiles_dir):
+    """CLI wiring for 'parallel.tensor': the train entry builds the
+    ('data','model') mesh, shards the state, and trains normally."""
+    from tempo_tpu.cli.train_vae import main
+
+    cfg = _write(pipeline_dir / "train_tp.yaml", {
+        "output_dir": str(pipeline_dir / "run_tp"),
+        "seed": 42,
+        "parallel": {"tensor": 4},
+        "data": {
+            "train_dir": str(tiles_dir / "train"),
+            "val_dir": str(tiles_dir / "val"),
+            "batch_size": 8,
+            "min_buffer_size": 16,
+            "val_min_buffer_size": 8,
+        },
+        "model": MODEL_CFG,
+        "optimizer": {"lr": 1e-3, "betas": [0.9, 0.95], "weight_decay": 0.05},
+        "training": {"n_steps": 10, "save_every": 10, "val_every": 10,
+                     "log_every": 5, "plot_every": 10},
+    })
+    main(cfg)
+    out = pipeline_dir / "run_tp"
+    metrics = json.loads((out / "metrics.json").read_text())
+    losses = [m["loss"] for m in metrics["train"]]
+    assert losses[-1] < losses[0]
+    assert (out / "checkpoints" / "ckpt_step=000010.msgpack").exists()
+
+
 def test_export_codec_cli(pipeline_dir, run_dir):
     """Train -> AOT export -> serve-from-artifacts: the exported StableHLO
     codec must rehydrate without model code and roundtrip a batch."""
