@@ -160,13 +160,53 @@ def params_from_torch_state_dict(state_dict: Mapping[str, Any],
     return tree
 
 
+def l2_params_from_torch_state_dict(state_dict: Mapping[str, Any],
+                                    mlp_hidden=(512, 512),
+                                    n_levels: int = 3,
+                                    num_res_blocks: int = 1) -> Dict:
+    """Reference VAEWithL2Supervision state_dict -> VAEWithL2Head param tree.
+
+    Reference layout (src/model_with_l2.py:11-59): 'vae.*' is the base VAE;
+    'l2_head.mlp.{i}.*' is a Sequential of [Conv2d(1x1, bias=False),
+    GroupNorm(8), GELU] per hidden dim plus a final biased Conv2d(1x1)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v))
+          for k, v in state_dict.items()}
+    vae_sd = {k: v for k, v in sd.items() if k.startswith("vae.")}
+    vae_tree = params_from_torch_state_dict(vae_sd, n_levels, num_res_blocks)
+
+    head: Dict = {}
+    idx = 0
+    for i in range(len(mlp_hidden)):
+        head[f"dense{i}_kernel"] = _dense_kernel(
+            sd[f"l2_head.mlp.{idx}.weight"])
+        head[f"norm{i}"] = {"scale": sd[f"l2_head.mlp.{idx + 1}.weight"],
+                            "bias": sd[f"l2_head.mlp.{idx + 1}.bias"]}
+        idx += 3  # conv, groupnorm, gelu
+    head["out_kernel"] = _dense_kernel(sd[f"l2_head.mlp.{idx}.weight"])
+    head["out_bias"] = sd[f"l2_head.mlp.{idx}.bias"]
+    return {"vae": vae_tree, "l2_head": head}
+
+
+def _state_dict_from_ckpt(path) -> Mapping[str, Any]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) \
+        else ckpt
+
+
 def load_torch_checkpoint(path, n_levels: int = 3, num_res_blocks: int = 1
                           ) -> Dict:
     """Load a reference .pt checkpoint file (either a raw state_dict or the
     trainer schema with 'model_state_dict')."""
-    import torch
+    return params_from_torch_state_dict(_state_dict_from_ckpt(path),
+                                        n_levels, num_res_blocks)
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    state_dict = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) \
-        else ckpt
-    return params_from_torch_state_dict(state_dict, n_levels, num_res_blocks)
+
+def load_torch_l2_checkpoint(path, mlp_hidden=(512, 512), n_levels: int = 3,
+                             num_res_blocks: int = 1) -> Dict:
+    """Load a reference L2-supervised .pt checkpoint (vae + l2_head)."""
+    return l2_params_from_torch_state_dict(_state_dict_from_ckpt(path),
+                                           mlp_hidden, n_levels,
+                                           num_res_blocks)

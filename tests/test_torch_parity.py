@@ -179,3 +179,53 @@ def test_sweep_consumes_reference_pt_checkpoints(models, tmp_path, rng):
     from tempo_tpu.infer.sweep import evaluate_checkpoint
     direct = evaluate_checkpoint(ours, params, val_tiles, batch_size=4)
     assert results[0]["mse"] == pytest.approx(direct["mse"], rel=1e-5)
+
+
+def test_l2_checkpoint_import_parity(ref_model_module, models, rng, tmp_path):
+    """A trained reference L2-supervised checkpoint (vae + l2_head) imports
+    through interop and reproduces the reference head's predictions
+    (reference: src/model_with_l2.py:11-59)."""
+    from tempo_tpu.interop.torch_ckpt import load_torch_l2_checkpoint
+    from tempo_tpu.models.vae_l2 import VAEWithL2Head
+
+    ref_vae, _, ours_cfg, _ = models
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_l2", "/root/reference/src/model_with_l2.py")
+    ref_l2_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_l2_mod)
+
+    torch.manual_seed(7)
+    mlp_hidden = [24, 24]
+    ref_l2 = ref_l2_mod.VAEWithL2Supervision(
+        ref_vae, latent_channels=CFG["embed_dim"], mlp_hidden=mlp_hidden)
+    ref_l2.eval()
+
+    # through the trainer checkpoint schema, as the reference writes it
+    ckpt_path = tmp_path / "ckpt_step=000001.pt"
+    torch.save({"model_state_dict": ref_l2.state_dict(), "step": 1},
+               ckpt_path)
+    converted = load_torch_l2_checkpoint(ckpt_path,
+                                         mlp_hidden=tuple(mlp_hidden))
+
+    ours = VAEWithL2Head(ours_cfg, mlp_hidden=tuple(mlp_hidden))
+    sample = {"spectral": jnp.zeros((1, 16, 16, 12), jnp.float32),
+              "NO2": jnp.zeros((1, 16, 16), jnp.float32),
+              "O3TOT": jnp.zeros((1, 16, 16), jnp.float32),
+              "HCHO": jnp.zeros((1, 16, 16), jnp.float32),
+              "CLDO4": jnp.zeros((1, 16, 16), jnp.float32)}
+    template = ours.init(jax.random.PRNGKey(0), sample, jax.random.PRNGKey(1),
+                         method=VAEWithL2Head.compute_loss)["params"]
+    params = serialization.from_state_dict(template, converted)
+
+    n_ref = sum(p.numel() for p in ref_l2.parameters())
+    n_ours = sum(int(np.prod(p.shape))
+                 for p in jax.tree_util.tree_leaves(params))
+    assert n_ref == n_ours
+
+    # head-level parity on a fixed latent
+    z = rng.standard_normal((2, 4, 4, CFG["embed_dim"])).astype(np.float32)
+    with torch.no_grad():
+        pred_ref = _to_nhwc(ref_l2.l2_head(_to_nchw(z)))
+    pred_ours = ours.apply({"params": params}, jnp.asarray(z),
+                           method=lambda m, zz: m.l2_head(zz))
+    np.testing.assert_allclose(np.asarray(pred_ours), pred_ref, atol=2e-5)
