@@ -39,10 +39,18 @@ def _load_ckpt_params(path: Path, params_template):
     if path.suffix == ".pt":
         from flax import serialization
 
-        from tempo_tpu.interop.torch_ckpt import load_torch_checkpoint
+        from tempo_tpu.interop.torch_ckpt import (
+            _state_dict_from_ckpt,
+            params_from_torch_state_dict,
+        )
 
+        sd = _state_dict_from_ckpt(path)
+        if any(k.startswith("l2_head.") for k in sd):
+            # L2-supervised checkpoint: the base-VAE sweep evaluates its
+            # vae.* subtree (the head is irrelevant to reconstruction)
+            sd = {k: v for k, v in sd.items() if k.startswith("vae.")}
         return serialization.from_state_dict(params_template,
-                                             load_torch_checkpoint(path))
+                                             params_from_torch_state_dict(sd))
     return load_params(path, params_template)
 
 

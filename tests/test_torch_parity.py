@@ -166,15 +166,27 @@ def test_sweep_consumes_reference_pt_checkpoints(models, tmp_path, rng):
         torch.save({"step": step, "model_state_dict": ref.state_dict()},
                    ckpt_dir / f"ckpt_step={step:06d}.pt")
 
+    # an L2-supervised checkpoint in the same directory: the sweep must
+    # evaluate its vae.* subtree (same weights => same reconstruction)
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_l2_sweep", "/root/reference/src/model_with_l2.py")
+    ref_l2_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_l2_mod)
+    ref_l2 = ref_l2_mod.VAEWithL2Supervision(ref, latent_channels=4,
+                                             mlp_hidden=[8])
+    torch.save({"step": 15, "model_state_dict": ref_l2.state_dict()},
+               ckpt_dir / "ckpt_step=000015.pt")
+
     val_tiles = rng.standard_normal((6, 16, 16, 12)).astype(np.float32)
     results = evaluate_checkpoints(ours, params, ckpt_dir, val_tiles,
                                    batch_size=4, verbose=False)
-    assert [r["step"] for r in results] == [5, 10]
+    assert [r["step"] for r in results] == [5, 10, 15]
     for r in results:
         assert np.isfinite(r["mse"]) and np.isfinite(r["psnr"])
-    # both .pt checkpoints hold the same weights => identical metrics, and
-    # they must match the converted-params model evaluated directly
+    # all three .pt checkpoints hold the same VAE weights => identical
+    # metrics, and they must match the converted-params model directly
     assert results[0]["mse"] == pytest.approx(results[1]["mse"])
+    assert results[0]["mse"] == pytest.approx(results[2]["mse"])
 
     from tempo_tpu.infer.sweep import evaluate_checkpoint
     direct = evaluate_checkpoint(ours, params, val_tiles, batch_size=4)
