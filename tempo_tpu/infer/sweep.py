@@ -36,21 +36,6 @@ def _load_ckpt_params(path: Path, params_template):
     interop layer) — the reference analysis consumes its own ckpt_step=*.pt
     files directly (reference:
     src/scripts/evaluate_reconstruction.py:145-149), so the sweep does too."""
-    if path.suffix == ".pt":
-        from flax import serialization
-
-        from tempo_tpu.interop.torch_ckpt import (
-            _state_dict_from_ckpt,
-            params_from_torch_state_dict,
-        )
-
-        sd = _state_dict_from_ckpt(path)
-        if any(k.startswith("l2_head.") for k in sd):
-            # L2-supervised checkpoint: the base-VAE sweep evaluates its
-            # vae.* subtree (the head is irrelevant to reconstruction)
-            sd = {k: v for k, v in sd.items() if k.startswith("vae.")}
-        return serialization.from_state_dict(params_template,
-                                             params_from_torch_state_dict(sd))
     return load_params(path, params_template)
 
 

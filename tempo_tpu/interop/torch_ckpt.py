@@ -210,3 +210,47 @@ def load_torch_l2_checkpoint(path, mlp_hidden=(512, 512), n_levels: int = 3,
     return l2_params_from_torch_state_dict(_state_dict_from_ckpt(path),
                                            mlp_hidden, n_levels,
                                            num_res_blocks)
+
+
+def _infer_arch(vae_template: Mapping) -> tuple:
+    """(n_levels, num_res_blocks) read off a param-tree template."""
+    enc = vae_template["encoder"]
+    n_levels = sum(1 for k in enc if str(k).startswith("down"))
+    nrb = sum(1 for k in enc["down0"] if str(k).startswith("res"))
+    return n_levels, nrb
+
+
+def params_for_template(path, params_template) -> Dict:
+    """Convert a reference .pt checkpoint into whatever tree shape the
+    caller's template has: base VAE template <- base or L2 checkpoint (vae
+    subtree); VAEWithL2Head template <- L2 checkpoint. Architecture sizes
+    (levels, res blocks, head widths) are inferred from the template, so
+    every analysis/serving CLI can consume reference checkpoints without
+    extra configuration."""
+    from flax import serialization
+
+    sd = _state_dict_from_ckpt(path)
+    has_l2 = any(k.startswith("l2_head.") for k in sd)
+    wants_l2 = "l2_head" in params_template
+
+    if wants_l2:
+        if not has_l2:
+            raise ValueError(
+                f"FATAL: {path} is a base-VAE checkpoint but the model "
+                "expects an L2-supervised (vae + l2_head) tree")
+        head = params_template["l2_head"]
+        hidden = []
+        i = 0
+        while f"dense{i}_kernel" in head:
+            hidden.append(int(head[f"dense{i}_kernel"].shape[1]))
+            i += 1
+        n_levels, nrb = _infer_arch(params_template["vae"])
+        converted = l2_params_from_torch_state_dict(
+            sd, tuple(hidden), n_levels, nrb)
+    else:
+        if has_l2:
+            # base-VAE consumer of an L2-supervised run: use its vae.*
+            sd = {k: v for k, v in sd.items() if k.startswith("vae.")}
+        n_levels, nrb = _infer_arch(params_template)
+        converted = params_from_torch_state_dict(sd, n_levels, nrb)
+    return serialization.from_state_dict(params_template, converted)

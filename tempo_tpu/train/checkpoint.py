@@ -109,8 +109,18 @@ def place_like(state: Any, template: Any) -> Any:
 
 
 def load_params(path: Union[str, Path], params_template: Any) -> Any:
-    """Restore only the model parameters (for inference/analysis)."""
-    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    """Restore only the model parameters (for inference/analysis).
+
+    Accepts native msgpack checkpoints AND reference torch .pt checkpoints
+    (base or L2-supervised), converted on the fly through the interop layer
+    with the architecture inferred from the template — every analysis and
+    serving CLI therefore consumes trained reference models directly."""
+    path = Path(path)
+    if path.suffix == ".pt":
+        from tempo_tpu.interop.torch_ckpt import params_for_template
+
+        return params_for_template(path, params_template)
+    raw = serialization.msgpack_restore(path.read_bytes())
     return serialization.from_state_dict(params_template, raw["params"])
 
 

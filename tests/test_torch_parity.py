@@ -241,3 +241,49 @@ def test_l2_checkpoint_import_parity(ref_model_module, models, rng, tmp_path):
     pred_ours = ours.apply({"params": params}, jnp.asarray(z),
                            method=lambda m, zz: m.l2_head(zz))
     np.testing.assert_allclose(np.asarray(pred_ours), pred_ref, atol=2e-5)
+
+
+def test_load_params_accepts_pt_for_l2_template(ref_model_module, models,
+                                                tmp_path, rng):
+    """train.checkpoint.load_params converts reference .pt checkpoints for
+    BOTH template shapes: an L2-head template gets the full vae+head tree,
+    with architecture/head widths inferred from the template."""
+    from tempo_tpu.models.vae_l2 import VAEWithL2Head
+    from tempo_tpu.train.checkpoint import load_params
+
+    ref_vae, _, ours_cfg, base_params = models
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_l2_lp", "/root/reference/src/model_with_l2.py")
+    ref_l2_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_l2_mod)
+    ref_l2 = ref_l2_mod.VAEWithL2Supervision(ref_vae, latent_channels=4,
+                                             mlp_hidden=[24, 24])
+    ckpt = tmp_path / "ckpt_step=000002.pt"
+    torch.save({"model_state_dict": ref_l2.state_dict(), "step": 2}, ckpt)
+
+    ours = VAEWithL2Head(ours_cfg, mlp_hidden=(24, 24))
+    sample = {"spectral": jnp.zeros((1, 16, 16, 12), jnp.float32)}
+    for prod in ("NO2", "O3TOT", "HCHO", "CLDO4"):
+        sample[prod] = jnp.zeros((1, 16, 16), jnp.float32)
+    template = ours.init(jax.random.PRNGKey(0), sample, jax.random.PRNGKey(1),
+                         method=VAEWithL2Head.compute_loss)["params"]
+
+    params = load_params(ckpt, template)
+    z = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = _to_nhwc(ref_l2.l2_head(_to_nchw(z)))
+    got = ours.apply({"params": params}, jnp.asarray(z),
+                     method=lambda m, zz: m.l2_head(zz))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # base template <- the SAME L2 checkpoint: vae subtree extracted
+    base_from_l2 = load_params(ckpt, base_params)
+    for a, b in zip(jax.tree_util.tree_leaves(base_from_l2),
+                    jax.tree_util.tree_leaves(base_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # a base-VAE .pt into an L2 template must fail loudly
+    base_ckpt = tmp_path / "ckpt_step=000003.pt"
+    torch.save({"model_state_dict": ref_vae.state_dict()}, base_ckpt)
+    with pytest.raises(ValueError, match="base-VAE checkpoint"):
+        load_params(base_ckpt, template)
