@@ -82,7 +82,21 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         config["training"]["plot_every"] = 20
 
     data_cfg = config["data"]
-    n_chips_early = jax.device_count()
+    n_chips = jax.device_count()
+    # The step mesh is built ONCE, up front, so the data loader and the
+    # train step agree on device placement. parallel.tensor > 1 builds the
+    # 2-D ('data','model') mesh (works multi-process: the global device set
+    # is reshaped, and shard_state_tp assembles global arrays from each
+    # process's host copy).
+    n_model = int(config.get("parallel", {}).get("tensor", 1))
+    if n_model > 1:
+        from tempo_tpu.parallel.tensor import create_tp_mesh
+
+        mesh = create_tp_mesh(n_model)
+    else:
+        mesh = (dist_mesh if dist_mesh is not None
+                else create_mesh() if n_chips > 1 else None)
+
     # each process feeds its own batch shard from an independent stream
     loader_seed = seed + 1000 * jax.process_index()
     print("\nLoading training data...")
@@ -94,8 +108,6 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         # chips the pool is replicated and gathers shard on the batch axis.
         from tempo_tpu.data.device_buffer import DeviceTileBuffer
 
-        loader_mesh = (dist_mesh if dist_mesh is not None
-                       else create_mesh() if n_chips_early > 1 else None)
         train_loader = DeviceTileBuffer(
             data_dir=data_cfg["train_dir"],
             batch_size=data_cfg.get("batch_size", 16),
@@ -106,7 +118,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             # batch (batch_size here is the GLOBAL batch)
             seed=seed,
             dtype=data_cfg.get("buffer_dtype", "float32"),
-            mesh=loader_mesh,
+            mesh=mesh,
         )
     else:
         train_loader = TileLoader(
@@ -147,24 +159,18 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     tx = make_optimizer_from_config(config.get("optimizer", {}))
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
 
-    n_chips = jax.device_count()
-    n_model = int(config.get("parallel", {}).get("tensor", 1))
     if n_model > 1:
         # 2-D ('data','model') mesh: channel-sharded params + optimizer
         # state for configurations wider than one chip's HBM.
-        from tempo_tpu.parallel.tensor import create_tp_mesh, shard_state_tp
+        from tempo_tpu.parallel.tensor import shard_state_tp
 
-        mesh = create_tp_mesh(n_model)
         state = shard_state_tp(state, mesh)
         print(f"Tensor-parallel over {n_model} chips x data-parallel over "
               f"{n_chips // n_model} ({jax.process_count()} process(es))")
-    else:
-        mesh = (dist_mesh if dist_mesh is not None
-                else create_mesh() if n_chips > 1 else None)
-        if mesh is not None:
-            state = shard_state(state, mesh)
-            print(f"Data-parallel over {n_chips} chips "
-                  f"({jax.process_count()} process(es))")
+    elif mesh is not None:
+        state = shard_state(state, mesh)
+        print(f"Data-parallel over {n_chips} chips "
+              f"({jax.process_count()} process(es))")
     place_fn = make_place_fn(mesh)
 
     def recon_fn(params, x, rng):

@@ -70,6 +70,19 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     mlp_hidden = tuple(l2_cfg.get("mlp_hidden", [512, 512]))
 
     data_cfg = config["data"]
+    n_chips = jax.device_count()
+    # One step mesh built up front, shared by the loader and the train step
+    # (see train_vae.py — parallel.tensor > 1 builds the ('data','model')
+    # mesh; shard_state_tp assembles global arrays on multi-process runs).
+    n_model = int(config.get("parallel", {}).get("tensor", 1))
+    if n_model > 1:
+        from tempo_tpu.parallel.tensor import create_tp_mesh
+
+        mesh = create_tp_mesh(n_model)
+    else:
+        mesh = (dist_mesh if dist_mesh is not None
+                else create_mesh() if n_chips > 1 else None)
+
     print("\nLoading training data...")
     if data_cfg.get("loader", "host") == "device":
         # Device-resident shuffle buffer pooling spectral + L2 product
@@ -77,8 +90,6 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         # training runs at the same input rate as the base VAE.
         from tempo_tpu.data.device_buffer import DeviceTileBuffer
 
-        loader_mesh = (dist_mesh if dist_mesh is not None
-                       else create_mesh() if jax.device_count() > 1 else None)
         train_loader = DeviceTileBuffer(
             data_dir=data_dir / "train",
             batch_size=data_cfg.get("batch_size", 32),
@@ -86,7 +97,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             swap_every=data_cfg.get("swap_every", 16),
             seed=seed,
             dtype=data_cfg.get("buffer_dtype", "float32"),
-            mesh=loader_mesh,
+            mesh=mesh,
             l2_products=products,
         )
     else:
@@ -146,22 +157,16 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     tx = make_optimizer_from_config(config.get("optimizer", {}))
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
 
-    n_chips = jax.device_count()
-    n_model = int(config.get("parallel", {}).get("tensor", 1))
     if n_model > 1:
-        from tempo_tpu.parallel.tensor import create_tp_mesh, shard_state_tp
+        from tempo_tpu.parallel.tensor import shard_state_tp
 
-        mesh = create_tp_mesh(n_model)
         state = shard_state_tp(state, mesh)
         print(f"Tensor-parallel over {n_model} chips x data-parallel over "
               f"{n_chips // n_model} ({jax.process_count()} process(es))")
-    else:
-        mesh = (dist_mesh if dist_mesh is not None
-                else create_mesh() if n_chips > 1 else None)
-        if mesh is not None:
-            state = shard_state(state, mesh)
-            print(f"Data-parallel over {n_chips} chips "
-                  f"({jax.process_count()} process(es))")
+    elif mesh is not None:
+        state = shard_state(state, mesh)
+        print(f"Data-parallel over {n_chips} chips "
+              f"({jax.process_count()} process(es))")
     place_fn = make_place_fn(mesh)
 
     def loss_fn(p, batch, rng):

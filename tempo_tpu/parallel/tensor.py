@@ -62,7 +62,17 @@ def tp_sharding_rule(leaf: Any, mesh: Mesh) -> NamedSharding:
 
 
 def shard_state_tp(state: Any, mesh: Mesh) -> Any:
-    """Place a train state with channel-sharded params/optimizer moments."""
+    """Place a train state with channel-sharded params/optimizer moments.
+
+    On a multi-process mesh every process holds the identical full host
+    value (same seeds -> same init); the global channel-sharded array is
+    assembled from each process's copy — a bare device_put cannot place
+    onto non-addressable devices (mirrors parallel.mesh.shard_state)."""
+    multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
+    if multiprocess:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                tp_sharding_rule(x, mesh), np.asarray(x)), state)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, tp_sharding_rule(x, mesh)), state)
 

@@ -90,20 +90,40 @@ def place_like(state: Any, template: Any) -> Any:
     multiprocess = jax.process_count() > 1
     # match leaves by path, not structure: the template may lack subtrees
     # the checkpoint carries (e.g. ema=None before the first step) — those
-    # fall back to a default placement
+    # fall back to replication over the mesh recovered from sibling leaves
     template_leaves = {
         jax.tree_util.keystr(kp): leaf
         for kp, leaf in jax.tree_util.tree_flatten_with_path(template)[0]}
+
+    # Fallback sharding for leaves the template doesn't carry: replicate
+    # over the SAME mesh the template's sharded leaves live on. A bare
+    # device_put would commit the leaf to one device (exactly the silent
+    # degradation this function exists to prevent) and produce a non-global
+    # array that fails inside the jitted step on multi-process meshes.
+    fallback_sharding = None
+    for leaf in template_leaves.values():
+        sh = getattr(leaf, "sharding", None)
+        mesh = getattr(sh, "mesh", None)
+        if mesh is not None and getattr(mesh, "empty", False) is False:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            fallback_sharding = NamedSharding(mesh, PartitionSpec())
+            break
+
+    def _place(new, sharding):
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(new))
+        return jax.device_put(new, sharding)
 
     def _one(kp, new):
         old = template_leaves.get(jax.tree_util.keystr(kp))
         sharding = getattr(old, "sharding", None)
         if sharding is None:
-            return jax.device_put(new)
-        if multiprocess:
-            return jax.make_array_from_process_local_data(
-                sharding, np.asarray(new))
-        return jax.device_put(new, sharding)
+            if fallback_sharding is None:
+                return jax.device_put(new)
+            return _place(new, fallback_sharding)
+        return _place(new, sharding)
 
     return jax.tree_util.tree_map_with_path(_one, state)
 

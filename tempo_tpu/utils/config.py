@@ -9,6 +9,7 @@ output directory for reproducibility.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from pathlib import Path
 from typing import Any, Dict, Iterable, Union
@@ -27,19 +28,31 @@ def load_config(config_path: Union[str, Path]) -> Dict[str, Any]:
     return _expand_env(config)
 
 
+_ENV_REF = re.compile(r"\$\{(\w+)\}|\$(\w+)")
+
+
 def _expand_env(node: Any) -> Any:
-    """Expand ${VAR} in string values (fail-fast on unset variables), so
-    portable configs — e.g. configs/demo/ — can anchor paths on DATA_DIR."""
+    """Expand ${VAR} / $VAR in string values, fail-fast on UNSET variables.
+
+    A hand-rolled substitution rather than os.path.expandvars: expandvars
+    silently passes unset brace-less '$VAR' through as a literal string,
+    which would defeat the documented fail-fast contract (portable configs
+    — e.g. configs/demo/ — anchor paths on DATA_DIR and must error loudly
+    when it is missing)."""
     if isinstance(node, dict):
         return {k: _expand_env(v) for k, v in node.items()}
     if isinstance(node, list):
         return [_expand_env(v) for v in node]
-    if isinstance(node, str) and "${" in node:
-        expanded = os.path.expandvars(node)
-        if "${" in expanded:
-            raise ValueError(
-                f"FATAL: unset environment variable in config value: {node}")
-        return expanded
+    if isinstance(node, str) and "$" in node:
+        def _sub(m: re.Match) -> str:
+            var = m.group(1) or m.group(2)
+            if var not in os.environ:
+                raise ValueError(
+                    f"FATAL: unset environment variable '{var}' in config "
+                    f"value: {node}")
+            return os.environ[var]
+
+        return _ENV_REF.sub(_sub, node)
     return node
 
 
