@@ -49,6 +49,16 @@ def validate_config(config) -> None:
             raise ValueError(f"FATAL: Validation directory doesn't exist: {val_dir}")
 
 
+def _metric_sinks(train_cfg, output_dir):
+    """training.metrics_jsonl: true -> stream metrics to logs/metrics.jsonl
+    (only on process 0; the step loop is replicated across processes)."""
+    if not train_cfg.get("metrics_jsonl") or jax.process_index() != 0:
+        return None
+    from tempo_tpu.train.metrics import JsonlSink
+
+    return [JsonlSink(Path(output_dir) / "logs" / "metrics.jsonl")]
+
+
 def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None:
     config = load_config(config_path)
     validate_config(config)
@@ -198,6 +208,10 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         recon_fn=recon_fn,
         profile_steps=tuple(profile_steps) if profile_steps else None,
         save_steps=save_steps,
+        # 'sharded' saves cooperatively from every process's shards —
+        # required for tensor-parallel states too wide for one host.
+        checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+        metric_sinks=_metric_sinks(train_cfg, output_dir),
     )
 
     resume_from = train_cfg.get("resume_from")

@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from tempo_tpu.cli import run_cli
+from tempo_tpu.cli.train_vae import _metric_sinks
 from tempo_tpu.data.loader import TileLoader
 from tempo_tpu.models.vae import VAEConfig
 from tempo_tpu.models.vae_l2 import L2_PRODUCTS, VAEWithL2Head
@@ -189,6 +190,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         place_fn=place_fn,
         recon_fn=recon_fn,
         l2_products=products,
+        checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+        metric_sinks=_metric_sinks(train_cfg, output_dir),
     )
 
     resume_from = train_cfg.get("resume_from")

@@ -63,6 +63,16 @@ class VAEConfig:
     no2_mlp_hidden: Optional[Tuple[int, ...]] = None
     # TPU compute policy (params stay float32; activations/matmuls in this).
     compute_dtype: str = "bfloat16"
+    # Permanently lane-padded boundary convs: when the spectral channel
+    # count is ragged (1028 = 8*128 + 4), the input batch is zero-padded
+    # ONCE per step to the next 128-lane multiple (1152) and the decoder
+    # emits that width (extra channels exactly zero), so encoder conv_in /
+    # decoder conv_out and all their gradient convs run fully lane-aligned
+    # on the MXU. Parameters keep the logical 1028 shape, and the loss is
+    # computed with explicit logical element counts — numerics identical
+    # (padded contributions are exact zeros). Only activates for ragged
+    # channel counts >= 256 (tiny test configs are untouched).
+    pad_boundary: bool = True
     # Rematerialize encoder/decoder activations in the backward pass
     # (jax.checkpoint): trades ~1/3 more forward FLOPs for O(levels) less
     # activation HBM — enables much larger batch/spatial sizes per chip.
@@ -83,6 +93,15 @@ class VAEConfig:
     @property
     def spatial_factor(self) -> int:
         return 2 ** (len(self.chs) - 1)
+
+    @property
+    def boundary_pad(self) -> Optional[int]:
+        """Lane-padded boundary width (next multiple of 128), or None when
+        padding is disabled or pointless (aligned / tiny channel counts)."""
+        c = self.in_channels
+        if not self.pad_boundary or c % 128 == 0 or c < 256:
+            return None
+        return ((c + 127) // 128) * 128
 
     @classmethod
     def from_dict(cls, params: Dict[str, Any]) -> "VAEConfig":
@@ -126,7 +145,8 @@ class AutoencoderKL(nn.Module):
             decoder_cls = nn.remat(Decoder, static_argnums=(2,))
         self.encoder = encoder_cls(in_channels=cfg.in_channels,
                                    double_z=cfg.double_z, **common)
-        self.decoder = decoder_cls(out_channels=cfg.in_channels, **common)
+        self.decoder = decoder_cls(out_channels=cfg.in_channels,
+                                   pad_out_to=cfg.boundary_pad, **common)
         self.quant_conv = Dense(2 * cfg.embed_dim, dtype=cfg.dtype)
         self.post_quant_conv = Dense(cfg.z_channels, dtype=cfg.dtype)
         # Learned scalar observation log-variance (src/model.py:617).
@@ -142,26 +162,56 @@ class AutoencoderKL(nn.Module):
         else:
             self.no2_probe = None
 
+    def pad_input(self, x: jax.Array) -> jax.Array:
+        """Zero-pad the spectral (last) axis to the lane-aligned boundary
+        width, once per step. No-op when padding is disabled or x is
+        already padded."""
+        pad_to = self.config.boundary_pad
+        if pad_to is None or x.shape[-1] >= pad_to:
+            return x
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, pad_to - x.shape[-1])]
+        return jnp.pad(x, widths)
+
     def encode(self, x: jax.Array, deterministic: bool = True) -> DiagonalGaussian:
-        h = self.encoder(x, deterministic)
+        h = self.encoder(self.pad_input(x), deterministic)
         moments = self.quant_conv(h)
         return DiagonalGaussian.from_params(moments)
 
-    def decode(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+    def decode_padded(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+        """Decode WITHOUT slicing the lane-padded output — the training
+        path keeps everything aligned and accounts for the (exactly zero)
+        padded channels in the loss instead."""
         z = self.post_quant_conv(z.astype(self.config.dtype))
         return self.decoder(z, deterministic)
 
-    def __call__(self, x: jax.Array, rng: Optional[jax.Array] = None,
-                 sample_posterior: bool = True, deterministic: bool = True
-                 ) -> Tuple[jax.Array, DiagonalGaussian]:
+    def decode(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+        recon = self.decode_padded(z, deterministic)
+        return recon[..., :self.config.in_channels]
+
+    def forward_padded(self, x: jax.Array, rng: Optional[jax.Array] = None,
+                       sample_posterior: bool = True,
+                       deterministic: bool = True
+                       ) -> Tuple[jax.Array, jax.Array, DiagonalGaussian]:
+        """The training forward: returns (x_padded, recon_padded, posterior)
+        with both arrays at the lane-aligned width (identical to the
+        logical arrays when padding is off)."""
+        x = self.pad_input(x)
         posterior = self.encode(x, deterministic)
         if sample_posterior:
             assert rng is not None, "rng required to sample the posterior"
             z = posterior.sample(rng)
         else:
             z = posterior.mode()
-        recon = self.decode(z, deterministic)
-        return recon, posterior
+        recon = self.decode_padded(z, deterministic)
+        return x, recon, posterior
+
+    def __call__(self, x: jax.Array, rng: Optional[jax.Array] = None,
+                 sample_posterior: bool = True, deterministic: bool = True
+                 ) -> Tuple[jax.Array, DiagonalGaussian]:
+        _, recon, posterior = self.forward_padded(
+            x, rng=rng, sample_posterior=sample_posterior,
+            deterministic=deterministic)
+        return recon[..., :self.config.in_channels], posterior
 
     def reconstruct(self, x: jax.Array, rng: Optional[jax.Array] = None,
                     sample_posterior: bool = True) -> jax.Array:
@@ -180,9 +230,9 @@ class AutoencoderKL(nn.Module):
 
     def get_loss(self, x: jax.Array, rng: jax.Array
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        recon, posterior = self(x, rng=rng, sample_posterior=True,
-                                deterministic=True)
-        return vae_loss(x, recon, posterior, self.logvar, self.config)
+        x_p, recon_p, posterior = self.forward_padded(
+            x, rng=rng, sample_posterior=True, deterministic=True)
+        return vae_loss(x_p, recon_p, posterior, self.logvar, self.config)
 
 
 def vae_loss(x: jax.Array, recon: jax.Array, posterior: DiagonalGaussian,
@@ -192,9 +242,15 @@ def vae_loss(x: jax.Array, recon: jax.Array, posterior: DiagonalGaussian,
 
     nll = sum(rec_err / exp(logvar) + logvar) / B
     kl  = kl_weight * sum(KL(posterior || N(0,I))) / B
+
+    x/recon may be lane-padded beyond cfg.in_channels (the padded channels
+    are exact zeros on both sides). They are sliced back to the logical
+    width BEFORE the loss math, so the summands and reduction order are
+    identical to the unpadded path; the slice's backward is a zero-pad,
+    which keeps every boundary-conv cotangent lane-aligned.
     """
-    x32 = x.astype(jnp.float32)
-    r32 = recon.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)[..., :cfg.in_channels]
+    r32 = recon.astype(jnp.float32)[..., :cfg.in_channels]
     if cfg.nll_loss_type == "l1":
         rec_err = jnp.abs(x32 - r32)
     elif cfg.nll_loss_type == "l2":
@@ -210,10 +266,9 @@ def vae_loss(x: jax.Array, recon: jax.Array, posterior: DiagonalGaussian,
 
     batch = x.shape[0]
     nll_loss = jnp.sum(rec_err / jnp.exp(logvar) + logvar) / batch
+    pixel_mse = jnp.mean(jnp.square(x32 - r32))
     kl_loss = cfg.kl_weight * jnp.sum(posterior.kl()) / batch
     loss = nll_loss + kl_loss
-
-    pixel_mse = jnp.mean(jnp.square(x32 - r32))
     metrics = {
         "loss": loss,
         "nll_loss": nll_loss,

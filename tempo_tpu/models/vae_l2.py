@@ -93,8 +93,13 @@ class VAEWithL2Head(nn.Module):
         x = batch["spectral"]
         rng_vae, rng_head = jax.random.split(rng)
 
-        recon, posterior = self.vae(x, rng=rng_vae, sample_posterior=True)
-        loss, metrics = vae_loss(x, recon, posterior, self.vae.logvar, self.config)
+        # Lane-padded forward (exact zeros in padded channels; vae_loss uses
+        # logical element counts) keeps the boundary convs aligned in the
+        # hot multi-task path too.
+        x_p, recon_p, posterior = self.vae.forward_padded(
+            x, rng=rng_vae, sample_posterior=True)
+        loss, metrics = vae_loss(x_p, recon_p, posterior, self.vae.logvar,
+                                 self.config)
         # Metric name parity: pixel_mse is tracked but the L2 trainer reports
         # 'loss'/'nll_loss'/'kl_loss' plus per-product losses.
         vae_total = loss

@@ -42,23 +42,55 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
 
 
 class Conv(nn.Module):
-    """kxk SAME conv with torch-default (or zero) init."""
+    """kxk SAME conv with torch-default (or zero) init.
+
+    Lane-padding support (the permanently-padded boundary-conv
+    parameterization, see docs/DESIGN.md "Speed of light"): the PARAMETER
+    always has the logical channel shape — `logical_in` input channels
+    (default: x's width) and `features` output channels — so parameter
+    counts, checkpoints, and the torch importer are untouched. At apply
+    time the kernel is zero-padded to match a lane-aligned activation:
+
+    - If x is wider than `logical_in` (the caller lane-padded the
+      activation with zeros), zero kernel rows are appended — the conv is
+      then fully 128-lane aligned and numerically identical, since the
+      padded activation channels are zero.
+    - If `pad_out_to` is set, zero kernel columns and bias entries are
+      appended so the OUTPUT is lane-aligned too; the extra output
+      channels are exactly zero.
+
+    The per-step weight pad/slice is a ~10 MB copy (microseconds); the
+    win is that every conv direction (fwd, dgrad, wgrad) of a ragged
+    channel count like 1028 = 8*128 + 4 runs on full 128-lane MXU windows.
+    """
 
     features: int
     kernel_size: int = 3
     zero: bool = False
+    logical_in: Optional[int] = None
+    pad_out_to: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        cin = x.shape[-1]
+        cin = self.logical_in if self.logical_in is not None else x.shape[-1]
         k = self.kernel_size
         fan_in = cin * k * k
         k_init = zeros_init() if self.zero else torch_conv_kernel_init()
         b_init = zeros_init() if self.zero else torch_bias_init(fan_in)
         kernel = self.param("kernel", k_init, (k, k, cin, self.features))
         bias = self.param("bias", b_init, (self.features,))
-        out = conv2d_nhwc(x.astype(self.dtype), kernel, bias, padding=k // 2)
+        kern, b = kernel, bias
+        if x.shape[-1] != cin:
+            assert x.shape[-1] > cin, (
+                f"input width {x.shape[-1]} < logical_in {cin}")
+            kern = jnp.pad(kern, ((0, 0), (0, 0),
+                                  (0, x.shape[-1] - cin), (0, 0)))
+        if self.pad_out_to is not None and self.pad_out_to > self.features:
+            kern = jnp.pad(kern, ((0, 0), (0, 0), (0, 0),
+                                  (0, self.pad_out_to - self.features)))
+            b = jnp.pad(b, (0, self.pad_out_to - self.features))
+        out = conv2d_nhwc(x.astype(self.dtype), kern, b, padding=k // 2)
         return out.astype(self.dtype)
 
 

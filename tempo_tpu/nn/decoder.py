@@ -80,6 +80,10 @@ class Decoder(nn.Module):
     norm_affine: bool = True
     act: str = "gelu"
     conv_kernel_size: int = 3
+    # When set, conv_out emits this (lane-aligned) channel width; channels
+    # beyond out_channels are exactly zero (zero-padded kernel columns and
+    # bias — see nn.blocks.Conv). The caller slices or masks at the loss.
+    pad_out_to: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -128,5 +132,6 @@ class Decoder(nn.Module):
         h = GroupNorm(self.norm_groups, self.norm_eps, self.norm_affine,
                       act=self.act, dtype=self.dtype, name="norm_out")(h)
         h = Conv(self.out_channels, self.conv_kernel_size, zero=True,
-                 dtype=self.dtype, name="conv_out")(h)
+                 pad_out_to=self.pad_out_to, dtype=self.dtype,
+                 name="conv_out")(h)
         return h

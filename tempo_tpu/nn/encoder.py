@@ -88,7 +88,11 @@ class Encoder(nn.Module):
         assert self.conv_kernel_size % 2 == 1, "conv_kernel_size must be odd"
         n_levels = len(self.chs)
 
-        h = Conv(self.chs[0], self.conv_kernel_size, dtype=self.dtype,
+        # x may arrive lane-padded (zeros beyond in_channels); conv_in's
+        # parameter stays logically in_channels wide and is zero-padded to
+        # match at apply time (see nn.blocks.Conv).
+        h = Conv(self.chs[0], self.conv_kernel_size,
+                 logical_in=self.in_channels, dtype=self.dtype,
                  name="conv_in")(x)
 
         curr_size = self.input_size

@@ -57,7 +57,15 @@ def save_checkpoint(ckpt_dir: Union[str, Path], state: TrainState,
 
 def load_checkpoint(path: Union[str, Path], state_template: TrainState
                     ) -> Tuple[TrainState, List[Dict], List[Dict]]:
-    """Restore a TrainState shaped like `state_template` from `path`."""
+    """Restore a TrainState shaped like `state_template` from `path`.
+
+    Dispatches on format: sharded checkpoint directories restore through
+    the streaming path (no full-leaf host materialization); single-file
+    msgpack snapshots restore here."""
+    if Path(path).is_dir():
+        from tempo_tpu.train.sharded_checkpoint import load_checkpoint_sharded
+
+        return load_checkpoint_sharded(path, state_template)
     raw = serialization.msgpack_restore(Path(path).read_bytes())
     params = serialization.from_state_dict(state_template.params, raw["params"])
     opt_state = serialization.from_state_dict(state_template.opt_state,
@@ -111,6 +119,11 @@ def place_like(state: Any, template: Any) -> Any:
             break
 
     def _place(new, sharding):
+        # already a device array with the target sharding (e.g. restored
+        # through the sharded-checkpoint path): nothing to do — and on
+        # multi-process meshes np.asarray on it would fail anyway
+        if isinstance(new, jax.Array) and getattr(new, "sharding", None) == sharding:
+            return new
         if multiprocess:
             return jax.make_array_from_process_local_data(
                 sharding, np.asarray(new))
@@ -145,9 +158,20 @@ def load_params(path: Union[str, Path], params_template: Any) -> Any:
 
 
 def list_checkpoints(ckpt_dir: Union[str, Path]) -> List[Path]:
+    """Every checkpoint in a directory: single-file msgpack snapshots AND
+    sharded checkpoint directories (train/sharded_checkpoint.py), sorted by
+    step — the same `ckpt_step=*` enumeration contract the reference
+    analysis scripts rely on (src/scripts/evaluate_reconstruction.py:145)."""
+    from tempo_tpu.train.sharded_checkpoint import (
+        SHARDED_SUFFIX,
+        is_sharded_checkpoint,
+    )
+
     ckpt_dir = Path(ckpt_dir)
-    return sorted(ckpt_dir.glob(f"{CKPT_PREFIX}*{CKPT_SUFFIX}"),
-                  key=checkpoint_step)
+    files = list(ckpt_dir.glob(f"{CKPT_PREFIX}*{CKPT_SUFFIX}"))
+    dirs = [p for p in ckpt_dir.glob(f"{CKPT_PREFIX}*{SHARDED_SUFFIX}")
+            if is_sharded_checkpoint(p)]
+    return sorted(files + dirs, key=checkpoint_step)
 
 
 def latest_checkpoint(ckpt_dir: Union[str, Path]) -> Optional[Path]:

@@ -37,3 +37,20 @@ def save_metrics(output_dir: Union[str, Path], train_metrics: List[Dict],
     with open(path, "w") as f:
         json.dump({"train": train_metrics, "val": val_metrics}, f, indent=2)
     return path
+
+
+class JsonlSink:
+    """Metric sink appending one JSON line per emission to a .jsonl file —
+    the pluggable observability hook matching the reference's latent wandb
+    capability (wired only in its inactive mltools, src/mltools/
+    ml_utils.py:30-31). Pass instances via Trainer(metric_sinks=[...]);
+    signature: sink(step, metrics_dict, kind) with kind in {'train','val'}."""
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def __call__(self, step: int, metrics: Dict[str, float], kind: str) -> None:
+        record = {"step": step, "kind": kind, **metrics}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")

@@ -79,8 +79,27 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
 
 
 def init_ema(state: TrainState, metric_keys) -> TrainState:
-    """Attach a zeroed EMA slot for the given metric names."""
-    ema = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
+    """Attach a zeroed EMA slot for the given metric names, placed like the
+    state's step counter (replicated over whatever mesh the state lives on)
+    so the scalars don't end up committed to a single device of a
+    multi-device state."""
+    sharding = getattr(state.step, "sharding", None)
+    mesh_placed = (sharding is not None
+                   and getattr(sharding, "mesh", None) is not None)
+
+    def _zero():
+        # a fresh buffer per key — the donated train step may not see the
+        # same buffer twice
+        if not mesh_placed:
+            return jnp.zeros((), jnp.float32)
+        if jax.process_count() > 1:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(
+                sharding, np.zeros((), np.float32))
+        return jax.device_put(jnp.zeros((), jnp.float32), sharding)
+
+    ema = {k: _zero() for k in metric_keys}
     return state.replace(ema=ema)
 
 

@@ -55,6 +55,8 @@ class Trainer:
         verbose: bool = True,
         profile_steps: Optional[tuple] = None,  # (start, end) step window
         save_steps: Optional[Sequence[int]] = None,  # explicit schedule
+        checkpoint_format: str = "msgpack",  # or "sharded" (no host gather)
+        metric_sinks: Optional[Sequence[Callable]] = None,
     ):
         self.tx = tx
         self.state = state
@@ -70,6 +72,15 @@ class Trainer:
         self.verbose = verbose
         self.profile_steps = profile_steps
         self.save_steps = set(save_steps) if save_steps is not None else None
+        if checkpoint_format not in ("msgpack", "sharded"):
+            raise ValueError(
+                f"FATAL: checkpoint_format must be 'msgpack' or 'sharded', "
+                f"got {checkpoint_format!r}")
+        self.checkpoint_format = checkpoint_format
+        # Pluggable metric sinks (the reference's latent wandb capability,
+        # src/mltools/ml_utils.py:30-31): each is called as
+        # sink(step, metrics_dict, kind) with kind in {'train','val'}.
+        self.metric_sinks = list(metric_sinks or [])
 
         # Multi-host: every process runs the step loop (multi-controller
         # SPMD), but only process 0 writes artifacts.
@@ -95,6 +106,18 @@ class Trainer:
     # ------------------------------------------------------------------ io
 
     def save_checkpoint(self) -> Optional[Path]:
+        if self.checkpoint_format == "sharded":
+            # cooperative save: EVERY process writes the shards it owns
+            # (never assembling a full leaf on any host) — required for
+            # tensor-parallel states wider than one host's memory
+            from tempo_tpu.train.sharded_checkpoint import save_checkpoint_sharded
+
+            path = save_checkpoint_sharded(self.ckpt_dir, self.state,
+                                           self.train_metrics,
+                                           self.val_metrics)
+            if self.verbose and self.is_primary:
+                print(f"Saved checkpoint: {path}")
+            return path
         if not self.is_primary:
             return None  # state is replicated; process 0's copy suffices
         path = ckpt_lib.save_checkpoint(self.ckpt_dir, self.state,
@@ -141,17 +164,58 @@ class Trainer:
 
     # -------------------------------------------------------------- figures
 
+    def _host_local(self, x, n: int = 8) -> Optional[np.ndarray]:
+        """First n samples of a batch as host numpy on THIS process. Global
+        (non-addressable) arrays are assembled from local replica-0 shards
+        only — no collectives, so process 0 can call this alone."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shards = [s for s in x.addressable_shards if s.replica_id == 0]
+            if not shards:
+                return None
+            order = sorted(shards, key=lambda s: (s.index[0].start or 0))
+            return np.concatenate(
+                [np.asarray(s.data) for s in order], axis=0)[:n]
+        return np.asarray(jax.device_get(x))[:n]
+
+    def _local_params(self):
+        """Host copy of the params from local shards, or None when the
+        params are genuinely sharded (each local shard is a slice) — then
+        no single process can render figures and offline analysis applies."""
+        leaves = []
+        for leaf in jax.tree_util.tree_leaves(self.state.params):
+            if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                shards = ([s for s in leaf.addressable_shards
+                           if s.replica_id == 0]
+                          or list(leaf.addressable_shards))
+                data = shards[0].data
+                if data.shape != leaf.shape:
+                    return None  # tensor-parallel slice, not a replica
+                leaves.append(np.asarray(data))
+            else:
+                leaves.append(leaf)
+        treedef = jax.tree_util.tree_structure(self.state.params)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     def _save_recon_figure(self, batch) -> None:
-        if self.recon_fn is None:
+        # Pod runs included: process 0 renders from its LOCAL batch shard
+        # and its local (replicated) param copy — reference artifact parity
+        # (per-checkpoint figures, src/train_utils.py:317-387) without any
+        # cross-process collectives.
+        if self.recon_fn is None or not self.is_primary:
             return
+        x_full = batch["spectral"] if isinstance(batch, dict) else batch
+        x = self._host_local(x_full, 8)
+        if x is None:
+            return
+        rng = jax.random.fold_in(self.eval_rng, self.step)
         if self.multiprocess:
-            # the batch is globally sharded (not addressable from one
-            # process); figures come from offline analysis in pod runs
-            return
-        x = batch["spectral"] if isinstance(batch, dict) else batch
-        x = np.asarray(jax.device_get(x))[:8]
-        out = self.recon_fn(self.state.params, self.place_fn(x),
-                            jax.random.fold_in(self.eval_rng, self.step))
+            params = self._local_params()
+            if params is None:
+                return  # figures come from offline analysis for TP pods
+            # local jit: runs on this process's devices only
+            out = jax.jit(self.recon_fn)(params, x, rng)
+        else:
+            out = self.recon_fn(self.state.params, self.place_fn(x), rng)
         if isinstance(out, dict):
             recon = np.asarray(jax.device_get(out["reconstruction"]))
             l2_preds = {p: np.asarray(jax.device_get(v))
@@ -159,11 +223,15 @@ class Trainer:
             l2_targets = None
             if isinstance(batch, dict) and self.l2_products:
                 from tempo_tpu.models.vae_l2 import avg_pool_4x_nan
-                l2_targets = {
-                    p: np.asarray(jax.device_get(
-                        avg_pool_4x_nan(batch[p][:8].astype(np.float32))))
-                    for p in self.l2_products if p in batch
-                }
+                l2_targets = {}
+                for p in self.l2_products:
+                    if p not in batch:
+                        continue
+                    local = self._host_local(batch[p], 8)
+                    if local is None:
+                        continue
+                    l2_targets[p] = np.asarray(
+                        avg_pool_4x_nan(local.astype(np.float32)))
             save_reconstruction_figure(self.figures_dir, self.step, x, recon,
                                        l2_targets=l2_targets, l2_preds=l2_preds)
         else:
@@ -228,6 +296,7 @@ class Trainer:
                 vm = self.validate(val_iter_factory())
                 if vm:
                     self.val_metrics.append({"step": self.step, **vm})
+                    self._emit(self.step, vm, "val")
                     if self.verbose:
                         msg = ", ".join(f"{k}={v:.4f}" for k, v in vm.items())
                         print(f"Step {self.step}: {msg}")
@@ -256,3 +325,8 @@ class Trainer:
     def _log_ema(self) -> None:
         ema = {k: float(v) for k, v in jax.device_get(self.state.ema).items()}
         self.train_metrics.append({"step": self.step, **ema})
+        self._emit(self.step, ema, "train")
+
+    def _emit(self, step: int, metrics: Dict[str, float], kind: str) -> None:
+        for sink in self.metric_sinks:
+            sink(step, metrics, kind)

@@ -56,9 +56,14 @@ def main() -> None:
         while True:
             yield rng.standard_normal((4, 16, 16, 8)).astype(np.float32)
 
+    def recon_fn(params, x, rng):
+        return model.apply({"params": params}, x, rng=rng,
+                           method=AutoencoderKL.reconstruct)
+
     trainer = Trainer(vae_loss_fn(model), tx, state, outdir,
                       save_every=2, val_every=1000, log_every=1,
                       plot_every=1000, place_fn=make_place_fn(mesh),
+                      recon_fn=recon_fn,  # pod-run figures from local shards
                       verbose=False)
     trainer.train(local_batches(), None, n_steps=4)
 
@@ -67,6 +72,26 @@ def main() -> None:
     leaf_sum = sum(float(np.abs(np.asarray(jax.device_get(leaf))).sum())
                    for leaf in jax.tree_util.tree_leaves(trainer.state.params))
     print(f"RESULT pid={pid} leafsum={leaf_sum:.6f}", flush=True)
+
+    # Cooperative sharded checkpoint across BOTH processes: each writes the
+    # shards it owns into the shared files; restore streams per-device
+    # slices back with the live state's shardings and must match bitwise.
+    from tempo_tpu.train.sharded_checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    from pathlib import Path
+
+    path = save_checkpoint_sharded(Path(outdir) / "checkpoints",
+                                   trainer.state)
+    restored, _, _ = load_checkpoint_sharded(path, trainer.state)
+    match = all(
+        bool(np.array_equal(np.asarray(a.addressable_shards[0].data),
+                            np.asarray(b.addressable_shards[0].data)))
+        for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                        jax.tree_util.tree_leaves(restored.params)))
+    print(f"RESULT pid={pid} shardedmatch={match}", flush=True)
 
 
 if __name__ == "__main__":

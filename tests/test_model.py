@@ -2,6 +2,7 @@
 reference baseline, BASELINE.md), shapes at the default architecture, loss
 reduction semantics, and the L2 variant's masked losses."""
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -222,3 +223,54 @@ def test_remat_matches_no_remat():
                     jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_padded_boundary_matches_unpadded():
+    """The permanently lane-padded boundary-conv parameterization
+    (VAEConfig.pad_boundary / boundary_pad) must be a pure performance
+    reparameterization: identical parameter tree, bit-identical loss (the
+    error maps are sliced to the logical width before the reductions), and
+    gradients equal up to conv reassociation. Uses a ragged channel count
+    (260 -> pads to 384) large enough to activate padding."""
+    import dataclasses
+
+    cfg_pad = VAEConfig(shape=(260, 16, 16), chs=(32, 24, 16), z_channels=4,
+                        embed_dim=4, n_attention_heads=2, norm_groups=4,
+                        compute_dtype="float32", pad_boundary=True)
+    cfg_raw = dataclasses.replace(cfg_pad, pad_boundary=False)
+    assert cfg_pad.boundary_pad == 384
+    # tiny/aligned configs never pad
+    assert TINY.boundary_pad is None
+    assert VAEConfig(shape=(256, 16, 16)).boundary_pad is None
+    # the flagship spectral width pads to the next lane multiple
+    assert VAEConfig().boundary_pad == 1152
+
+    m_pad, m_raw = AutoencoderKL(cfg_pad), AutoencoderKL(cfg_raw)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 260),
+                          jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    params = m_pad.init(jax.random.PRNGKey(0), x, rng=rng)["params"]
+    # same (logical-shape) parameter tree drives both models
+    chex.assert_trees_all_equal_shapes(
+        params, m_raw.init(jax.random.PRNGKey(0), x, rng=rng)["params"])
+
+    def loss(model, p):
+        return model.apply({"params": p}, x, rng,
+                           method=AutoencoderKL.get_loss)
+
+    (lp, mp), (lr, mr) = loss(m_pad, params), loss(m_raw, params)
+    assert float(lp) == float(lr)  # bit-identical reductions
+    np.testing.assert_allclose(float(mp["pixel_mse"]),
+                               float(mr["pixel_mse"]), rtol=0)
+
+    g_pad = jax.grad(lambda p: loss(m_pad, p)[0])(params)
+    g_raw = jax.grad(lambda p: loss(m_raw, p)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pad),
+                    jax.tree_util.tree_leaves(g_raw)):
+        scale = float(np.max(np.abs(np.asarray(b)))) + 1e-30
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5)
+
+    # public API stays at the logical width
+    recon, _ = m_pad.apply({"params": params}, x, rng)
+    assert recon.shape == x.shape

@@ -86,3 +86,14 @@ def test_two_process_dcn_training(tmp_path):
     assert [c.name for c in ckpts] == ["ckpt_step=000002.msgpack",
                                        "ckpt_step=000004.msgpack"]
     assert (outdir / "metrics.json").exists()
+
+    # pod-run recon figures: process 0 rendered from its LOCAL batch shard
+    figures = sorted((outdir / "figures").glob("reconstructions_step_*.png"))
+    assert [f.name for f in figures] == ["reconstructions_step_000002.png",
+                                         "reconstructions_step_000004.png"]
+
+    # the cooperative sharded checkpoint round-tripped on both processes
+    shards = outdir / "checkpoints" / "ckpt_step=000004.shards"
+    assert (shards / "index.json").exists()
+    for pid in (0, 1):
+        assert results[pid]["shardedmatch"] == "True"

@@ -348,3 +348,77 @@ def test_granule_codec_sharded_matches_unsharded():
     dec_plain = plain.decode(lat_plain)
     dec_sharded = sharded.decode(lat_plain)
     np.testing.assert_allclose(dec_sharded, dec_plain, atol=2e-4, rtol=1e-3)
+
+
+def test_sharded_checkpoint_tp_roundtrip(tmp_path):
+    """Sharded checkpointing (train/sharded_checkpoint.py) must save and
+    restore a tensor-parallel state WITHOUT ever assembling a full leaf on
+    the host: save streams addressable shards into per-leaf .npy files,
+    restore reads per-device slices from memmaps. Pinned: bitwise value
+    roundtrip, preserved channel shardings, ckpt_step= enumeration parity,
+    and no jax.device_get of the big leaves."""
+    from tempo_tpu.parallel.tensor import create_tp_mesh, shard_state_tp, MODEL_AXIS
+    from tempo_tpu.train import checkpoint as ckpt_lib
+    from tempo_tpu.train.sharded_checkpoint import (
+        is_sharded_checkpoint,
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+    from tempo_tpu.train.step import init_ema
+
+    model, tx, state = _setup()
+    mesh = create_tp_mesh(n_model=4)
+    state = shard_state_tp(state, mesh)
+    state = init_ema(state, ["loss"])
+    # advance one step so the optimizer moments are non-trivial
+    step = make_train_step(vae_loss_fn(model), tx, donate=False)
+    batch = make_place_fn(mesh)(np.random.default_rng(9).standard_normal(
+        (8, 16, 16, 8)).astype(np.float32))
+    state, _ = step(state, batch)
+
+    # device_get must only ever see the small host header (rng)
+    real_device_get = jax.device_get
+
+    def guarded_device_get(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        assert all(np.size(np.shape(l)) == 0 or np.prod(np.shape(l)) <= 64
+                   for l in leaves), "full-leaf host gather in sharded save"
+        return real_device_get(x)
+
+    jax.device_get = guarded_device_get
+    try:
+        path = save_checkpoint_sharded(tmp_path, state,
+                                       train_metrics=[{"step": 1, "loss": 1.0}])
+    finally:
+        jax.device_get = real_device_get
+
+    assert is_sharded_checkpoint(path)
+    assert ckpt_lib.list_checkpoints(tmp_path) == [path]
+    assert ckpt_lib.latest_checkpoint(tmp_path) == path
+    assert ckpt_lib.checkpoint_step(path) == 1
+
+    # fresh template with the target shardings (as a resumed run builds it)
+    model2, tx2, template = _setup()
+    template = shard_state_tp(template, mesh)
+    template = init_ema(template, ["loss"])
+    restored, train_m, _ = load_checkpoint_sharded(path, template)
+    assert train_m == [{"step": 1, "loss": 1.0}]
+    assert int(restored.step) == 1
+
+    # bitwise value roundtrip + sharding preservation
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    kernel = restored.params["encoder"]["conv_in"]["kernel"]
+    assert kernel.sharding.spec[-1] == MODEL_AXIS
+
+    # the generic loader dispatches on the directory format too, and the
+    # restored state steps (resume path)
+    restored2, _, _ = ckpt_lib.load_checkpoint(path, template)
+    restored2 = ckpt_lib.place_like(restored2, template)
+    state_next, metrics = step(restored2, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state_next.step) == 2

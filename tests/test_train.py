@@ -188,3 +188,55 @@ def test_no2_probe_head():
                         method=AutoencoderKL.predict_no2)
     pred = model.apply(params, x, method=AutoencoderKL.predict_no2)
     assert pred.shape == (2, 4, 4, 1)
+
+
+def test_trainer_sharded_format_and_metric_sinks(tmp_path):
+    """checkpoint_format='sharded' writes .shards directory checkpoints the
+    resume machinery recognizes, and metric sinks receive every train/val
+    emission (JsonlSink streams them to a .jsonl)."""
+    from tempo_tpu.train.metrics import JsonlSink
+    from tempo_tpu.train.sharded_checkpoint import is_sharded_checkpoint
+
+    model, tx, state = _tiny_setup()
+    seen = []
+    sink_path = tmp_path / "logs" / "metrics.jsonl"
+    trainer = Trainer(
+        loss_fn=vae_loss_fn(model), tx=tx, state=state,
+        output_dir=tmp_path, save_every=5, val_every=5, log_every=2,
+        plot_every=100, n_val_batches=2, verbose=False,
+        checkpoint_format="sharded",
+        metric_sinks=[JsonlSink(sink_path),
+                      lambda step, m, kind: seen.append((step, kind))],
+    )
+    trainer.train(iter(_batches(100)),
+                  val_iter_factory=lambda: _batches(2, seed=7), n_steps=10)
+
+    ckpts = sorted((tmp_path / "checkpoints").iterdir())
+    assert [c.name for c in ckpts] == ["ckpt_step=000005.shards",
+                                       "ckpt_step=000010.shards"]
+    assert all(is_sharded_checkpoint(c) for c in ckpts)
+
+    # sinks saw train emissions (every log_every) and val emissions
+    assert (5, "val") in seen and (10, "train") in seen
+    lines = [json.loads(l) for l in sink_path.read_text().splitlines()]
+    assert {l["kind"] for l in lines} == {"train", "val"}
+    assert any("loss" in l for l in lines)
+
+    # auto-resume finds the sharded checkpoint
+    from tempo_tpu.train.checkpoint import latest_checkpoint
+
+    latest = latest_checkpoint(tmp_path / "checkpoints")
+    assert latest is not None and latest.name == "ckpt_step=000010.shards"
+    _, tx2, state2 = _tiny_setup()
+    trainer2 = Trainer(loss_fn=vae_loss_fn(model), tx=tx2, state=state2,
+                       output_dir=tmp_path, verbose=False)
+    trainer2.load_checkpoint(latest)
+    assert trainer2.step == 10
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    import pytest
+    with pytest.raises(ValueError):
+        Trainer(loss_fn=vae_loss_fn(model), tx=tx, state=state,
+                output_dir=tmp_path, checkpoint_format="bogus")
