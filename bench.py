@@ -28,7 +28,8 @@ BASELINE_PATCHES_PER_SEC = 43.0
 
 
 def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
-                compute_dtype: str = "bfloat16") -> dict:
+                compute_dtype: str = "bfloat16", pad_boundary: bool = True,
+                remat: bool = False) -> dict:
     """batch 64/chip measured fastest on v5e (285/293/303/304 patches/s at
     batch 16/32/64/128 round 1; 307 vs 291 at 64 vs 128 round 2 with the
     lane-split boundary convs)."""
@@ -38,7 +39,8 @@ def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
     from tempo_tpu.train.step import make_train_step, vae_loss_fn
 
     n_chips = jax.device_count()
-    config = VAEConfig(compute_dtype=compute_dtype)  # flagship 1028-ch model
+    config = VAEConfig(compute_dtype=compute_dtype,  # flagship 1028-ch model
+                       pad_boundary=pad_boundary, remat=remat)
     model = AutoencoderKL(config)
 
     global_batch = batch_size * n_chips
@@ -183,6 +185,12 @@ def main():
                     help="comma-separated batch sizes; value = best")
     ap.add_argument("--l2", action="store_true",
                     help="benchmark the L2-supervised multi-task step")
+    ap.add_argument("--no-pad", action="store_true",
+                    help="disable the lane-padded boundary convs (A/B)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder/decoder activations")
+    ap.add_argument("--no-encode", action="store_true",
+                    help="skip the encode benchmark (faster A/B runs)")
     args = ap.parse_args()
     try:
         _main(args)
@@ -198,7 +206,13 @@ def main():
 
 
 def _main(args):
-    bench_fn = bench_train_l2 if args.l2 else bench_train
+    if args.l2:
+        bench_fn = bench_train_l2
+    else:
+        import functools
+        bench_fn = functools.partial(bench_train,
+                                     pad_boundary=not args.no_pad,
+                                     remat=args.remat)
     metric = ("l2_train_patches_per_sec_per_chip" if args.l2
               else "train_patches_per_sec_per_chip")
     if args.sweep:
@@ -227,7 +241,7 @@ def _main(args):
     }
     if sweep_detail:
         result["detail"]["batch_sweep"] = sweep_detail
-    if not args.l2:
+    if not args.l2 and not args.no_encode:
         encode = bench_encode()
         result["detail"]["encode_patches_per_sec"] = round(
             encode["encode_patches_per_sec"], 2)

@@ -129,6 +129,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             seed=seed,
             dtype=data_cfg.get("buffer_dtype", "float32"),
             mesh=mesh,
+            # 'process' scales the input path with hosts: disjoint per-host
+            # shard ownership, local pools, zero cross-process batch traffic
+            partition=data_cfg.get("partition", "replicate"),
         )
     else:
         train_loader = TileLoader(

@@ -100,6 +100,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             dtype=data_cfg.get("buffer_dtype", "float32"),
             mesh=mesh,
             l2_products=products,
+            partition=data_cfg.get("partition", "replicate"),
         )
     else:
         loader_seed = seed + 1000 * jax.process_index()

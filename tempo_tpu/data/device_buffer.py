@@ -68,14 +68,34 @@ class DeviceTileBuffer:
         device: Optional[jax.Device] = None,
         mesh=None,
         l2_products: Optional[Sequence[str]] = None,
+        partition: str = "replicate",
     ):
         """With a mesh, the pool is replicated and each gathered batch is
         sharded on its leading axis over the mesh's 'data' axis (each chip
         materializes only its local batch slice), so the device buffer also
-        feeds data-parallel training."""
+        feeds data-parallel training.
+
+        partition (multi-process meshes only):
+        - 'replicate' (default): every process loads identical pools from
+          the same seeded stream and issues identical global gather
+          indices. Simple, but aggregate shuffle-buffer capacity does not
+          grow with hosts and every host re-reads the same files.
+        - 'process': the input path SCALES with hosts — each process owns a
+          disjoint slice of the shard files (files[rank::nproc]), keeps an
+          independent pool on its LOCAL devices, gathers its local share of
+          the batch there, and the global [B, ...] batch is assembled from
+          the local per-device pieces with zero cross-process traffic
+          (jax.make_array_from_single_device_arrays). Aggregate pool
+          capacity and disk bandwidth grow linearly with process count.
+        """
         self.data_dir = Path(data_dir)
         self.files = _find_shards(data_dir)
         self.batch_size = batch_size
+        if partition not in ("replicate", "process"):
+            raise ValueError(
+                f"FATAL: partition must be 'replicate' or 'process', "
+                f"got {partition!r}")
+        self.partition = partition
         self.slots = slots
         self.swap_every = swap_every
         self.dtype = jnp.dtype(dtype)
@@ -98,18 +118,48 @@ class DeviceTileBuffer:
         self._device = device
         self._mesh = mesh
         self._multiprocess = False
+        self._process_partitioned = False
         if mesh is not None:
             from tempo_tpu.parallel.mesh import batch_sharding, replicate_sharding
 
-            self._sharding = replicate_sharding(mesh)   # pool: replicated
             self._batch_sharding = batch_sharding(mesh)  # gather output
             self._multiprocess = len(
                 {d.process_index for d in mesh.devices.flat}) > 1
             if self._multiprocess and seed is None:
                 raise ValueError(
                     "FATAL: DeviceTileBuffer on a multi-process mesh needs a "
-                    "seed — every process must load identical pools and "
-                    "issue identical gather indices")
+                    "seed — the pool/gather streams must be reproducibly "
+                    "coordinated across processes")
+            if self._multiprocess and partition == "process":
+                self._process_partitioned = True
+                rank, nproc = jax.process_index(), jax.process_count()
+                if len(self.files) < nproc:
+                    raise ValueError(
+                        f"FATAL: {len(self.files)} shard files cannot be "
+                        f"partitioned over {nproc} processes")
+                # disjoint per-host file ownership; independent streams
+                self.files = self.files[rank::nproc]
+                self._rng = np.random.default_rng(seed + 1_000_003 * rank)
+                self._swap_rng = np.random.default_rng(
+                    seed + 7919 + 1_000_003 * rank)
+                n_local, n_global = (jax.local_device_count(),
+                                     len(mesh.devices.flat))
+                if batch_size * n_local % n_global:
+                    raise ValueError(
+                        f"FATAL: global batch {batch_size} must divide "
+                        f"evenly over {n_global} devices")
+                self._local_batch = batch_size * n_local // n_global
+                # pool lives on LOCAL devices only; the local gather shards
+                # over them, and its per-device pieces are re-labelled as
+                # this process's shards of the global batch
+                from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+                local_mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+                self._sharding = NamedSharding(local_mesh, PartitionSpec())
+                self._local_batch_sharding = NamedSharding(
+                    local_mesh, PartitionSpec("data"))
+            else:
+                self._sharding = replicate_sharding(mesh)  # pool: replicated
         else:
             self._sharding = None
             self._batch_sharding = None
@@ -127,7 +177,10 @@ class DeviceTileBuffer:
         pool = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
         self._pool = self._put(pool)  # leaves: [S, T, ...]
 
-        if self._batch_sharding is not None:
+        if self._process_partitioned:
+            gather_jit = functools.partial(
+                jax.jit, out_shardings=self._local_batch_sharding)
+        elif self._batch_sharding is not None:
             gather_jit = functools.partial(
                 jax.jit, out_shardings=self._batch_sharding)
         else:
@@ -171,7 +224,27 @@ class DeviceTileBuffer:
             item[product] = np.asarray(l2, dtype=self.dtype)
         return item
 
+    def _globalize(self, local_tree):
+        """Re-label a locally-gathered batch (sharded over this process's
+        devices) as this process's addressable piece of the GLOBAL batch
+        array — no data movement, no cross-process traffic."""
+
+        def _one(local):
+            shards = sorted(local.addressable_shards,
+                            key=lambda s: (s.index[0].start or 0))
+            global_shape = (self.batch_size,) + local.shape[1:]
+            return jax.make_array_from_single_device_arrays(
+                global_shape, self._batch_sharding,
+                [s.data for s in shards])
+
+        return jax.tree_util.tree_map(_one, local_tree)
+
     def _put(self, tree):
+        if self._process_partitioned:
+            # the pool is process-local: replicate over LOCAL devices only
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), self._sharding),
+                tree)
         if self._sharding is not None:
             if self._multiprocess:
                 # replicated global array assembled from each process's
@@ -238,11 +311,16 @@ class DeviceTileBuffer:
         elif not self._deterministic:
             self._finish_swap_if_ready()
 
+        n = (self._local_batch if self._process_partitioned
+             else self.batch_size)
         slot_idx = jnp.asarray(self._rng.integers(
-            0, self.slots, size=self.batch_size), jnp.int32)
+            0, self.slots, size=n), jnp.int32)
         tile_idx = jnp.asarray(self._rng.integers(
-            0, self.tiles_per_shard, size=self.batch_size), jnp.int32)
-        return self._gather(self._pool, slot_idx, tile_idx)
+            0, self.tiles_per_shard, size=n), jnp.int32)
+        batch = self._gather(self._pool, slot_idx, tile_idx)
+        if self._process_partitioned:
+            return self._globalize(batch)
+        return batch
 
     def close(self) -> None:
         if self._pending is not None:

@@ -111,3 +111,101 @@ def make_tile_shards(root: Path, n_files: int = 3, tiles_per_file: int = 8,
             fields[rng.random(fields.shape) < 0.05] = np.nan
             np.save(l2_dir / f"{i:05d}.npy", fields)
     return root
+
+
+# --------------------------------------------------------------------------
+# Structured corpus: the positive-control science dataset.
+#
+# Real TEMPO L2 products are physically coupled to the radiance spectra the
+# VAE compresses — that is why the reference's probes reach R^2 up to 0.93
+# (reference: docs/logs/2025-09-29/21-48_probe_analysis_figures.md:34-39,
+# probes built in src/scripts/linear_probe_analysis.py:649-778). Without
+# NASA data that coupling must be synthesized: here K smooth latent fields
+# phi_k drive BOTH the log-radiance (as spectral mixing weights) and the
+# four L2 products (as monotone per-product functions), so any encoder that
+# reconstructs the spectra must carry phi in its latents, and probes from
+# latents to L2 must succeed IF AND ONLY IF training actually worked
+# (the encoder's final conv is zero-initialized, so R^2 is 0 by
+# construction at init).
+
+
+def _smooth_field(rng: np.random.Generator, n_mirror: int, n_track: int,
+                  corr: float = 10.0) -> np.ndarray:
+    """Zero-mean, unit-std random field with ~corr-pixel correlation length
+    (FFT-space Gaussian low-pass; numpy only)."""
+    noise = rng.standard_normal((n_mirror, n_track))
+    fy = np.fft.fftfreq(n_mirror)[:, None]
+    fx = np.fft.fftfreq(n_track)[None, :]
+    filt = np.exp(-2.0 * (np.pi * corr) ** 2 * (fy ** 2 + fx ** 2))
+    field = np.fft.ifft2(np.fft.fft2(noise) * filt).real
+    field -= field.mean()
+    std = field.std()
+    return (field / std if std > 0 else field).astype(np.float32)
+
+
+def structured_granule(rng: np.random.Generator, n_mirror: int, n_track: int,
+                       n_spectral: int, n_factors: int = 4,
+                       signal: float = 0.5, noise: float = 0.02):
+    """Radiance + L2 fields driven by shared smooth latent factors.
+
+    log(radiance) = a0(lambda) + signal * sum_k phi_k(x,y) s_k(lambda) + eps,
+    with smooth spectral signatures s_k; the products are monotone functions
+    of individual phi_k in each product's natural range (heavy-tailed
+    columns for NO2/HCHO, ~300 DU for O3, (0,1) fraction for CLDO4).
+    Returns (radiance [M,T,S] float32, {product: field [M,T]}).
+    """
+    phis = [_smooth_field(rng, n_mirror, n_track) for _ in range(n_factors)]
+    lam = np.linspace(0.0, 1.0, n_spectral)
+    a0 = np.log(5e10) + 0.2 * np.sin(2 * np.pi * lam)
+    sigs = [np.cos(np.pi * (k + 1) * lam + rng.uniform(0, np.pi))
+            for k in range(n_factors)]
+    log_rad = a0[None, None, :] + noise * rng.standard_normal(
+        (n_mirror, n_track, n_spectral))
+    for phi, sig in zip(phis, sigs):
+        log_rad += signal * phi[:, :, None] * sig[None, None, :]
+    rad = np.exp(log_rad).astype(np.float32)
+
+    fields = {
+        "NO2": (2e15 * phis[0 % n_factors]).astype(np.float32),
+        "O3TOT": (300.0 + 30.0 * phis[1 % n_factors]).astype(np.float32),
+        "HCHO": (8e15 * phis[2 % n_factors]).astype(np.float32),
+        "CLDO4": np.clip(0.5 + 0.3 * phis[3 % n_factors],
+                         0.02, 0.98).astype(np.float32),
+    }
+    return rad, fields
+
+
+def make_structured_corpus(root: Path, n_granules: int = 8,
+                           n_mirror: int = 72, n_track: int = 80,
+                           n_spectral: int = 16,
+                           l2_products: Optional[Sequence[str]] = None,
+                           nan_fraction: float = 0.05,
+                           signal: float = 0.5,
+                           seed: int = 0) -> Dict[str, Path]:
+    """Same directory/file layout as make_granule_corpus, but radiance and
+    L2 fields share latent structure (see structured_granule) — the corpus
+    for the positive-control probe validation."""
+    rng = np.random.default_rng(seed)
+    l1_raw = root / "l1" / "raw"
+    l1_raw.mkdir(parents=True, exist_ok=True)
+    paths = {"l1": root / "l1"}
+
+    products = list(l2_products or [])
+    for g in range(n_granules):
+        stem = f"TEMPO_RAD_L1_V03_2025010{g % 10}T{g:02d}0000Z_S001G0{g}.nc"
+        rad, fields = structured_granule(rng, n_mirror, n_track, n_spectral,
+                                         signal=signal)
+        with h5py.File(l1_raw / stem, "w") as f:
+            f.create_group(DEFAULT_BAND).create_dataset("radiance", data=rad)
+        for product in products:
+            l2_dir = root / f"l2_{product}" / "raw"
+            l2_dir.mkdir(parents=True, exist_ok=True)
+            data = fields[product]
+            mask = rng.random(data.shape) < nan_fraction
+            data = np.where(mask, np.float32(-1e30), data)
+            l2_name = stem.replace("_RAD_L1_", f"_{product}_L2_")
+            with h5py.File(l2_dir / l2_name, "w") as f:
+                f.create_group("product").create_dataset(
+                    L2_FIELDS[product], data=data)
+            paths[product] = root / f"l2_{product}"
+    return paths

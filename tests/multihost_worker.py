@@ -93,6 +93,36 @@ def main() -> None:
                         jax.tree_util.tree_leaves(restored.params)))
     print(f"RESULT pid={pid} shardedmatch={match}", flush=True)
 
+    # Process-partitioned device buffer: disjoint per-host shard files,
+    # local pools, global batches assembled with no cross-process traffic;
+    # the DP step over those batches must still reduce globally (identical
+    # losses on both processes).
+    from jax.experimental import multihost_utils
+
+    from tempo_tpu.data.device_buffer import DeviceTileBuffer
+    from tempo_tpu.data.synthetic import make_tile_shards
+
+    shard_dir = Path(outdir) / "shards"
+    if pid == 0:
+        make_tile_shards(shard_dir, n_files=6, tiles_per_file=8, tile=16,
+                         n_spectral=8, seed=5)
+    multihost_utils.sync_global_devices("shards-ready")
+
+    buf = DeviceTileBuffer(shard_dir, batch_size=8, slots=2, swap_every=4,
+                           seed=21, mesh=mesh, partition="process")
+    owned = sorted(Path(p).name for p in buf.files)
+    print(f"RESULT pid={pid} owned={','.join(owned)}", flush=True)
+
+    from tempo_tpu.train.step import make_train_step
+
+    step = make_train_step(vae_loss_fn(model), tx)
+    dstate = trainer.state
+    buf_losses = []
+    for _ in range(3):
+        dstate, metrics = step(dstate, next(buf))
+        buf_losses.append(round(float(metrics["loss"]), 4))
+    print(f"RESULT pid={pid} buflosses={buf_losses}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -119,3 +119,82 @@ def test_flagship_parity_artifacts_beat_north_star():
         data = json.loads(path.read_text())
         assert data["n_steps"] >= 50
         assert data["rel_err_max"] < 1e-3, (path.name, data["rel_err_max"])
+
+
+def test_flagship_parity_artifacts_are_fresh():
+    """Freshness guard for the archived flagship parity artifacts: the
+    oracle's initial weights are DETERMINISTIC (torch.manual_seed(0) +
+    generator-seeded perturbation, tools/parity_flagship.py), so the
+    CURRENT code's step-0 flagship loss can be recomputed live and compared
+    against the archived oracle trajectory. If the model/loss code drifts
+    after the artifacts were captured, this fails even though the archived
+    jax_*.json files still 'beat' the target."""
+    import json
+
+    art_dir = Path(__file__).parent.parent / "artifacts" / "parity"
+    oracle = json.loads((art_dir / "oracle_perturbed.json").read_text())
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    try:
+        import parity_flagship as pf
+    finally:
+        sys.path.pop(0)
+
+    # reconstruct the oracle's exact perturbed init (deterministic seeds)
+    ref_mod = _load_ref()
+    torch.manual_seed(0)
+    enc_dec_params = dict(
+        shape=pf.FLAGSHIP["shape"], chs=list(pf.FLAGSHIP["chs"]),
+        attn_sizes=[], mid_attn=True, num_res_blocks=1, dropout_prob=0.0,
+        z_channels=pf.FLAGSHIP["z_channels"], double_z=True,
+        n_attention_heads=pf.FLAGSHIP["n_attention_heads"],
+        norm_groups=pf.FLAGSHIP["norm_groups"], norm_eps=1e-6,
+        norm_affine=True, act="gelu", conv_kernel_size=3,
+        conv_padding_mode="zeros")
+    ref = ref_mod.AutoencoderKL(enc_dec_params=enc_dec_params,
+                                embed_dim=pf.FLAGSHIP["embed_dim"],
+                                nll_loss_type="l1", kl_weight=1e-6)
+    assert sum(p.numel() for p in ref.parameters()) == oracle["n_params"]
+    pf.perturb_zero_params(ref, torch)
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        cfg = VAEConfig(shape=pf.FLAGSHIP["shape"], chs=pf.FLAGSHIP["chs"],
+                        z_channels=pf.FLAGSHIP["z_channels"],
+                        embed_dim=pf.FLAGSHIP["embed_dim"],
+                        n_attention_heads=pf.FLAGSHIP["n_attention_heads"],
+                        norm_groups=pf.FLAGSHIP["norm_groups"],
+                        compute_dtype="float32")
+        model = AutoencoderKL(cfg)
+        template = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, pf.TILE, pf.TILE, pf.N_SPECTRAL), jnp.float32),
+                rng=jax.random.PRNGKey(1))["params"])
+        params = serialization.from_state_dict(
+            jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype),
+                                   template),
+            params_from_torch_state_dict(ref.state_dict()))
+
+        batch = pf.make_batches()[0]
+
+        @jax.jit
+        def step0_metrics(params, batch):
+            recon, posterior = model.apply({"params": params}, batch,
+                                           sample_posterior=False)
+            _, metrics = vae_loss(batch, recon, posterior, params["logvar"],
+                                  cfg)
+            return metrics
+
+        metrics = jax.device_get(step0_metrics(params, jnp.asarray(batch)))
+    finally:
+        jax.config.update("jax_default_matmul_precision", None)
+
+    rel = abs(float(metrics["loss"]) - oracle["loss"][0]) / abs(
+        oracle["loss"][0])
+    rel_nll = abs(float(metrics["nll_loss"]) - oracle["nll"][0]) / abs(
+        oracle["nll"][0])
+    assert rel < 1e-3 and rel_nll < 1e-3, (
+        f"live step-0 flagship loss drifted from the archived oracle: "
+        f"rel={rel:.2e} rel_nll={rel_nll:.2e} — regenerate artifacts/parity "
+        f"with tools/parity_flagship.py")

@@ -97,3 +97,11 @@ def test_two_process_dcn_training(tmp_path):
     assert (shards / "index.json").exists()
     for pid in (0, 1):
         assert results[pid]["shardedmatch"] == "True"
+
+    # process-partitioned input path: disjoint per-host file ownership,
+    # identical (globally-reduced) losses over the assembled batches
+    owned0 = set(results[0]["owned"].split(","))
+    owned1 = set(results[1]["owned"].split(","))
+    assert owned0 and owned1 and not owned0 & owned1
+    assert len(owned0 | owned1) == 6
+    assert results[0]["buflosses"] == results[1]["buflosses"]
