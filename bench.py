@@ -148,7 +148,7 @@ def bench_train_l2(batch_size: int = 64, warmup: int = 3, iters: int = 10,
     }
 
 
-def bench_encode(batch_size: int = 32, warmup: int = 2, iters: int = 10,
+def bench_encode(batch_size: int = 64, warmup: int = 2, iters: int = 10,
                  compute_dtype: str = "bfloat16") -> dict:
     from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
 

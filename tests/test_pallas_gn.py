@@ -65,3 +65,34 @@ def test_shape_gate():
     assert not pallas_gn_supported((8, 64, 64, 100), jnp.bfloat16)  # lanes
     assert not pallas_gn_supported((1, 2048, 2048, 512), jnp.bfloat16)  # VMEM
     assert not pallas_gn_supported((8, 64, 512), jnp.bfloat16)  # rank
+
+
+def test_fused_gn_act_conv_matches_reference():
+    """Rung-2 kernel (GN+GELU+3x3 conv, ops/pallas_gn_conv.py) numerics in
+    interpret mode: must match the XLA chain to bf16 tolerance, including
+    the SAME zero-padding halo semantics at the image top/bottom, and be
+    differentiable (rematerialized XLA backward)."""
+    import numpy as np
+    from tempo_tpu.ops.pallas_gn_conv import _reference_chain, fused_gn_act_conv
+
+    rng = np.random.default_rng(0)
+    b, h, w, c, f = 2, 16, 16, 256, 128
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    kern = jnp.asarray((rng.standard_normal((3, 3, c, f)) * 0.02
+                        ).astype(np.float32))
+    cb = jnp.asarray(0.01 * rng.standard_normal(f).astype(np.float32))
+
+    got = fused_gn_act_conv(x, scale, bias, kern, cb, 8, 1e-6, "gelu", True)
+    want = _reference_chain(x, scale, bias, kern, cb, 8, 1e-6, "gelu")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=2e-2)
+
+    g = jax.grad(lambda kk: jnp.sum(fused_gn_act_conv(
+        x, scale, bias, kk, cb, 8, 1e-6, "gelu", True).astype(jnp.float32))
+    )(kern)
+    assert g.shape == kern.shape
+    assert bool(jnp.all(jnp.isfinite(g)))
