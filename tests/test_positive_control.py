@@ -143,3 +143,51 @@ def test_positive_control_probe_r2(science_dir):
     metrics = json.loads((root / "run" / "metrics.json").read_text())
     losses = [m["loss"] for m in metrics["train"]]
     assert losses[-1] < 0.75 * losses[0]
+
+
+def test_positive_control_l2_supervised(science_dir):
+    """The L2-supervised variant on the same structured corpus: warm-start
+    from the base checkpoint (reference pattern: fresh AdamW over VAE+head,
+    src/scripts/train_vae_l2_supervised.py:573-585), train the multi-task
+    objective, and probe from ITS latents. The supervised latents must
+    carry the planted signal at least as directionally as the base run
+    (reference table: supervised ~ base, slightly better on NO2)."""
+    from tempo_tpu.cli.train_vae_l2 import main as train_l2_main
+
+    root = science_dir
+    train_l2_main(_write(root / "train_l2.yaml", {
+        "output_dir": str(root / "run_l2"),
+        "seed": 42,
+        "data": {"data_dir": str(root / "tiles"),
+                 "batch_size": 16, "min_buffer_size": 32,
+                 "loader_threads": 1},
+        "model": {"shape": [N_SPECTRAL, TILE, TILE], "embed_dim": 6,
+                  "chs": [16, 12, 8], "z_channels": 6, "norm_groups": 4,
+                  "n_attention_heads": 2, "compute_dtype": "float32",
+                  "init_from_vae_checkpoint": str(
+                      root / "run" / "checkpoints" /
+                      "ckpt_step=004000.msgpack")},
+        "l2": {"components": PRODUCTS, "mlp_hidden": [32, 32]},
+        "optimizer": {"lr": 1e-3, "betas": [0.9, 0.95],
+                      "weight_decay": 0.05},
+        "training": {"n_steps": 800, "save_every": 800, "val_every": 10_000,
+                     "log_every": 50, "plot_every": 10_000},
+    }))
+
+    # probe from the L2-supervised checkpoint (vae subtree load)
+    results = _run_probes(
+        root,
+        str(root / "run_l2" / "checkpoints" / "ckpt_step=000800.msgpack"),
+        "probes_l2")
+    r2 = {p: results[p]["r2_score"] for p in PRODUCTS}
+    print(f"L2-supervised probe R^2: {r2}")
+    # warm-started + explicitly supervised on the products: the signal must
+    # survive (directional parity with the base run's criteria)
+    assert max(r2.values()) > 0.4, r2
+    assert sum(v > 0.15 for v in r2.values()) >= 2, r2
+
+    # the supervised head itself learned: per-product losses decreased
+    metrics = json.loads((root / "run_l2" / "metrics.json").read_text())
+    first, last = metrics["train"][0], metrics["train"][-1]
+    assert sum(last[f"{p}_loss"] < first[f"{p}_loss"]
+               for p in PRODUCTS) >= 3, (first, last)
