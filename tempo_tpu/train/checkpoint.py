@@ -153,6 +153,12 @@ def load_params(path: Union[str, Path], params_template: Any) -> Any:
         from tempo_tpu.interop.torch_ckpt import params_for_template
 
         return params_for_template(path, params_template)
+    if path.is_dir():
+        # sharded checkpoint directory: read only the params leaves from
+        # the per-leaf .npy files (analysis needs no optimizer state)
+        from tempo_tpu.train.sharded_checkpoint import load_params_sharded
+
+        return load_params_sharded(path, params_template)
     raw = serialization.msgpack_restore(path.read_bytes())
     return serialization.from_state_dict(params_template, raw["params"])
 

@@ -215,3 +215,32 @@ def load_checkpoint_sharded(path: Union[str, Path],
         ema=ema,
     )
     return state, index.get("train_metrics", []), index.get("val_metrics", [])
+
+
+def load_params_sharded(path: Union[str, Path], params_template: Any) -> Any:
+    """Model parameters only, from a sharded checkpoint directory — the
+    analysis/serving entry (mirrors checkpoint.load_params). Loads each
+    params leaf from its .npy; leaves land on the default device (analysis
+    runs single-chip; use load_checkpoint_sharded for training resume with
+    mesh shardings)."""
+    path = Path(path)
+    index = json.loads((path / _INDEX).read_text())
+    prefix = "['params']"
+    restored = {}
+    for entry in index["leaves"]:
+        if not entry["key"].startswith(prefix):
+            continue
+        restored[entry["key"][len(prefix):]] = np.load(path / entry["file"])
+
+    flat = jax.tree_util.tree_flatten_with_path(
+        serialization.to_state_dict(params_template))
+    leaves = []
+    for kp, leaf in flat[0]:
+        key = jax.tree_util.keystr(kp)
+        if key not in restored:
+            raise ValueError(
+                f"FATAL: params leaf {key} missing from sharded checkpoint "
+                f"{path}")
+        leaves.append(restored[key])
+    sd = jax.tree_util.tree_unflatten(flat[1], leaves)
+    return serialization.from_state_dict(params_template, sd)

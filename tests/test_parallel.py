@@ -422,3 +422,50 @@ def test_sharded_checkpoint_tp_roundtrip(tmp_path):
     state_next, metrics = step(restored2, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state_next.step) == 2
+
+
+def test_tensor_parallel_with_padded_boundary():
+    """Tensor parallelism must compose with the lane-padded boundary-conv
+    parameterization (models/vae.py pad_boundary): the in-jit zero-pad of
+    the channel-sharded conv_out kernel goes through XLA SPMD, and the
+    sharded step must match single-device numerics at a padded-eligible
+    (ragged, >=256-channel) spectral width."""
+    from tempo_tpu.parallel.tensor import create_tp_mesh, shard_state_tp
+
+    cfg = VAEConfig(shape=(260, 16, 16), chs=(32, 24, 16), z_channels=4,
+                    embed_dim=4, n_attention_heads=2, norm_groups=4,
+                    compute_dtype="float32", pad_boundary=True)
+    assert cfg.boundary_pad == 384
+    model = AutoencoderKL(cfg)
+    x = jnp.zeros((8, 16, 16, 260), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x,
+                        rng=jax.random.PRNGKey(1))["params"]
+    tx = make_optimizer(lr=1e-3)
+    step = make_train_step(vae_loss_fn(model), tx, donate=False)
+    batch_np = np.random.default_rng(3).standard_normal(
+        (8, 16, 16, 260)).astype(np.float32)
+
+    state_1, metrics_1 = step(
+        create_train_state(params, tx, jax.random.PRNGKey(42)),
+        jnp.asarray(batch_np))
+
+    mesh = create_tp_mesh(n_model=4)
+    state_tp = shard_state_tp(
+        create_train_state(params, tx, jax.random.PRNGKey(42)), mesh)
+    # the ragged 260-channel conv_out output axis (260 % 4 == 0) really is
+    # sharded — the pad composes with a distributed kernel
+    kernel = state_tp.params["decoder"]["conv_out"]["kernel"]
+    assert not kernel.sharding.is_fully_replicated
+    state_tp, metrics_tp = step(state_tp, make_place_fn(mesh)(batch_np))
+
+    # the summed loss reassociates across the extra SPMD partials (532k
+    # terms dominated by the per-element logvar constant); the parity
+    # criterion is the global <1e-3, and pixel_mse (O(1) scale) is tighter
+    np.testing.assert_allclose(float(metrics_1["loss"]),
+                               float(metrics_tp["loss"]), rtol=1e-3)
+    np.testing.assert_allclose(float(metrics_1["pixel_mse"]),
+                               float(metrics_tp["pixel_mse"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)

@@ -240,3 +240,17 @@ def test_trainer_sharded_format_and_metric_sinks(tmp_path):
     with pytest.raises(ValueError):
         Trainer(loss_fn=vae_loss_fn(model), tx=tx, state=state,
                 output_dir=tmp_path, checkpoint_format="bogus")
+
+
+def test_load_params_from_sharded_checkpoint(tmp_path):
+    """Analysis CLIs consume sharded checkpoint directories through the
+    same load_params entry as msgpack/.pt files."""
+    from tempo_tpu.train.checkpoint import load_params
+    from tempo_tpu.train.sharded_checkpoint import save_checkpoint_sharded
+
+    model, tx, state = _tiny_setup()
+    path = save_checkpoint_sharded(tmp_path, state)
+    params = load_params(path, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
