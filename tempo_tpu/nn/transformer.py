@@ -1,0 +1,543 @@
+"""Decoder-style Transformer (flax.linen, TPU-first).
+
+TPU-native re-design of the reference toolkit's GPT
+(reference: src/mltools/networks/networks.py:418-754 `Transformer`,
+src/mltools/networks/blocks.py:208-474 `LayerNorm`/`SelfAttentionBlock`/
+`MLPBlock`/`TransformerBlock`, src/mltools/models/configs.py `GPTConfig`)
+with identical math but an XLA-friendly execution model:
+
+- The hot attention path lowers through `jax.nn.dot_product_attention`
+  (fused flash-style kernel on TPU); the *interpretability* path — the
+  reference's `cached_forward` (activation capture) and `patched_forward`
+  (activation patching, `network_tools.py:65-76 patch_interpolate`) — runs
+  a manual einsum attention that exposes the score/weight tensors. Capture
+  is a flax `'hiddens'` collection (jit-safe), patching is a pytree input
+  (dict name -> (array, weight)); both use the reference's key naming
+  ("x_0", "attn_res^1", "k_rope^2", ...) so probes written against the
+  torch toolkit translate 1:1.
+- Generation uses a preallocated static-shape KV cache driven by
+  `lax.scan` — one compiled decode step, O(T) per token — instead of the
+  reference's full re-forward per token (networks.py:727-754, O(T^2)).
+- RoPE (blocks.py:252-292): adjacent-pair rotation, computed in float32,
+  theta = base^(-2j/dim); applied to q and k before the head transpose.
+- Init parity (networks.py:606-612, 476-478): normal(0.02) linears and
+  embeddings, zero biases, residual projections scaled by 1/sqrt(2L).
+- LayerNorm eps 1e-5 with optional bias (blocks.py:208-217); exact-erf
+  GELU in the MLP; softmax/LayerNorm statistics in float32.
+
+Three embedding modes, as in the reference (networks.py:429-466, 480-527):
+tokenized (embedding table + weight-tied lm_head), untokenized
+(`TiedLinear` — one kernel used forward and transposed,
+networks.py:405-416), and a dict of named embedder/unembedder modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tempo_tpu.ops.norms import gelu_exact
+
+Dtype = Any
+Taps = Optional[Dict[str, Tuple[jax.Array, float]]]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """Mirrors the reference GPTConfig (src/mltools/models/configs.py)."""
+
+    in_size: int = 50304          # vocab size (tokenized) or feature dim
+    block_size: int = 1024
+    n_layer: int = 12
+    n_head: int = 12
+    n_embd: int = 768
+    rmlp: float = 4               # MLP hidden = rmlp * n_embd
+    dropout: float = 0.0
+    bias: bool = True
+    causal: bool = True
+    pos_embed: bool = True
+    rope: bool = False
+    tokenized: bool = True
+    mlp: bool = True
+    ln: bool = True
+    tie_emb: bool = True
+    rope_base: float = 10_000.0
+    compute_dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.n_embd % self.n_head == 0
+        return self.n_embd // self.n_head
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def _patch(x: jax.Array, name: str, patches: Taps) -> jax.Array:
+    """Activation patching: x + w * (patch - x) when `name` is patched
+    (reference: src/mltools/networks/network_tools.py:65-76)."""
+    if patches and name in patches:
+        patch, w = patches[name]
+        x = x + w * (patch.astype(x.dtype) - x)
+    return x
+
+
+def rope_cache(seq_len: int, head_dim: int,
+               base: float = 10_000.0) -> jax.Array:
+    """[seq_len, head_dim//2, 2] (cos, sin) table, float32
+    (reference: blocks.py:252-259 create_rope_cache)."""
+    theta = jnp.exp(jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                    * (-math.log(base) / head_dim))
+    idx_theta = jnp.arange(seq_len, dtype=jnp.float32)[:, None] * theta[None]
+    return jnp.stack([jnp.cos(idx_theta), jnp.sin(idx_theta)], axis=-1)
+
+
+def apply_rope(x: jax.Array, cache: jax.Array) -> jax.Array:
+    """Rotate adjacent feature pairs. x: [B, T, n_head, head_dim]; cache:
+    [T, head_dim//2, 2] (already gathered at the right positions).
+    Float32 rotation, cast back (reference: blocks.py:265-292)."""
+    b, t, n, d = x.shape
+    xs = x.astype(jnp.float32).reshape(b, t, n, d // 2, 2)
+    cos = cache[None, :, None, :, 0]
+    sin = cache[None, :, None, :, 1]
+    out = jnp.stack([xs[..., 0] * cos - xs[..., 1] * sin,
+                     xs[..., 1] * cos + xs[..., 0] * sin], axis=-1)
+    return out.reshape(b, t, n, d).astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """eps=1e-5, optional bias, float32 statistics (blocks.py:208-217)."""
+
+    bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        h = x.astype(jnp.float32)
+        mean = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5) * scale
+        if self.bias:
+            h = h + self.param("bias", nn.initializers.zeros, (c,))
+        return h.astype(self.dtype)
+
+
+def _linear_init(std: float = 0.02):
+    return nn.initializers.normal(stddev=std)
+
+
+class SelfAttention(nn.Module):
+    """Causal multi-head attention with optional RoPE and KV cache.
+
+    Fused-kernel path (`jax.nn.dot_product_attention`) when no taps are
+    requested; manual einsum path exposing "attn_um"/"attn" when capturing
+    or patching (reference: blocks.py:219-410)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 taps: Taps = None, capture: bool = False, suffix: str = "",
+                 cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 input_pos: Optional[jax.Array] = None):
+        cfg = self.config
+        b, t, c = x.shape
+        n, hd = cfg.n_head, cfg.head_dim
+
+        qkv = nn.Dense(3 * c, use_bias=cfg.bias, dtype=cfg.dtype,
+                       kernel_init=_linear_init(), name="c_attn")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, n, hd)
+        k = k.reshape(b, t, n, hd)
+        v = v.reshape(b, t, n, hd)
+
+        def tap(val, name):
+            name = name + suffix
+            if capture:
+                self.sow("hiddens", name, val,
+                         init_fn=lambda: None, reduce_fn=lambda _, y: y)
+            return _patch(val, name, taps)
+
+        if cfg.rope:
+            # pre-rotation tensors are tappable as kT/qT, post as k_rope/
+            # q_rope (blocks.py:338-347); positions follow the cache offset.
+            k = tap(k, "kT")
+            q = tap(q, "qT")
+            full = rope_cache(cfg.block_size, hd, cfg.rope_base)
+            if input_pos is None:
+                rc = full[:t]
+            else:
+                rc = jax.lax.dynamic_slice_in_dim(full, input_pos, t, axis=0)
+            q = apply_rope(q, rc)
+            k = apply_rope(k, rc)
+            # reference taps k_rope/q_rope/v in [B, n_head, T, hd] layout
+            q = tap(q.transpose(0, 2, 1, 3), "q_rope").transpose(0, 2, 1, 3)
+            k = tap(k.transpose(0, 2, 1, 3), "k_rope").transpose(0, 2, 1, 3)
+            v = tap(v.transpose(0, 2, 1, 3), "v").transpose(0, 2, 1, 3)
+        else:
+            q = tap(q.transpose(0, 2, 1, 3), "q").transpose(0, 2, 1, 3)
+            k = tap(k.transpose(0, 2, 1, 3), "k").transpose(0, 2, 1, 3)
+            v = tap(v.transpose(0, 2, 1, 3), "v").transpose(0, 2, 1, 3)
+
+        new_cache = None
+        if cache is not None:
+            # static-shape KV cache: write this call's keys/values at
+            # input_pos, attend over the valid prefix only.
+            ck, cv = cache
+            pos = input_pos if input_pos is not None else jnp.int32(0)
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype),
+                                                     pos, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype),
+                                                     pos, axis=1)
+            new_cache = (ck, cv)
+            s = ck.shape[1]
+            kv_idx = jnp.arange(s)
+            q_idx = pos + jnp.arange(t)
+            # causal over absolute positions; never attend beyond pos+t
+            mask = kv_idx[None, :] <= q_idx[:, None]
+            scores = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
+                                ck.astype(jnp.float32)) / math.sqrt(hd)
+            scores = jnp.where(mask[None, None], scores, -jnp.inf)
+            weights = jax.nn.softmax(scores, axis=-1)
+            y = jnp.einsum("bnqk,bknh->bqnh", weights,
+                           cv.astype(jnp.float32)).astype(cfg.dtype)
+        elif capture or taps:
+            # manual path exposing the score matrix (blocks.py:352-363)
+            scores = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
+                                k.astype(jnp.float32)) / math.sqrt(hd)
+            scores = tap(scores, "attn_um")
+            if cfg.causal:
+                mask = jnp.tril(jnp.ones((t, t), bool))
+                scores = jnp.where(mask[None, None], scores, -jnp.inf)
+            weights = jax.nn.softmax(scores, axis=-1)
+            weights = tap(weights, "attn")
+            if cfg.dropout > 0.0 and not deterministic:
+                weights = nn.Dropout(cfg.dropout)(weights,
+                                                  deterministic=False)
+            y = jnp.einsum("bnqk,bknh->bqnh", weights,
+                           v.astype(jnp.float32)).astype(cfg.dtype)
+        else:
+            if cfg.dropout > 0.0 and not deterministic:
+                # attention-weight dropout needs the materialized weights
+                scores = jnp.einsum("bqnh,bknh->bnqk",
+                                    q.astype(jnp.float32),
+                                    k.astype(jnp.float32)) / math.sqrt(hd)
+                if cfg.causal:
+                    mask = jnp.tril(jnp.ones((t, t), bool))
+                    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+                weights = nn.Dropout(cfg.dropout)(
+                    jax.nn.softmax(scores, axis=-1), deterministic=False)
+                y = jnp.einsum("bnqk,bknh->bqnh", weights,
+                               v.astype(jnp.float32)).astype(cfg.dtype)
+            else:
+                y = jax.nn.dot_product_attention(
+                    q, k, v, is_causal=cfg.causal)
+
+        y = y.reshape(b, t, c)
+        y = tap(y, "y_out")
+        y = nn.Dense(c, use_bias=cfg.bias, dtype=cfg.dtype,
+                     kernel_init=_linear_init(
+                         0.02 / math.sqrt(2 * cfg.n_layer)),
+                     name="c_proj")(y)
+        if cfg.dropout > 0.0 and not deterministic:
+            y = nn.Dropout(cfg.dropout)(y, deterministic=False)
+        y = tap(y, "y_out_proj")
+        return y, new_cache
+
+
+class MLPBlock(nn.Module):
+    """fc -> exact GELU -> proj -> dropout (blocks.py:419-438)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        d_hidden = int(cfg.rmlp * cfg.n_embd)
+        assert d_hidden == cfg.rmlp * cfg.n_embd, "rmlp*n_embd must be int"
+        h = nn.Dense(d_hidden, use_bias=cfg.bias, dtype=cfg.dtype,
+                     kernel_init=_linear_init(), name="c_fc")(x)
+        h = gelu_exact(h)
+        h = nn.Dense(cfg.n_embd, use_bias=cfg.bias, dtype=cfg.dtype,
+                     kernel_init=_linear_init(
+                         0.02 / math.sqrt(2 * cfg.n_layer)),
+                     name="c_proj")(h)
+        if cfg.dropout > 0.0 and not deterministic:
+            h = nn.Dropout(cfg.dropout)(h, deterministic=False)
+        return h
+
+
+class TransformerBlock(nn.Module):
+    """pre-LN attention + MLP residual block (blocks.py:440-474)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 taps: Taps = None, capture: bool = False, suffix: str = "",
+                 cache=None, input_pos=None):
+        cfg = self.config
+
+        def tap(val, name):
+            name = name + suffix
+            if capture:
+                self.sow("hiddens", name, val,
+                         init_fn=lambda: None, reduce_fn=lambda _, y: y)
+            return _patch(val, name, taps)
+
+        h = LayerNorm(cfg.bias, cfg.dtype, name="ln_1")(x) if cfg.ln else x
+        attn_res, new_cache = SelfAttention(cfg, name="attn")(
+            h, deterministic, taps, capture, suffix, cache, input_pos)
+        attn_res = tap(attn_res, "attn_res")
+        x = x + attn_res
+        x = tap(x, "x_attn")
+        if cfg.mlp:
+            h = LayerNorm(cfg.bias, cfg.dtype, name="ln_2")(x) if cfg.ln else x
+            mlp_res = MLPBlock(cfg, name="mlp")(h, deterministic)
+            mlp_res = tap(mlp_res, "mlp_res")
+            x = x + mlp_res
+        return x, new_cache
+
+
+class TiedLinear(nn.Module):
+    """One kernel used forward ([.., in] -> [.., embd]) and transposed
+    ([.., embd] -> [.., in]) for untokenized in/out (networks.py:405-416)."""
+
+    in_size: int
+    n_embd: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", _linear_init(),
+                                 (self.in_size, self.n_embd))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x.astype(self.dtype) @ self.kernel.astype(self.dtype)
+
+    def transposed(self, y: jax.Array) -> jax.Array:
+        return y.astype(self.dtype) @ self.kernel.T.astype(self.dtype)
+
+
+class Transformer(nn.Module):
+    """GPT with the reference's three IO modes (networks.py:418-527).
+
+    `embedders`/`unembedders`: optional dicts of named flax modules; input
+    is then a dict of arrays, every key's embedding is summed, and
+    `unembedders['x']` maps the final hidden state out. An embedder named
+    'pos' overrides the learned position table."""
+
+    config: TransformerConfig
+    embedders: Optional[Dict[str, nn.Module]] = None
+    unembedders: Optional[Dict[str, nn.Module]] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, taps: Taps = None,
+                 capture: bool = False, suffix: str = "",
+                 cache: Optional[Tuple] = None,
+                 input_pos: Optional[jax.Array] = None):
+        cfg = self.config
+        assert (self.embedders is None) == (self.unembedders is None)
+
+        def tap(val, name):
+            name = name + suffix
+            if capture:
+                self.sow("hiddens", name, val,
+                         init_fn=lambda: None, reduce_fn=lambda _, y: y)
+            return _patch(val, name, taps)
+
+        wte = tied = None
+        if self.embedders is not None:
+            assert isinstance(x, dict)
+            x_dict = {k: jnp.asarray(v) for k, v in x.items()}
+            t = next(iter(x_dict.values())).shape[1]
+            b = next(iter(x_dict.values())).shape[0]
+            emb = jnp.zeros((b, t, cfg.n_embd), cfg.dtype)
+            if cfg.pos_embed:
+                pos = jnp.arange(t)
+                if "pos" in self.embedders:
+                    emb = emb + self.embedders["pos"](pos)
+                else:
+                    wpe = self.param("wpe", _linear_init(),
+                                     (cfg.block_size, cfg.n_embd))
+                    emb = emb + wpe[pos].astype(cfg.dtype)
+            for key in x_dict:
+                assert key != "pos"
+                emb = emb + self.embedders[key](x_dict[key])
+            h = emb
+        else:
+            x = jnp.asarray(x)
+            t = x.shape[1]
+            assert t <= cfg.block_size, (
+                f"sequence length {t} > block size {cfg.block_size}")
+            if cfg.tokenized:
+                wte = self.param("wte", _linear_init(),
+                                 (cfg.in_size, cfg.n_embd))
+                tok_emb = jnp.take(wte, x, axis=0).astype(cfg.dtype)
+            else:
+                tied = TiedLinear(cfg.in_size, cfg.n_embd, cfg.dtype,
+                                  name="wte")
+                tok_emb = tied(x)
+            tok_emb = tap(tok_emb, "tok_emb")
+            if cfg.pos_embed:
+                wpe = self.param("wpe", _linear_init(),
+                                 (cfg.block_size, cfg.n_embd))
+                pos = (jnp.arange(t) if input_pos is None
+                       else input_pos + jnp.arange(t))
+                pos_emb = tap(jnp.take(wpe, pos, axis=0).astype(cfg.dtype),
+                              "pos_emb")
+                tok_emb = tok_emb + pos_emb[None]
+            h = tok_emb
+        if cfg.dropout > 0.0 and not deterministic:
+            h = nn.Dropout(cfg.dropout)(h, deterministic=False)
+
+        h = tap(h, "x_0")
+        new_caches = []
+        for i in range(cfg.n_layer):
+            layer_cache = None if cache is None else cache[i]
+            h, layer_new = TransformerBlock(cfg, name=f"h_{i}")(
+                h, deterministic, taps, capture,
+                suffix=suffix + "^" + str(i + 1),
+                cache=layer_cache, input_pos=input_pos)
+            h = tap(h, f"x_{i + 1}")
+            new_caches.append(layer_new)
+
+        if cfg.ln:
+            h = LayerNorm(cfg.bias, cfg.dtype, name="ln_f")(h)
+        h = tap(h, "x_ln_f")
+
+        if self.unembedders is not None:
+            out = self.unembedders["x"](h)
+        elif cfg.tokenized:
+            if cfg.tie_emb:
+                out = h @ wte.T.astype(cfg.dtype)
+            else:
+                out = nn.Dense(cfg.in_size, use_bias=False, dtype=cfg.dtype,
+                               kernel_init=_linear_init(), name="lm_head")(h)
+        else:
+            out = tied.transposed(h)
+        if cache is not None:
+            return out, tuple(new_caches)
+        return out
+
+
+def flatten_hiddens(tree: Dict) -> Dict[str, jax.Array]:
+    """Collapse the module-scoped 'hiddens' collection into the reference's
+    flat naming (networks.py:529-564: "tok_emb", "x_0", "attn_res^1",
+    "k_rope^2", ...). The per-block "^i" suffixes already make every sown
+    name unique, so the flax scope path carries no information."""
+    flat: Dict[str, jax.Array] = {}
+
+    def rec(t):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                rec(v)
+            else:
+                flat[k] = v
+
+    rec(tree)
+    return flat
+
+
+def cached_forward(model: "Transformer", params, x, **kwargs):
+    """Forward returning (out, flat hiddens dict) — the reference's
+    activation-capture entry (networks.py:529-564 cached_forward)."""
+    out, state = model.apply({"params": params}, x, capture=True,
+                             mutable=["hiddens"], **kwargs)
+    return out, flatten_hiddens(state["hiddens"])
+
+
+def init_cache(config: TransformerConfig, batch_size: int,
+               dtype=jnp.float32) -> Tuple:
+    """Preallocated per-layer (k, v) buffers [B, block_size, n_head, hd]."""
+    shape = (batch_size, config.block_size, config.n_head, config.head_dim)
+    return tuple((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                 for _ in range(config.n_layer))
+
+
+def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
+             rng: jax.Array, temperature: float = 1.0,
+             top_k: Optional[int] = None) -> jax.Array:
+    """Sample continuations with a KV cache: prefill once, then one
+    compiled single-token step per new token under `lax.scan`.
+
+    Functional upgrade of the reference's `generate`
+    (networks.py:727-754): same sampling semantics (temperature scaling,
+    optional top-k truncation, categorical sampling), but O(T) per token.
+    Requires len(idx) + max_new_tokens <= block_size (the reference
+    instead crops context — at serving scale, plan the cache)."""
+    cfg = model.config
+    assert cfg.tokenized, "generate requires a tokenized model"
+    b, t0 = idx.shape
+    assert t0 + max_new_tokens <= cfg.block_size, (
+        f"prompt {t0} + {max_new_tokens} new tokens exceeds block size "
+        f"{cfg.block_size}")
+
+    cache = init_cache(cfg, b)
+    logits, cache = model.apply(
+        {"params": params}, idx, cache=cache, input_pos=jnp.int32(0))
+
+    def sample(logits_last, key):
+        logits_last = logits_last.astype(jnp.float32) / temperature
+        if top_k is not None:
+            kth = jax.lax.top_k(logits_last,
+                                min(top_k, cfg.in_size))[0][..., -1:]
+            logits_last = jnp.where(logits_last < kth, -jnp.inf, logits_last)
+        return jax.random.categorical(key, logits_last, axis=-1)
+
+    rng, key = jax.random.split(rng)
+    next_tok = sample(logits[:, -1], key)
+
+    def step(carry, key):
+        tok, cache, pos = carry
+        logits, cache = model.apply(
+            {"params": params}, tok[:, None], cache=cache, input_pos=pos)
+        new_tok = sample(logits[:, -1], key)
+        return (new_tok, cache, pos + 1), tok
+
+    keys = jax.random.split(rng, max_new_tokens - 1) if max_new_tokens > 1 \
+        else jnp.zeros((0, 2), jnp.uint32)
+    (last, _, _), toks = jax.lax.scan(
+        step, (next_tok, cache, jnp.int32(t0)), keys)
+    return jnp.concatenate([idx, toks.T, last[:, None]], axis=1)
+
+
+def num_params(params, non_embedding: bool = True) -> int:
+    """Parameter count; subtracts the learned position table by default
+    (reference: src/mltools/models/gpt_model.py:14-20)."""
+    total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    if non_embedding and "wpe" in params:
+        total -= params["wpe"].size
+    return total
+
+
+def estimate_mfu(config: TransformerConfig, n_params: int,
+                 fwdbwd_per_iter: float, dt: float,
+                 peak_flops: float = 197e12) -> float:
+    """Model FLOPs utilization, PaLM appendix-B accounting
+    (reference: networks.py:710-725; peak defaults to v5e bf16 197
+    TFLOP/s instead of the reference's A100 312e12)."""
+    L, H, Q, T = (config.n_layer, config.n_head, config.head_dim,
+                  config.block_size)
+    flops_per_token = 6 * n_params + 12 * L * H * Q * T
+    flops_per_iter = flops_per_token * T * fwdbwd_per_iter
+    return (flops_per_iter / dt) / peak_flops
+
+
+def make_gpt_optimizer(params, weight_decay: float, learning_rate,
+                       betas: Tuple[float, float]):
+    """AdamW with weight decay only on >=2-D tensors (matmul kernels and
+    embeddings), none on biases/norm scales — the reference's two
+    optimizer groups (networks.py:683-709) as an optax decay mask."""
+    import optax
+
+    mask = jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+    return optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
+                       eps=1e-8, weight_decay=weight_decay, mask=mask)
