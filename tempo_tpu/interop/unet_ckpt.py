@@ -124,6 +124,37 @@ def params_from_torch_cunet(state_dict: Mapping[str, Any],
     return params
 
 
+def params_from_torch_vdm(state_dict: Mapping[str, Any],
+                          score_kind: str = "cunet",
+                          n_levels: int = 3,
+                          num_res_blocks: int = 1) -> Dict:
+    """Import a reference VDM checkpoint (score model + optionally learned
+    noise schedule, src/mltools/models/vdm_model.py:20-71 /
+    model_tools.py:33-110) into tempo_tpu.models.diffusion.VDM's tree."""
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v) for k, v in state_dict.items()}
+    score_sd = {k[len("score_model."):]: v for k, v in sd.items()
+                if k.startswith("score_model.")}
+    if score_kind == "cunet":
+        score = params_from_torch_cunet(score_sd, n_levels, num_res_blocks)
+    elif score_kind == "cmlp":
+        score = params_from_torch_cmlp(score_sd)
+    else:
+        raise ValueError(f"unknown score_kind {score_kind!r}")
+    params: Dict = {"score_model": score}
+    if "gamma.b" in sd:          # LearnedLinearSchedule
+        params["gamma"] = {"b": sd["gamma.b"], "w": sd["gamma.w"]}
+    elif "gamma.l1.weight" in sd:  # NNSchedule (MonotonicLinear stack)
+        params["gamma"] = {
+            "l1": {"kernel": _lin(sd["gamma.l1.weight"]),
+                   "bias": sd["gamma.l1.bias"]},
+            "l2": {"kernel": _lin(sd["gamma.l2.weight"]),
+                   "bias": sd["gamma.l2.bias"]},
+            "l3": {"kernel": _lin(sd["gamma.l3.weight"])},
+        }
+    return params
+
+
 def params_from_torch_cmlp(state_dict: Mapping[str, Any]) -> Dict:
     """Build the flax params tree for tempo_tpu.nn.unet.CMLP from the
     reference CMLP's state_dict (networks.py:296-403)."""
