@@ -1,0 +1,5 @@
+#!/bin/bash
+# Wrapper: forwards extra args (--overwrite --debug) to the CLI module.
+set -e
+cd "$(dirname "$0")/../.."
+python -m tempo_tpu.cli.train_diffusion configs/training/train_diffusion_latent.yaml "$@"

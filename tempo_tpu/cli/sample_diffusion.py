@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Generate tiles from a trained diffusion run.
+
+Consumes a `train_diffusion.py` output directory: reads its copied
+config to rebuild the score model / schedule / frozen-VAE codec, loads a
+checkpoint (latest by default), runs scanned ancestral sampling on
+device, decodes to pixel space when the run trained in latents, and
+writes `samples.npy` + a panel figure.
+
+Config:
+  run_dir: <train_diffusion output dir>
+  output_dir: <where to write samples>
+  checkpoint: <optional explicit ckpt path; default latest in run_dir>
+  n_samples: 16
+  n_steps: 250
+  seed: 0
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from tempo_tpu.cli import run_cli
+from tempo_tpu.utils.config import copy_config, load_config, require_keys, save_yaml
+from tempo_tpu.utils.dirs import init_directory
+
+
+def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None:
+    config = load_config(config_path)
+    require_keys(config, ["run_dir", "output_dir"])
+    run_dir = Path(config["run_dir"])
+    train_cfg_path = run_dir / "config.yaml"
+    if not train_cfg_path.exists():
+        raise ValueError(f"FATAL: no config.yaml in run dir: {run_dir}")
+    train_config = load_config(str(train_cfg_path))
+
+    output_dir = init_directory(Path(config["output_dir"]),
+                                overwrite=overwrite)
+    copy_config(config_path, output_dir)
+
+    ckpt = config.get("checkpoint")
+    if ckpt is None:
+        from tempo_tpu.train.checkpoint import latest_checkpoint
+
+        ckpt = latest_checkpoint(run_dir / "checkpoints")
+        if ckpt is None:
+            raise ValueError(f"FATAL: no checkpoints in {run_dir}")
+    print(f"Checkpoint: {ckpt}")
+
+    n_samples = int(config.get("n_samples", 16))
+    n_steps = int(config.get("n_steps", 250))
+    if debug:
+        n_samples, n_steps = min(n_samples, 4), min(n_steps, 20)
+    seed = int(config.get("seed", 0))
+
+    # rebuild the model exactly as train_diffusion.py did
+    from tempo_tpu.cli.train_diffusion import _build_codec, _save_sample_panel
+    from tempo_tpu.models.diffusion import VDM, sample as vdm_sample
+    from tempo_tpu.nn.unet import CUNet
+
+    info = load_config(str(run_dir / "training_info.yaml"))
+    model_shape = tuple(int(s) for s in info["model_shape"])
+    decode_fn = None
+    if info.get("latent_space"):
+        # the VAE input shape: probe one training tile shard is overkill —
+        # the codec only needs the latent for decode; reuse the train
+        # config's latent section with a dummy pixel shape inferred from
+        # the tiles dir
+        tile = next(Path(train_config["data"]["train_dir"]).glob("*.npy"))
+        px = np.load(tile, mmap_mode="r").shape[1:]
+        _, decode_fn, _ = _build_codec(train_config["latent"], (2, *px))
+
+    score_cfg = dict(train_config["score_model"])
+    score = CUNet(shape=model_shape,
+                  chs=tuple(score_cfg.get("chs", [64, 96])),
+                  norm_groups=score_cfg.get("norm_groups", 8),
+                  n_attention_heads=score_cfg.get("n_attention_heads", 4),
+                  dropout_prob=score_cfg.get("dropout_prob", 0.0),
+                  t_conditioning=True,
+                  t_embedding_dim=score_cfg.get("t_embedding_dim", 64))
+    diff_cfg = dict(train_config.get("diffusion", {}))
+    model = VDM(score,
+                noise_schedule=diff_cfg.get("noise_schedule", "fixed_linear"),
+                gamma_min=float(diff_cfg.get("gamma_min", -13.3)),
+                gamma_max=float(diff_cfg.get("gamma_max", 5.0)))
+
+    init_fn = jax.jit(lambda k1, k2, z: model.init(k1, z, rng=k2))
+    template = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                       np.zeros((2, *model_shape), np.float32))["params"]
+    from tempo_tpu.train.checkpoint import load_params
+
+    params = load_params(ckpt, template)
+
+    print(f"Sampling {n_samples} tiles over {n_steps} steps...")
+
+    @jax.jit
+    def _sample(p, rng):
+        z = vdm_sample(model, p, rng, batch_size=n_samples,
+                       n_sampling_steps=n_steps, sample_shape=model_shape)
+        return decode_fn(z) if decode_fn is not None else z
+
+    samples = np.asarray(jax.device_get(
+        _sample(params, jax.random.PRNGKey(seed))))
+    np.save(output_dir / "samples.npy", samples)
+    _save_sample_panel(output_dir / "samples.png", samples[:8])
+    save_yaml({"checkpoint": str(ckpt), "n_samples": n_samples,
+               "n_steps": n_steps, "seed": seed,
+               "sample_shape": list(samples.shape)},
+              output_dir / "sampling_info.yaml")
+    print(f"Wrote {samples.shape} -> {output_dir / 'samples.npy'}")
+    print("\nDone!")
+
+
+if __name__ == "__main__":
+    run_cli(main, "Sample tiles from a trained diffusion run")

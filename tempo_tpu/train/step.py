@@ -45,6 +45,27 @@ def vae_l2_loss_fn(model) -> LossFn:
     return loss_fn
 
 
+def diffusion_loss_fn(model, encode_fn=None) -> LossFn:
+    """Loss closure for a VDM (tempo_tpu.models.diffusion): batch is a
+    [B,H,W,C] array. With `encode_fn(batch, rng) -> latents` (a frozen-VAE
+    posterior sample) the diffusion trains in latent space; the encode is
+    fused INTO the jitted step, so every step sees a fresh posterior draw
+    (stronger than a pre-encoded dataset) and the pipeline stays one
+    compiled program. The ELBO is renamed 'loss' for the trainer's
+    plots/metrics contract."""
+
+    def loss_fn(params, batch, rng):
+        if encode_fn is not None:
+            rng, enc_rng = jax.random.split(rng)
+            batch = jax.lax.stop_gradient(encode_fn(batch, enc_rng))
+        loss, metrics = model.apply({"params": params}, batch, rng=rng)
+        metrics = dict(metrics)
+        metrics["loss"] = metrics.pop("elbo")
+        return loss, metrics
+
+    return loss_fn
+
+
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                     donate: bool = True, ema_alpha: float = 0.99):
     """Returns jitted (state, batch) -> (state, metrics).

@@ -398,3 +398,63 @@ def test_train_resume_auto_after_kill(pipeline_dir, tiles_dir):
     assert steps == sorted(steps)
     assert min(steps) <= 5 and max(steps) == 20
     assert 15 in steps  # phase-2 logging continued the same history
+
+
+def test_train_and_sample_diffusion(pipeline_dir, tiles_dir, run_dir):
+    """Latent-diffusion surface: train a VDM in the latent space of the
+    trained VAE checkpoint (frozen codec fused into the jitted step), then
+    regenerate tiles with the standalone sampling CLI."""
+    from tempo_tpu.cli.sample_diffusion import main as sample_main
+    from tempo_tpu.cli.train_diffusion import main as train_main
+
+    out = pipeline_dir / "run_diff"
+    cfg = _write(pipeline_dir / "train_diff.yaml", {
+        "output_dir": str(out),
+        "seed": 1,
+        "data": {
+            "train_dir": str(tiles_dir / "train"),
+            "val_dir": str(tiles_dir / "val"),
+            "batch_size": 8,
+            "min_buffer_size": 16,
+            "val_min_buffer_size": 8,
+        },
+        "latent": {
+            "vae_checkpoint": str(run_dir / "checkpoints"
+                                  / "ckpt_step=000030.msgpack"),
+            "vae_model": MODEL_CFG,
+        },
+        "score_model": {"chs": [12, 16], "norm_groups": 4,
+                        "n_attention_heads": 2, "t_embedding_dim": 8},
+        "diffusion": {"noise_schedule": "fixed_linear",
+                      "gamma_min": -8.0, "gamma_max": 4.0},
+        "optimizer": {"lr": 1e-3},
+        "training": {"n_steps": 20, "save_every": 10, "val_every": 10,
+                     "log_every": 5, "plot_every": 10},
+        "sampling": {"n_samples": 2, "n_steps": 8},
+    })
+    train_main(cfg)
+    metrics = json.loads((out / "metrics.json").read_text())
+    last = metrics["train"][-1]
+    for k in ("loss", "diffusion_loss", "latent_loss",
+              "reconstruction_loss"):
+        assert k in last
+    assert metrics["val"], "validation ran"
+    assert (out / "checkpoints" / "ckpt_step=000020.msgpack").exists()
+    # denoising-round-trip figures decode back to pixel space
+    assert list((out / "figures").glob("reconstructions_step_*.png"))
+    samples = np.load(out / "figures" / "samples_final.npy")
+    assert samples.shape == (2, TILE, TILE, N_SPECTRAL)
+    assert np.isfinite(samples).all()
+
+    scfg = _write(pipeline_dir / "sample_diff.yaml", {
+        "run_dir": str(out),
+        "output_dir": str(pipeline_dir / "diff_samples"),
+        "n_samples": 2,
+        "n_steps": 6,
+        "seed": 3,
+    })
+    sample_main(scfg)
+    s = np.load(pipeline_dir / "diff_samples" / "samples.npy")
+    assert s.shape == (2, TILE, TILE, N_SPECTRAL)
+    assert np.isfinite(s).all()
+    assert (pipeline_dir / "diff_samples" / "samples.png").exists()
