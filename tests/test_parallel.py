@@ -469,3 +469,52 @@ def test_tensor_parallel_with_padded_boundary():
                     jax.tree_util.tree_leaves(state_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_diffusion_data_parallel_matches_single_device():
+    """The latent-diffusion step (frozen-VAE encode fused in, VDM ELBO) is
+    DP-transparent too: same batch + same rng chain, sharded == unsharded.
+    Covers the antithetic time sampling (arange over the GLOBAL batch) and
+    the per-sample ELBO mean under sharding."""
+    from tempo_tpu.models.diffusion import VDM
+    from tempo_tpu.nn.unet import CUNet
+    from tempo_tpu.train.step import diffusion_loss_fn
+
+    vae_model, _, _ = _setup()
+    vae_params = vae_model.init(
+        jax.random.PRNGKey(3), jnp.zeros((8, 16, 16, 8), jnp.float32),
+        rng=jax.random.PRNGKey(4))["params"]
+
+    def encode_fn(x, rng):
+        return vae_model.apply({"params": vae_params}, x,
+                               method=AutoencoderKL.encode).sample(rng)
+
+    score = CUNet(shape=(4, 4, 4), chs=(8, 12), norm_groups=4,
+                  n_attention_heads=2, dropout_prob=0.0,
+                  t_conditioning=True, t_embedding_dim=8)
+    model = VDM(score, gamma_min=-8.0, gamma_max=4.0)
+    params = model.init(jax.random.PRNGKey(5),
+                        jnp.zeros((8, 4, 4, 4), jnp.float32),
+                        rng=jax.random.PRNGKey(6))["params"]
+    tx = make_optimizer(lr=1e-3)
+    loss_fn = diffusion_loss_fn(model, encode_fn)
+
+    batch_np = np.random.default_rng(7).standard_normal(
+        (8, 16, 16, 8)).astype(np.float32)
+
+    state_1 = create_train_state(params, tx, jax.random.PRNGKey(8))
+    step = make_train_step(loss_fn, tx, donate=False)
+    state_1, metrics_1 = step(state_1, jnp.asarray(batch_np))
+
+    state_8 = create_train_state(params, tx, jax.random.PRNGKey(8))
+    mesh = create_mesh()
+    state_8 = shard_state(state_8, mesh)
+    batch = make_place_fn(mesh)(batch_np)
+    state_8, metrics_8 = step(state_8, batch)
+
+    np.testing.assert_allclose(float(metrics_1["loss"]),
+                               float(metrics_8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
