@@ -24,7 +24,7 @@ from tempo_tpu.utils import figures as fig_kit
 from tempo_tpu.utils.config import copy_config, load_config, require_keys
 from tempo_tpu.utils.dirs import init_directory
 
-LOWER_IS_BETTER = {"mse", "mae"}
+LOWER_IS_BETTER = {"mse", "mae", "pk_err"}
 
 
 def _best_entry(results, metric):

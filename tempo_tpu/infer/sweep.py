@@ -56,7 +56,14 @@ def compute_metrics(gt: np.ndarray, recon: np.ndarray,
     return out
 
 
-def _make_batch_metrics_fn(model: AutoencoderKL):
+def _make_batch_metrics_fn(model: AutoencoderKL, with_pk: bool = False):
+    pk = None
+    if with_pk:
+        from tempo_tpu.analysis.spectrum import pk_op
+
+        # tiles are square; the operator is shape-only and built once
+        pk = pk_op(model.config.input_size, 2)
+
     @jax.jit
     def batch_metrics(params, batch, rng):
         recon = model.apply({"params": params}, batch, rng=rng,
@@ -66,7 +73,18 @@ def _make_batch_metrics_fn(model: AutoencoderKL):
         mse = jnp.mean(jnp.square(diff), axis=axes)
         mae = jnp.mean(jnp.abs(diff), axis=axes)
         psnr = 10.0 * jnp.log10(PSNR_MAX_VAL ** 2 / (mse + 1e-10))
-        return {"mse": mse, "mae": mae, "psnr": psnr}
+        out = {"mse": mse, "mae": mae, "psnr": psnr}
+        if pk is not None:
+            # spatial-spectrum fidelity: mean |log10 ratio| of the radial
+            # power spectra — pixel-MSE misses blur/over-smoothing that
+            # this catches (framework extra; no reference counterpart)
+            from tempo_tpu.analysis.spectrum import get_pk
+
+            pk_gt = get_pk(batch.astype(jnp.float32), pk)
+            pk_re = get_pk(recon.astype(jnp.float32), pk)
+            ratio = jnp.log10((pk_re + 1e-12) / (pk_gt + 1e-12))
+            out["pk_err"] = jnp.mean(jnp.abs(ratio), axis=(1, 2))
+        return out
 
     return batch_metrics
 
@@ -75,8 +93,12 @@ def evaluate_checkpoint(model: AutoencoderKL, params, val_tiles: np.ndarray,
                         batch_size: int = 8,
                         metrics_list: Sequence[str] = ("mse", "mae", "psnr"),
                         seed: int = 42) -> Dict[str, float]:
-    """val_tiles: [N, H, W, C]. Returns sample-averaged metrics."""
-    batch_metrics = _make_batch_metrics_fn(model)
+    """val_tiles: [N, H, W, C]. Returns sample-averaged metrics.
+
+    metrics_list may include 'pk_err' (mean |log10| radial power-spectrum
+    ratio, lower is better) alongside the reference's mse/mae/psnr."""
+    batch_metrics = _make_batch_metrics_fn(model,
+                                           with_pk="pk_err" in metrics_list)
     rng = jax.random.PRNGKey(seed)
     acc: Dict[str, List[float]] = {m: [] for m in metrics_list}
     n = val_tiles.shape[0]

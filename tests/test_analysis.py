@@ -128,3 +128,31 @@ def test_granule_codec_and_sweep(tmp_path, rng):
     metrics = evaluate_checkpoint(model, params, tiles, batch_size=2)
     assert set(metrics) == {"mse", "mae", "psnr"}
     np.testing.assert_allclose(metrics["mse"], np.mean(tiles ** 2), rtol=1e-4)
+
+
+def test_evaluate_checkpoint_pk_err_metric():
+    """'pk_err' sweep option: mean |log10| radial power-spectrum ratio.
+    A zero-init model reconstructs 0, so pk_recon is ~0 and the |log|
+    ratio is large; a perfect reconstruction gives exactly 0."""
+    import jax
+
+    from tempo_tpu.models.vae import AutoencoderKL
+
+    model = AutoencoderKL(TINY)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((2, 16, 16, 8), np.float32),
+                        rng=jax.random.PRNGKey(1))["params"]
+    rng = np.random.default_rng(11)
+    tiles = rng.standard_normal((4, 16, 16, 8)).astype(np.float32)
+    metrics = evaluate_checkpoint(model, params, tiles, batch_size=2,
+                                  metrics_list=("mse", "pk_err"))
+    assert set(metrics) == {"mse", "pk_err"}
+    assert metrics["pk_err"] > 1.0  # zero recon: spectra differ by >>10x
+
+    # identity sanity directly on the metric math
+    from tempo_tpu.analysis.spectrum import get_pk, pk_op
+
+    op = pk_op(16, 2)
+    pk = get_pk(np.asarray(tiles), op)
+    ratio = np.log10((np.asarray(pk) + 1e-12) / (np.asarray(pk) + 1e-12))
+    assert float(np.abs(ratio).max()) == 0.0
