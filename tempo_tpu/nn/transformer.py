@@ -485,7 +485,10 @@ def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
         {"params": params}, idx, cache=cache, input_pos=jnp.int32(0))
 
     def sample(logits_last, key):
-        logits_last = logits_last.astype(jnp.float32) / temperature
+        logits_last = logits_last.astype(jnp.float32)
+        if temperature == 0.0:  # greedy decode (static branch)
+            return jnp.argmax(logits_last, axis=-1)
+        logits_last = logits_last / temperature
         if top_k is not None:
             kth = jax.lax.top_k(logits_last,
                                 min(top_k, cfg.in_size))[0][..., -1:]

@@ -260,3 +260,47 @@ def test_num_params_and_mfu():
     mfu = estimate_mfu(jm.config, num_params(params), fwdbwd_per_iter=8,
                        dt=0.1)
     assert 0 < mfu < 1
+
+
+def test_gpt_trains_end_to_end():
+    """Training pin (no oracle needed): a tiny GPT memorizes a fixed token
+    sequence under the decay-split AdamW, with the whole optimization loop
+    scanned into one compiled program."""
+    import optax
+
+    cfg = TransformerConfig(in_size=17, block_size=8, n_layer=2, n_head=2,
+                            n_embd=16, dropout=0.0, bias=True)
+    model = Transformer(cfg)
+    seq = np.asarray([[3, 1, 4, 1, 5, 9, 2, 6],
+                      [2, 7, 1, 8, 2, 8, 1, 8]], np.int32)
+    x, y = jnp.asarray(seq[:, :-1]), jnp.asarray(seq[:, 1:])
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tx = make_gpt_optimizer(params, weight_decay=0.1, learning_rate=3e-3,
+                            betas=(0.9, 0.95))
+    opt_state = tx.init(params)
+
+    def loss_of(p):
+        logits = model.apply({"params": p}, x)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, y[..., None],
+                                             axis=-1))
+
+    @jax.jit
+    def train(params, opt_state):
+        def step(carry, _):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_of)(p)
+            updates, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+        (p, o), losses = jax.lax.scan(step, (params, opt_state), None,
+                                      length=150)
+        return p, losses
+
+    params, losses = train(params, opt_state)
+    assert float(losses[-1]) < 0.3 * float(losses[0])
+    assert np.all(np.isfinite(np.asarray(losses)))
+    # and the trained model continues the sequence greedily
+    out = generate(model, params, jnp.asarray(seq[:, :4]),
+                   max_new_tokens=3, rng=jax.random.PRNGKey(1),
+                   temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(out[:, 4:7]), seq[:, 4:7])
