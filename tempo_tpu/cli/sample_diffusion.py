@@ -61,17 +61,19 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     from tempo_tpu.models.diffusion import VDM, sample as vdm_sample
     from tempo_tpu.nn.unet import CUNet
 
-    info = load_config(str(run_dir / "training_info.yaml"))
-    model_shape = tuple(int(s) for s in info["model_shape"])
+    # training_info.yaml only exists for COMPLETED runs; a preempted or
+    # still-running run (the resume_from-supported state) must be
+    # sampleable too, so re-derive everything from the copied train config
+    latent_space = "latent" in train_config
+    tile = next(Path(train_config["data"]["train_dir"]).glob("*.npy"))
+    px = np.load(tile, mmap_mode="r").shape[1:]
     decode_fn = None
-    if info.get("latent_space"):
-        # the VAE input shape: probe one training tile shard is overkill —
-        # the codec only needs the latent for decode; reuse the train
-        # config's latent section with a dummy pixel shape inferred from
-        # the tiles dir
-        tile = next(Path(train_config["data"]["train_dir"]).glob("*.npy"))
-        px = np.load(tile, mmap_mode="r").shape[1:]
-        _, decode_fn, _ = _build_codec(train_config["latent"], (2, *px))
+    if latent_space:
+        _, decode_fn, z_shape = _build_codec(train_config["latent"],
+                                             (2, *px))
+        model_shape = tuple(int(s) for s in z_shape[1:])
+    else:
+        model_shape = tuple(int(s) for s in px)
 
     score_cfg = dict(train_config["score_model"])
     score = CUNet(shape=model_shape,

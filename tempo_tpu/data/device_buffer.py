@@ -132,6 +132,14 @@ class DeviceTileBuffer:
                     "coordinated across processes")
             if self._multiprocess and partition == "process":
                 self._process_partitioned = True
+                if dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                        "model", 1) > 1:
+                    raise ValueError(
+                        "FATAL: data.partition: process assumes a pure "
+                        "data-parallel mesh; with parallel.tensor > 1 the "
+                        "local-gather relabeling would shard what must be "
+                        "replicated along 'model' — use partition: "
+                        "replicate for tensor-parallel runs")
                 rank, nproc = jax.process_index(), jax.process_count()
                 if len(self.files) < nproc:
                     raise ValueError(
@@ -144,7 +152,7 @@ class DeviceTileBuffer:
                     seed + 7919 + 1_000_003 * rank)
                 n_local, n_global = (jax.local_device_count(),
                                      len(mesh.devices.flat))
-                if batch_size * n_local % n_global:
+                if batch_size % n_global:
                     raise ValueError(
                         f"FATAL: global batch {batch_size} must divide "
                         f"evenly over {n_global} devices")

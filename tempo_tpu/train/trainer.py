@@ -68,6 +68,7 @@ class Trainer:
         self.n_val_batches = n_val_batches
         self.place_fn = place_fn or jax.device_put
         self.recon_fn = recon_fn
+        self._local_recon_jit = None  # lazy; multiprocess figure path
         self.l2_products = list(l2_products) if l2_products else None
         self.verbose = verbose
         self.profile_steps = profile_steps
@@ -212,8 +213,12 @@ class Trainer:
             params = self._local_params()
             if params is None:
                 return  # figures come from offline analysis for TP pods
-            # local jit: runs on this process's devices only
-            out = jax.jit(self.recon_fn)(params, x, rng)
+            # local jit: runs on this process's devices only. Built once —
+            # a fresh jax.jit wrapper per figure would recompile every
+            # plot interval (jit caches are per-wrapper).
+            if self._local_recon_jit is None:
+                self._local_recon_jit = jax.jit(self.recon_fn)
+            out = self._local_recon_jit(params, x, rng)
         else:
             out = self.recon_fn(self.state.params, self.place_fn(x), rng)
         if isinstance(out, dict):

@@ -28,29 +28,39 @@ def load_config(config_path: Union[str, Path]) -> Dict[str, Any]:
     return _expand_env(config)
 
 
-_ENV_REF = re.compile(r"\$\{(\w+)\}|\$(\w+)")
+_ENV_REF = re.compile(r"\$\$|\$\{(\w+)\}|\$(\w+)")
 
 
 def _expand_env(node: Any) -> Any:
-    """Expand ${VAR} / $VAR in string values, fail-fast on UNSET variables.
+    """Expand ${VAR} / $VAR in string values, fail-fast on unset ${VAR}.
 
     A hand-rolled substitution rather than os.path.expandvars: expandvars
     silently passes unset brace-less '$VAR' through as a literal string,
     which would defeat the documented fail-fast contract (portable configs
     — e.g. configs/demo/ — anchor paths on DATA_DIR and must error loudly
-    when it is missing)."""
+    when it is missing). Strictness is per form:
+      - ${VAR}: the explicit env-reference syntax — unset raises.
+      - $VAR: expands only when the variable is set; otherwise it stays a
+        literal (config values like shell snippets or '$1' field refs must
+        not be rejected).
+      - $$: escapes to a literal '$'."""
     if isinstance(node, dict):
         return {k: _expand_env(v) for k, v in node.items()}
     if isinstance(node, list):
         return [_expand_env(v) for v in node]
     if isinstance(node, str) and "$" in node:
         def _sub(m: re.Match) -> str:
-            var = m.group(1) or m.group(2)
-            if var not in os.environ:
+            if m.group(0) == "$$":
+                return "$"
+            braced, bare = m.group(1), m.group(2)
+            var = braced or bare
+            if var in os.environ:
+                return os.environ[var]
+            if braced:
                 raise ValueError(
                     f"FATAL: unset environment variable '{var}' in config "
                     f"value: {node}")
-            return os.environ[var]
+            return m.group(0)
 
         return _ENV_REF.sub(_sub, node)
     return node

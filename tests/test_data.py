@@ -338,3 +338,14 @@ def test_load_config_expands_env(tmp_path, monkeypatch):
     monkeypatch.delenv("TEMPO_TEST_ROOT")
     with pytest.raises(ValueError, match="unset environment variable"):
         load_config(cfg)
+
+    # bare $VAR: expands when set, literal pass-through when unset (config
+    # values like '$1' field refs must not be rejected); $$ escapes to $
+    cfg2 = tmp_path / "c2.yaml"
+    cfg2.write_text('a: "$TEMPO_TEST_ROOT/run"\nb: "awk $1 costs $$5"\n')
+    monkeypatch.setenv("TEMPO_TEST_ROOT", "/data/y")
+    c2 = load_config(cfg2)
+    assert c2["a"] == "/data/y/run"
+    assert c2["b"] == "awk $1 costs $5"
+    monkeypatch.delenv("TEMPO_TEST_ROOT")
+    assert load_config(cfg2)["a"] == "$TEMPO_TEST_ROOT/run"

@@ -458,3 +458,58 @@ def test_train_and_sample_diffusion(pipeline_dir, tiles_dir, run_dir):
     assert s.shape == (2, TILE, TILE, N_SPECTRAL)
     assert np.isfinite(s).all()
     assert (pipeline_dir / "diff_samples" / "samples.png").exists()
+
+    # mid-run contract: a preempted run has checkpoints + config.yaml but
+    # no training_info.yaml — it must still be sampleable
+    (out / "training_info.yaml").rename(out / "training_info.yaml.bak")
+    scfg2 = _write(pipeline_dir / "sample_diff2.yaml", {
+        "run_dir": str(out),
+        "output_dir": str(pipeline_dir / "diff_samples_midrun"),
+        "n_samples": 2, "n_steps": 4, "seed": 5,
+    })
+    sample_main(scfg2)
+    s2 = np.load(pipeline_dir / "diff_samples_midrun" / "samples.npy")
+    assert s2.shape == (2, TILE, TILE, N_SPECTRAL)
+    assert np.isfinite(s2).all()
+    (out / "training_info.yaml.bak").rename(out / "training_info.yaml")
+
+
+def test_train_and_sample_diffusion_pixel_space(pipeline_dir, tiles_dir):
+    """Pixel-space diffusion (no `latent:` section): the score model runs
+    directly on tiles, and sampling derives its shape from the tile shards
+    rather than the VAE codec."""
+    from tempo_tpu.cli.sample_diffusion import main as sample_main
+    from tempo_tpu.cli.train_diffusion import main as train_main
+
+    out = pipeline_dir / "run_diff_px"
+    cfg = _write(pipeline_dir / "train_diff_px.yaml", {
+        "output_dir": str(out),
+        "seed": 2,
+        "data": {
+            "train_dir": str(tiles_dir / "train"),
+            "val_dir": str(tiles_dir / "val"),
+            "batch_size": 8,
+            "min_buffer_size": 16,
+            "val_min_buffer_size": 8,
+        },
+        "score_model": {"chs": [12, 16], "norm_groups": 4,
+                        "n_attention_heads": 2, "t_embedding_dim": 8},
+        "diffusion": {"noise_schedule": "fixed_linear",
+                      "gamma_min": -8.0, "gamma_max": 4.0},
+        "optimizer": {"lr": 1e-3},
+        "training": {"n_steps": 10, "save_every": 10, "val_every": 10,
+                     "log_every": 5, "plot_every": 10},
+        "sampling": {"n_samples": 2, "n_steps": 4},
+    })
+    train_main(cfg)
+    assert (out / "checkpoints" / "ckpt_step=000010.msgpack").exists()
+
+    scfg = _write(pipeline_dir / "sample_diff_px.yaml", {
+        "run_dir": str(out),
+        "output_dir": str(pipeline_dir / "diff_samples_px"),
+        "n_samples": 2, "n_steps": 4, "seed": 3,
+    })
+    sample_main(scfg)
+    s = np.load(pipeline_dir / "diff_samples_px" / "samples.npy")
+    assert s.shape == (2, TILE, TILE, N_SPECTRAL)
+    assert np.isfinite(s).all()
