@@ -1,0 +1,105 @@
+"""Mixture-of-experts feed-forward for the transformer family.
+
+No reference counterpart (the reference toolkit's GPT is dense,
+`src/mltools/networks/networks.py:418-754`); this is a framework capability
+beyond parity, and the model family behind the expert-parallel scaling axis
+(parallel/expert.py).
+
+Design is the TPU-canonical GShard/Switch formulation — everything static
+shapes and einsums so it lands on the MXU and shards cleanly:
+
+- Top-1 ("switch") routing in float32: gate = softmax(router(x)).
+- Capacity-bounded dispatch: each expert processes at most
+  C = ceil(tokens/E * capacity_factor) tokens; overflow tokens fall through
+  the residual connection (their MoE output is zero), the classic
+  token-dropping behavior. Position-in-expert comes from a cumsum over the
+  one-hot expert assignment — no sorts, no dynamic shapes.
+- One-hot dispatch [N,E,C] and combine (= dispatch * gate) tensors turn
+  routing into three einsums: gather tokens per expert, run the stacked
+  expert MLPs ([E,...] leading-axis weights, one batched matmul), scatter
+  back. XLA tiles all of it onto the MXU; when the [E,...] weights are
+  sharded over an 'expert' mesh axis, the SPMD partitioner inserts the
+  all-to-all-shaped collectives over ICI.
+- The Switch load-balancing auxiliary loss (E * sum_e fraction_e * prob_e)
+  is sown into the 'losses' collection; training code adds
+  `aux_weight * moe_aux` when it opts in.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tempo_tpu.ops.norms import gelu_exact
+
+
+def _linear_init(std: float = 0.02):
+    return nn.initializers.normal(stddev=std)
+
+
+class MoEBlock(nn.Module):
+    """Drop-in for MLPBlock when config.n_experts > 0."""
+
+    config: "TransformerConfig"  # noqa: F821 — avoid a circular import
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        e = cfg.n_experts
+        d = cfg.n_embd
+        d_hidden = int(cfg.rmlp * d)
+        b, t = x.shape[0], x.shape[1]
+        n = b * t
+        capacity = max(1, math.ceil(n / e * cfg.expert_capacity_factor))
+
+        tokens = x.reshape(n, d)
+
+        # --- routing (float32 for a stable softmax/argmax) ---
+        router_logits = nn.Dense(e, use_bias=False, dtype=jnp.float32,
+                                 kernel_init=_linear_init(),
+                                 name="router")(tokens.astype(jnp.float32))
+        probs = jax.nn.softmax(router_logits, axis=-1)           # [N,E]
+        gate = jnp.max(probs, axis=-1)                           # [N]
+        expert_idx = jnp.argmax(probs, axis=-1)                  # [N]
+        assign = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # [N,E]
+
+        # Switch aux loss: E * sum_e (token fraction)_e * (mean prob)_e
+        aux = e * jnp.sum(jnp.mean(assign, axis=0) * jnp.mean(probs, axis=0))
+        self.sow("losses", "moe_aux", aux,
+                 init_fn=lambda: jnp.zeros((), jnp.float32),
+                 reduce_fn=lambda acc, v: acc + v)
+
+        # --- capacity-bounded position of each token within its expert ---
+        pos = jnp.cumsum(assign, axis=0) * assign - assign       # [N,E] 0-based
+        pos = jnp.sum(pos, axis=-1).astype(jnp.int32)            # [N]
+        keep = (pos < capacity).astype(jnp.float32) * gate       # gate*mask
+        pos_hot = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)  # [N,C]
+        # one_hot of pos >= capacity is the all-zero row, which is exactly
+        # the drop semantics; the explicit mask below keeps dispatch exact
+
+        dispatch = assign[:, :, None] * pos_hot[:, None, :]      # [N,E,C]
+        dispatch = dispatch * (pos < capacity)[:, None, None]
+        combine = dispatch * keep[:, None, None]                 # [N,E,C]
+
+        # --- stacked expert MLPs: one batched matmul per layer ---
+        w1 = self.param("w1", _linear_init(), (e, d, d_hidden))
+        b1 = self.param("b1", nn.initializers.zeros, (e, d_hidden))
+        w2 = self.param("w2",
+                        _linear_init(0.02 / math.sqrt(2 * cfg.n_layer)),
+                        (e, d_hidden, d))
+        b2 = self.param("b2", nn.initializers.zeros, (e, d))
+
+        cd = cfg.dtype
+        expert_in = jnp.einsum("nec,nd->ecd", dispatch.astype(cd),
+                               tokens.astype(cd))
+        h = gelu_exact(jnp.einsum("ecd,edh->ech", expert_in,
+                                  w1.astype(cd)) + b1[:, None].astype(cd))
+        if cfg.dropout > 0.0 and not deterministic:
+            h = nn.Dropout(cfg.dropout)(h, deterministic=False)
+        expert_out = jnp.einsum("ech,ehd->ecd", h,
+                                w2.astype(cd)) + b2[:, None].astype(cd)
+        y = jnp.einsum("nec,ecd->nd", combine.astype(cd), expert_out)
+        return y.reshape(b, t, d)

@@ -68,6 +68,9 @@ class TransformerConfig:
     tie_emb: bool = True
     rope_base: float = 10_000.0
     compute_dtype: str = "float32"
+    # mixture-of-experts FFN (nn/moe.py); 0 = dense MLP (the reference GPT)
+    n_experts: int = 0
+    expert_capacity_factor: float = 1.25
 
     @property
     def head_dim(self) -> int:
@@ -301,7 +304,12 @@ class TransformerBlock(nn.Module):
         x = tap(x, "x_attn")
         if cfg.mlp:
             h = LayerNorm(cfg.bias, cfg.dtype, name="ln_2")(x) if cfg.ln else x
-            mlp_res = MLPBlock(cfg, name="mlp")(h, deterministic)
+            if cfg.n_experts > 0:
+                from tempo_tpu.nn.moe import MoEBlock
+
+                mlp_res = MoEBlock(cfg, name="moe")(h, deterministic)
+            else:
+                mlp_res = MLPBlock(cfg, name="mlp")(h, deterministic)
             mlp_res = tap(mlp_res, "mlp_res")
             x = x + mlp_res
         return x, new_cache

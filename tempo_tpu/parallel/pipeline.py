@@ -1,0 +1,226 @@
+"""Pipeline (stage-axis) parallelism for the transformer family.
+
+The reference is single-GPU (SURVEY.md §2.4); this is the fourth scaling
+axis of the framework, next to data (parallel/mesh.py), tensor
+(parallel/tensor.py) and spatial (parallel/spatial.py) parallelism. It
+targets the depth dimension the other axes don't touch: models with more
+transformer blocks than fit one chip's HBM.
+
+Design — the classic collective-permute pipeline (the "How to Scale Your
+Model" recipe), written for the GPT of nn/transformer.py (reference
+counterpart: `src/mltools/networks/networks.py:418-754`, which has no
+parallelism at all):
+
+- The `n_layer` homogeneous blocks are split into `n_stages` contiguous
+  stages. Per-block param trees are STACKED: leading axis `n_stages`
+  (sharded over the mesh's 'pipe' axis, so each device holds exactly its
+  stage), second axis `layers_per_stage` (scanned on-device).
+- The batch is split into `n_micro` microbatches. One `lax.scan` runs
+  `n_micro + n_stages - 1` ticks; each tick every device applies its stage
+  to its current activation and hands it to the next stage with a single
+  `lax.ppermute` — the only inter-stage communication, one hop over ICI.
+- Stage 0 injects a fresh microbatch each tick; the last stage banks its
+  finished microbatch. Injection/extraction are `jnp.where` on the device's
+  own `lax.axis_index`, so the program stays SPMD-uniform (no per-device
+  control flow, one compiled program).
+- Everything is inside one `shard_map`, and the whole thing is
+  differentiable: the transpose of `ppermute` is the reverse `ppermute`,
+  so `jax.grad` of the pipelined loss IS the reverse pipeline schedule —
+  backward runs the bubble in the opposite direction with no hand-written
+  backward pass.
+- Embedding / final-LN / unembedding are computed replicated on every
+  device (they are O(vocab·d), negligible next to the block stack this
+  axis exists for); their gradient replication is handled by shard_map's
+  transpose (psum of cotangents).
+
+Bubble fraction is (n_stages-1)/(n_micro+n_stages-1): pick
+n_micro >= 4*n_stages in production. Correctness here is pinned against
+the unpipelined model on the CPU test mesh (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tempo_tpu.nn.transformer import (LayerNorm, Transformer,
+                                      TransformerBlock, TransformerConfig)
+
+PIPE_AXIS = "pipe"
+
+
+def create_pp_mesh(n_pipe: int,
+                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D ('pipe',) mesh over the first n_pipe devices: neighboring stages
+    sit on neighboring devices so the ppermute handoff is one ICI hop."""
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) >= n_pipe, (
+        f"need {n_pipe} devices for {n_pipe} stages, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_pipe]), (PIPE_AXIS,))
+
+
+def split_pipeline_params(params: Dict, n_stages: int
+                          ) -> Tuple[Dict, Any]:
+    """Split a Transformer param tree into (rest, stage_stack).
+
+    `stage_stack` stacks the h_0..h_{L-1} block subtrees into leaves of
+    shape [n_stages, layers_per_stage, ...]; `rest` is everything else
+    (wte/wpe/ln_f/lm_head), left replicated. Raises if n_layer does not
+    divide evenly — ragged stages would force per-stage programs.
+    """
+    block_names = sorted((k for k in params if k.startswith("h_")),
+                         key=lambda k: int(k.split("_")[1]))
+    n_layer = len(block_names)
+    assert n_layer and n_layer % n_stages == 0, (
+        f"n_layer={n_layer} must be a positive multiple of "
+        f"n_stages={n_stages}")
+    per_stage = n_layer // n_stages
+
+    blocks = [params[k] for k in block_names]
+    layer_stack = jax.tree.map(lambda *ls: jnp.stack(ls), *blocks)
+    stage_stack = jax.tree.map(
+        lambda l: l.reshape((n_stages, per_stage) + l.shape[1:]),
+        layer_stack)
+    rest = {k: v for k, v in params.items() if not k.startswith("h_")}
+    return rest, stage_stack
+
+
+def merge_pipeline_params(rest: Dict, stage_stack: Any) -> Dict:
+    """Inverse of split_pipeline_params (for checkpoint export)."""
+    shapes = jax.tree.leaves(stage_stack)[0].shape
+    n_layer = shapes[0] * shapes[1]
+    flat = jax.tree.map(
+        lambda l: l.reshape((n_layer,) + l.shape[2:]), stage_stack)
+    params = dict(rest)
+    for i in range(n_layer):
+        params[f"h_{i}"] = jax.tree.map(lambda l: l[i], flat)
+    return params
+
+
+def pp_shardings(mesh: Mesh, rest: Dict, stage_stack: Any):
+    """(rest_sharding, stack_sharding): stages sharded on their leading
+    axis over 'pipe', everything else replicated."""
+    rep = NamedSharding(mesh, P())
+    staged = NamedSharding(mesh, P(PIPE_AXIS))
+    return (jax.tree.map(lambda _: rep, rest),
+            jax.tree.map(lambda _: staged, stage_stack))
+
+
+def place_pipeline_params(mesh: Mesh, rest: Dict, stage_stack: Any):
+    rest_s, stack_s = pp_shardings(mesh, rest, stage_stack)
+    return (jax.tree.map(jax.device_put, rest, rest_s),
+            jax.tree.map(jax.device_put, stage_stack, stack_s))
+
+
+def make_pipelined_apply(config: TransformerConfig, n_stages: int,
+                         n_micro: int, mesh: Mesh):
+    """Returns apply(rest, stage_stack, tokens) -> logits, the pipelined
+    forward of Transformer.__call__ (deterministic), jittable and
+    differentiable. tokens: [B, T] ints (tokenized) or [B, T, in_size]
+    floats; B must divide by n_micro."""
+    block = TransformerBlock(config)
+    model = Transformer(config)
+
+    def stage_apply(stage_params, h):
+        # scan the stage's own layers; layer_new (KV cache) is None here
+        def body(hh, layer_params):
+            out, _ = block.apply({"params": layer_params}, hh)
+            return out, None
+        h, _ = jax.lax.scan(body, h, stage_params)
+        return h
+
+    cfg_embed = dataclasses.replace(config, n_layer=0, ln=False)
+    embed_model = Transformer(cfg_embed)
+
+    def embed(rest, tokens):
+        """Everything before h_0 — reuse the real model code path by
+        running it with zero layers (and tapping x_0) so numerics can't
+        drift from Transformer.__call__."""
+        _, hiddens = embed_model.apply(
+            {"params": {k: v for k, v in rest.items() if k != "ln_f"}},
+            tokens, capture=True, mutable=["hiddens"])
+        return hiddens["hiddens"]["x_0"]
+
+    def head(rest, h):
+        if config.ln:
+            h = LayerNorm(config.bias, config.dtype).apply(
+                {"params": rest["ln_f"]}, h)
+        if config.tokenized:
+            if config.tie_emb:
+                return h @ rest["wte"].T.astype(config.dtype)
+            return h @ rest["lm_head"]["kernel"].astype(config.dtype)
+        return h @ rest["wte"]["kernel"].T.astype(config.dtype)
+
+    def pipelined(rest, stage_stack, tokens):
+        # [B, ...] -> [n_micro, mb, ...]
+        b = tokens.shape[0]
+        assert b % n_micro == 0, f"batch {b} % n_micro {n_micro} != 0"
+        micro = tokens.reshape((n_micro, b // n_micro) + tokens.shape[1:])
+
+        def spmd(rest, stage, micro):
+            stage = jax.tree.map(lambda l: l[0], stage)  # [1,L/S,..]->[L/S,..]
+            idx = jax.lax.axis_index(PIPE_AXIS)
+            h_in = jax.vmap(lambda t: embed(rest, t))(micro)  # [M, mb, T, D]
+            state = jnp.zeros_like(h_in[0])
+            banked = jnp.zeros_like(h_in)
+
+            def tick(carry, t):
+                state, banked = carry
+                feed = h_in[jnp.minimum(t, n_micro - 1)]
+                state = jnp.where(
+                    jnp.logical_and(idx == 0, t < n_micro), feed, state)
+                state = stage_apply(stage, state)
+                done = t - (n_stages - 1)
+                slot = jnp.clip(done, 0, n_micro - 1)
+                bank = jnp.logical_and(idx == n_stages - 1, done >= 0)
+                banked = jnp.where(
+                    bank,
+                    jax.lax.dynamic_update_index_in_dim(banked, state,
+                                                        slot, 0),
+                    banked)
+                state = jax.lax.ppermute(
+                    state, PIPE_AXIS,
+                    [(i, (i + 1) % n_stages) for i in range(n_stages)])
+                return (state, banked), None
+
+            (_, banked), _ = jax.lax.scan(
+                tick, (state, banked), jnp.arange(n_micro + n_stages - 1))
+            # only the last stage holds real outputs; replicate them
+            banked = jnp.where(idx == n_stages - 1, banked, 0.0)
+            banked = jax.lax.psum(banked, PIPE_AXIS)
+            logits = jax.vmap(lambda h: head(rest, h))(banked)
+            return logits.reshape((b,) + logits.shape[2:])
+
+        rest_s, stack_s = pp_shardings(mesh, rest, stage_stack)
+        return shard_map(
+            spmd, mesh=mesh,
+            in_specs=(jax.tree.map(lambda s: s.spec, rest_s),
+                      jax.tree.map(lambda s: s.spec, stack_s),
+                      P()),
+            out_specs=P(),
+            check_rep=False,
+        )(rest, stage_stack, micro)
+
+    return pipelined
+
+
+def make_pp_loss_fn(config: TransformerConfig, n_stages: int, n_micro: int,
+                    mesh: Mesh):
+    """Cross-entropy LM loss through the pipeline (tokenized models)."""
+    apply_fn = make_pipelined_apply(config, n_stages, n_micro, mesh)
+
+    def loss_fn(params, tokens, targets):
+        rest, stage_stack = params
+        logits = apply_fn(rest, stage_stack, tokens)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None],
+                                   axis=-1)[..., 0]
+        return nll.mean()
+
+    return loss_fn

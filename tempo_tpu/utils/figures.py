@@ -127,6 +127,58 @@ def curve_panel(ax, x: Sequence, series: Dict[str, Sequence],
     ax.grid(True, alpha=GRID_ALPHA, which="both" if log_x or log_y else "major")
 
 
+# ---------------------------------------------------------------------------
+# Publication styling (capability parity with the reference's
+# mltools/plotting/niceplots.py:7-41 — linear color ramps plus global /
+# per-axes / heatmap style appliers; anchors and implementation are ours).
+
+# color-ramp anchors: warm pink → sky blue, 60% alpha, same role as the
+# reference's color_1/color_2 pair
+RAMP_ANCHORS = (np.array([255, 105, 180, 153]) / 255.0,
+                np.array([0, 191, 255, 153]) / 255.0)
+
+
+def linear_colors(n: int) -> np.ndarray:
+    """`n` RGBA colors linearly interpolated between the ramp anchors —
+    the house categorical ramp for families of curves (one per member)."""
+    if n == 1:
+        return RAMP_ANCHORS[0][None, :]
+    return np.linspace(RAMP_ANCHORS[0], RAMP_ANCHORS[1], n)
+
+
+def apply_global_settings(figsize=(8.0, 6.0), dpi: int = 200,
+                          fontsize: int = 25) -> None:
+    """Set the publication rcParams once per process (figure size, dpi,
+    base font). Opt-in; the pipeline figures keep their own defaults."""
+    plt.rcParams["figure.figsize"] = list(figsize)
+    plt.rcParams["figure.dpi"] = dpi
+    plt.rcParams["font.size"] = fontsize
+
+
+def apply_plot_style(fig, ax, lw: float = 3.0, labelsize: int = 25) -> None:
+    """Publication line-plot style: open top/right spines, heavy remaining
+    spines and lines, large tick labels, tight layout."""
+    ax.spines["top"].set_visible(False)
+    ax.spines["right"].set_visible(False)
+    for side in ("left", "bottom"):
+        ax.spines[side].set_linewidth(lw)
+    ax.tick_params(axis="both", which="major", labelsize=labelsize)
+    for line in ax.get_lines():
+        line.set_linewidth(lw)
+    fig.tight_layout()
+
+
+def apply_heatmap_style(fig, ax, labelsize: int = 25) -> None:
+    """Publication heatmap style: no spines, no tick marks, large labels."""
+    for spine in ax.spines.values():
+        spine.set_visible(False)
+    ax.tick_params(axis="both", which="both", length=0)
+    ax.tick_params(axis="both", which="major", labelsize=labelsize)
+    ax.xaxis.label.set_fontsize(labelsize)
+    ax.yaxis.label.set_fontsize(labelsize)
+    fig.tight_layout()
+
+
 def annotated_bars(ax, names: Sequence[str], values: Sequence[float],
                    labels: Optional[Sequence[str]] = None, title: str = "",
                    ylabel: str = "", ylim=None) -> None:
