@@ -51,18 +51,28 @@ from jax.experimental.shard_map import shard_map
 
 from tempo_tpu.nn.transformer import (LayerNorm, Transformer,
                                       TransformerBlock, TransformerConfig)
+from tempo_tpu.parallel.mesh import DATA_AXIS
 
 PIPE_AXIS = "pipe"
 
 
 def create_pp_mesh(n_pipe: int,
-                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D ('pipe',) mesh over the first n_pipe devices: neighboring stages
-    sit on neighboring devices so the ppermute handoff is one ICI hop."""
+                   devices: Optional[Sequence[jax.Device]] = None,
+                   n_data: int = 1) -> Mesh:
+    """('pipe',) mesh over the first n_pipe devices, or — with n_data > 1 —
+    a 2-D ('data','pipe') mesh composing data parallelism with the
+    pipeline. 'pipe' is the FAST (innermost) axis so neighboring stages sit
+    on neighboring devices and the ppermute handoff is one ICI hop; the
+    gradient all-reduce over 'data' spans the remaining factor."""
     devices = list(devices) if devices is not None else jax.devices()
-    assert len(devices) >= n_pipe, (
-        f"need {n_pipe} devices for {n_pipe} stages, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n_pipe]), (PIPE_AXIS,))
+    need = n_pipe * n_data
+    assert len(devices) >= need, (
+        f"need {need} devices for {n_data}x{n_pipe} (data,pipe), "
+        f"have {len(devices)}")
+    if n_data == 1:
+        return Mesh(np.asarray(devices[:n_pipe]), (PIPE_AXIS,))
+    return Mesh(np.asarray(devices[:need]).reshape(n_data, n_pipe),
+                (DATA_AXIS, PIPE_AXIS))
 
 
 def split_pipeline_params(params: Dict, n_stages: int
@@ -194,18 +204,27 @@ def make_pipelined_apply(config: TransformerConfig, n_stages: int,
             # only the last stage holds real outputs; replicate them
             banked = jnp.where(idx == n_stages - 1, banked, 0.0)
             banked = jax.lax.psum(banked, PIPE_AXIS)
-            logits = jax.vmap(lambda h: head(rest, h))(banked)
-            return logits.reshape((b,) + logits.shape[2:])
+            # keep the [n_micro, mb_local, ...] structure: flattening
+            # happens OUTSIDE the shard_map so the 'data'-axis concat puts
+            # microbatches back in global order
+            return jax.vmap(lambda h: head(rest, h))(banked)
+
+        # with a ('data','pipe') mesh the per-microbatch batch dim is
+        # additionally sharded over 'data'; each data slice runs its own
+        # pipeline and the grads all-reduce over 'data' at the jit level
+        has_data = DATA_AXIS in mesh.axis_names
+        micro_spec = P(None, DATA_AXIS) if has_data else P()
 
         rest_s, stack_s = pp_shardings(mesh, rest, stage_stack)
-        return shard_map(
+        logits = shard_map(
             spmd, mesh=mesh,
             in_specs=(jax.tree.map(lambda s: s.spec, rest_s),
                       jax.tree.map(lambda s: s.spec, stack_s),
-                      P()),
-            out_specs=P(),
+                      micro_spec),
+            out_specs=micro_spec,
             check_rep=False,
         )(rest, stage_stack, micro)
+        return logits.reshape((b,) + logits.shape[2:])
 
     return pipelined
 

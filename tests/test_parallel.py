@@ -609,3 +609,38 @@ def test_pipeline_parallel_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4,
                                    err_msg=str(path_a))
+
+
+def test_pipeline_parallel_composes_with_data_axis():
+    """2-D ('data','pipe') mesh (2x4 = 8 devices): data-sharded
+    microbatches through per-slice pipelines, grads all-reduced over
+    'data' — loss and grads equal the unpipelined model."""
+    from tempo_tpu.parallel.pipeline import (create_pp_mesh, make_pp_loss_fn,
+                                             merge_pipeline_params,
+                                             place_pipeline_params,
+                                             split_pipeline_params)
+
+    cfg, model, params, tokens, targets = _pp_setup()
+
+    def ref_loss(p, tok, tgt):
+        logits = model.apply({"params": p}, tok)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0].mean()
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(
+        params, tokens, targets)
+
+    mesh = create_pp_mesh(4, n_data=2)
+    assert dict(mesh.shape) == {"data": 2, "pipe": 4}
+    rest, stack = place_pipeline_params(mesh,
+                                        *split_pipeline_params(params, 4))
+    loss_fn = make_pp_loss_fn(cfg, n_stages=4, n_micro=4, mesh=mesh)
+    l_pp, g_pp = jax.jit(jax.value_and_grad(loss_fn))(
+        (rest, stack), tokens, targets)
+
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-6)
+    merged = merge_pipeline_params(g_pp[0], g_pp[1])
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
