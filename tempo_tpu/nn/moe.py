@@ -40,6 +40,26 @@ def _linear_init(std: float = 0.02):
     return nn.initializers.normal(stddev=std)
 
 
+def moe_lm_loss_fn(model, aux_weight: float = 0.01):
+    """Cross-entropy LM loss + aux_weight * (mean Switch aux loss over MoE
+    blocks). Returns loss_fn(params, tokens, targets) -> (loss, metrics);
+    the aux term is collected from the 'losses' collection the blocks sow
+    into, so any stack depth works unchanged."""
+
+    def loss_fn(params, tokens, targets):
+        logits, state = model.apply({"params": params}, tokens,
+                                    mutable=["losses"])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None],
+                                   axis=-1).mean()
+        aux_leaves = jax.tree_util.tree_leaves(state.get("losses", {}))
+        n_blocks = max(len(aux_leaves), 1)
+        aux = sum(aux_leaves) / n_blocks if aux_leaves else jnp.zeros(())
+        return nll + aux_weight * aux, {"nll": nll, "moe_aux": aux}
+
+    return loss_fn
+
+
 class MoEBlock(nn.Module):
     """Drop-in for MLPBlock when config.n_experts > 0."""
 

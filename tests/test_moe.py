@@ -116,3 +116,22 @@ def test_expert_parallel_matches_unsharded():
     for a, b in zip(jax.tree.leaves(grads_1), jax.tree.leaves(grads_ep)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_moe_lm_loss_includes_aux():
+    from tempo_tpu.nn.moe import moe_lm_loss_fn
+
+    model = Transformer(CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 31)
+    targets = jax.random.randint(jax.random.PRNGKey(2), (4, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+
+    loss_fn = moe_lm_loss_fn(model, aux_weight=0.5)
+    (loss, metrics), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params, tokens, targets)
+    assert float(metrics["moe_aux"]) >= 1.0  # balanced minimum
+    np.testing.assert_allclose(
+        float(loss),
+        float(metrics["nll"]) + 0.5 * float(metrics["moe_aux"]), rtol=1e-6)
+    # aux routes gradient into the router even where gate grads vanish
+    assert float(jnp.abs(grads["h_1"]["moe"]["router"]["kernel"]).max()) > 0

@@ -644,3 +644,48 @@ def test_pipeline_parallel_composes_with_data_axis():
                     jax.tree_util.tree_leaves(merged)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_checkpoint_pp_roundtrip(tmp_path):
+    """The template-driven sharded checkpoint generalizes to the pipeline
+    axis: a (rest, stage_stack) param tuple with stage-sharded [S, ...]
+    leaves saves and restores with values and 'pipe' shardings intact."""
+    import optax
+
+    from tempo_tpu.parallel.pipeline import (PIPE_AXIS, create_pp_mesh,
+                                             make_pp_loss_fn,
+                                             place_pipeline_params,
+                                             split_pipeline_params)
+    from tempo_tpu.train.sharded_checkpoint import (
+        load_checkpoint_sharded, save_checkpoint_sharded)
+
+    cfg, model, params, tokens, targets = _pp_setup()
+    mesh = create_pp_mesh(4)
+    pp_params = place_pipeline_params(mesh, *split_pipeline_params(params, 4))
+
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(pp_params, tx, jax.random.PRNGKey(3))
+
+    # one real update so the moments are non-trivial
+    loss_fn = make_pp_loss_fn(cfg, n_stages=4, n_micro=4, mesh=mesh)
+    grads = jax.jit(jax.grad(lambda p: loss_fn(p, tokens, targets)))(
+        pp_params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    state = state.replace(params=optax.apply_updates(state.params, updates),
+                          opt_state=opt_state, step=state.step + 1)
+
+    path = save_checkpoint_sharded(tmp_path, state)
+
+    template = create_train_state(
+        place_pipeline_params(mesh, *split_pipeline_params(params, 4)),
+        tx, jax.random.PRNGKey(3))
+    restored, _, _ = load_checkpoint_sharded(path, template)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    stack_leaf = jax.tree_util.tree_leaves(restored.params[1])[0]
+    assert stack_leaf.sharding.spec[0] == PIPE_AXIS
+    # restored state still trains through the pipeline
+    l2 = jax.jit(loss_fn)(restored.params, tokens, targets)
+    assert np.isfinite(float(l2))

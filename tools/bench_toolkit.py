@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Measured throughput for the round-3 toolkit model families on the real
+chip: GPT train step (tokens/s + MFU), MoE GPT train step, and the VDM
+diffusion train step on VAE-latent-shaped tiles.
+
+The flagship VAE bench stays in bench.py (the driver contract: one JSON
+line); this tool backs the DESIGN.md perf notes for the other families.
+
+Axon-transport rules apply (CLAUDE.md): everything jitted (init included),
+sync via scalar fetch, chain steps between fetches.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_toolkit.py
+       [--family gpt|moe|diffusion|all] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed_steps(step, state, batch, warmup: int, iters: int):
+    """Returns (seconds per step, final metric). Sync by fetching the
+    scalar loss (block_until_ready does not truly block on axon)."""
+    for _ in range(warmup):
+        state, loss = step(state, batch)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch)
+    final = float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, final
+
+
+def bench_gpt(batch_size: int = 8, iters: int = 10, n_experts: int = 0,
+              compute_dtype: str = "bfloat16") -> dict:
+    """GPT-2-small-scale LM train step (12L/12H/768d, block 1024)."""
+    import optax
+
+    from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                          estimate_mfu, make_gpt_optimizer,
+                                          num_params)
+
+    cfg = TransformerConfig(in_size=50304, block_size=1024, n_layer=12,
+                            n_head=12, n_embd=768, rope=False,
+                            compute_dtype=compute_dtype,
+                            n_experts=n_experts)
+    model = Transformer(cfg)
+    # block_size+1 tokens so inputs (tok[:, :-1]) are a lane-aligned 1024
+    # long — a 1023-long sequence pads every seq-tiled op
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.in_size, (batch_size, cfg.block_size + 1), dtype=np.int32))
+
+    init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
+    params = init_fn(jax.random.PRNGKey(0), tokens[:1, :-1])
+    n_params = num_params(params)
+    tx = make_gpt_optimizer(params, weight_decay=0.1, learning_rate=3e-4,
+                            betas=(0.9, 0.95))
+
+    def loss_fn(p, tok):
+        logits = model.apply({"params": p}, tok[:, :-1])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.take_along_axis(logp, tok[:, 1:, None], -1).mean()
+
+    @jax.jit
+    def step(state, tok):
+        p, opt = state
+        loss, grads = jax.value_and_grad(loss_fn)(p, tok)
+        updates, opt = tx.update(grads, opt, p)
+        return (optax.apply_updates(p, updates), opt), loss
+
+    dt, loss = _timed_steps(step, (params, tx.init(params)), tokens,
+                            warmup=3, iters=iters)
+    tokens_per_sec = batch_size * cfg.block_size / dt
+    result = {
+        "family": "moe_gpt" if n_experts else "gpt",
+        "n_params": n_params,
+        "n_experts": n_experts,
+        "batch": batch_size,
+        "step_ms": round(1000 * dt, 2),
+        "tokens_per_sec": round(tokens_per_sec, 1),
+        "mfu": round(estimate_mfu(cfg, n_params, batch_size, dt), 4),
+        "loss": round(loss, 4),
+    }
+    if n_experts:
+        # top-1 routing only runs 1/E of the expert FLOPs: the honest MFU
+        # counts active params (full-count MFU is the "paper" number)
+        expert = sum(
+            int(np.prod(l.shape))
+            for path, l in jax.tree_util.tree_flatten_with_path(params)[0]
+            if any(getattr(k, "key", None) == "moe" for k in path)
+            and not any(getattr(k, "key", None) == "router" for k in path))
+        active = n_params - expert * (n_experts - 1) // n_experts
+        result["n_params_active"] = active
+        result["mfu_active"] = round(
+            estimate_mfu(cfg, active, batch_size, dt), 4)
+    return result
+
+
+def bench_diffusion(batch_size: int = 64, iters: int = 10,
+                    compute_dtype: str = "bfloat16") -> dict:
+    """VDM + CUNet train step on VAE-latent-shaped tiles (16x16x32) — the
+    score-model config of the latent-diffusion runtime
+    (cli/train_diffusion.py) minus the frozen-VAE encode."""
+    import optax
+
+    from tempo_tpu.models.diffusion import VDM
+    from tempo_tpu.nn.unet import CUNet
+
+    shape = (16, 16, 32)
+    score = CUNet(shape=shape, chs=(64, 128, 256), t_conditioning=True,
+                  norm_groups=8, compute_dtype=compute_dtype)
+    model = VDM(score_model=score, noise_schedule="fixed_linear")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size,) + shape).astype(np.float32))
+
+    init_fn = jax.jit(lambda k1, k2, xx: model.init(k1, xx, rng=k2))
+    params = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                     x[:2])["params"]
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    tx = optax.adamw(1e-4, b1=0.9, b2=0.95, weight_decay=0.05)
+
+    def loss_fn(p, xx, rng):
+        loss, _ = model.apply({"params": p}, xx, rng=rng)
+        return loss
+
+    @jax.jit
+    def step(state, xx):
+        p, opt, rng, i = state
+        step_rng = jax.random.fold_in(rng, i)
+        loss, grads = jax.value_and_grad(loss_fn)(p, xx, step_rng)
+        updates, opt = tx.update(grads, opt, p)
+        return (optax.apply_updates(p, updates), opt, rng, i + 1), loss
+
+    state = (params, tx.init(params), jax.random.PRNGKey(2),
+             jnp.zeros((), jnp.int32))
+    dt, loss = _timed_steps(step, state, x, warmup=3, iters=iters)
+    return {
+        "family": "vdm_diffusion",
+        "n_params": n_params,
+        "batch": batch_size,
+        "latent_shape": list(shape),
+        "step_ms": round(1000 * dt, 2),
+        "latents_per_sec": round(batch_size / dt, 1),
+        "loss": round(loss, 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="all",
+                    choices=["gpt", "moe", "diffusion", "all"])
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="GPT/MoE batch size (diffusion fixed at 64)")
+    args = ap.parse_args()
+
+    results = []
+    if args.family in ("gpt", "all"):
+        results.append(bench_gpt(batch_size=args.batch, iters=args.iters))
+        print(json.dumps(results[-1]), flush=True)
+    if args.family in ("moe", "all"):
+        results.append(bench_gpt(batch_size=args.batch, iters=args.iters,
+                                 n_experts=4))
+        print(json.dumps(results[-1]), flush=True)
+    if args.family in ("diffusion", "all"):
+        results.append(bench_diffusion(iters=args.iters))
+        print(json.dumps(results[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
