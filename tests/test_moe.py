@@ -135,3 +135,26 @@ def test_moe_lm_loss_includes_aux():
         float(metrics["nll"]) + 0.5 * float(metrics["moe_aux"]), rtol=1e-6)
     # aux routes gradient into the router even where gate grads vanish
     assert float(jnp.abs(grads["h_1"]["moe"]["router"]["kernel"]).max()) > 0
+
+
+def test_moe_blocks_compose_with_pipeline_parallelism():
+    """A 2-stage pipeline over MoE transformer blocks (stage-stacked
+    [S, L/S, E, ...] expert weights) matches the unpipelined MoE model."""
+    from tempo_tpu.parallel.pipeline import (create_pp_mesh,
+                                             make_pipelined_apply,
+                                             place_pipeline_params,
+                                             split_pipeline_params)
+
+    cfg = dataclasses.replace(CFG, n_layer=4, block_size=16)
+    model = Transformer(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+    ref_logits = model.apply({"params": params}, tokens)
+
+    mesh = create_pp_mesh(2)
+    rest, stack = place_pipeline_params(mesh,
+                                        *split_pipeline_params(params, 2))
+    pp_logits = jax.jit(make_pipelined_apply(cfg, 2, 4, mesh))(
+        rest, stack, tokens)
+    np.testing.assert_allclose(np.asarray(pp_logits), np.asarray(ref_logits),
+                               atol=2e-5, rtol=2e-5)

@@ -131,24 +131,48 @@ def bench_diffusion(batch_size: int = 64, iters: int = 10,
         loss, _ = model.apply({"params": p}, xx, rng=rng)
         return loss
 
-    @jax.jit
-    def step(state, xx):
+    def one_step(state, xx):
         p, opt, rng, i = state
         step_rng = jax.random.fold_in(rng, i)
         loss, grads = jax.value_and_grad(loss_fn)(p, xx, step_rng)
         updates, opt = tx.update(grads, opt, p)
         return (optax.apply_updates(p, updates), opt, rng, i + 1), loss
 
+    step = jax.jit(one_step)
+
+    # this step is near the transport's 7-14 ms dispatch floor, so the
+    # per-dispatch timing is contaminated; a scanned 20-step chain inside
+    # ONE jit gives the on-device step time
+    chain = 20
+
+    @jax.jit
+    def chained(state, xx):
+        return jax.lax.scan(lambda s, _: one_step(s, xx), state,
+                            None, length=chain)
+
     state = (params, tx.init(params), jax.random.PRNGKey(2),
              jnp.zeros((), jnp.int32))
     dt, loss = _timed_steps(step, state, x, warmup=3, iters=iters)
+
+    state = (params, tx.init(params), jax.random.PRNGKey(2),
+             jnp.zeros((), jnp.int32))
+    for _ in range(2):
+        state, losses = chained(state, x)
+    float(losses[-1])
+    t0 = time.perf_counter()
+    state, losses = chained(state, x)
+    float(losses[-1])
+    dt_chained = (time.perf_counter() - t0) / chain
+
     return {
         "family": "vdm_diffusion",
         "n_params": n_params,
         "batch": batch_size,
         "latent_shape": list(shape),
         "step_ms": round(1000 * dt, 2),
+        "step_ms_ondevice": round(1000 * dt_chained, 2),
         "latents_per_sec": round(batch_size / dt, 1),
+        "latents_per_sec_ondevice": round(batch_size / dt_chained, 1),
         "loss": round(loss, 4),
     }
 
