@@ -1,0 +1,251 @@
+#!/usr/bin/env python3
+"""Train a GPT (optionally mixture-of-experts, optionally
+pipeline-parallel) on a token stream.
+
+Runtime surface for the transformer family the reference toolkit carries
+(src/mltools/networks/networks.py:418-754 — a library with no training
+script); this CLI gives it the framework's config/checkpoint/metrics
+contract, reusing the same Trainer as the VAE and diffusion paths.
+
+TPU-first: one fused jitted step (fwd+bwd+clip-free AdamW with the GPT
+two-group weight decay); MoE via GShard static dispatch (nn/moe.py) with
+the Switch aux loss folded in; `parallel.pipeline: S` stage-shards the
+block stack over a 'pipe' mesh axis (parallel/pipeline.py) — the
+ppermute microbatch schedule and its transposed backward are the same
+compiled program.
+
+Config:
+  output_dir: ...
+  seed: 42
+  data:
+    tokens: /path/stream.npy        # 1-D int token ids, or:
+    synthetic: {vocab_size: 256, length: 100000, noise: 0.1}
+    batch_size: 16
+  model:                            # TransformerConfig fields
+    n_layer: 4
+    n_head: 4
+    n_embd: 128
+    block_size: 128
+    in_size: 256                    # vocab (defaults to data vocab)
+    n_experts: 0                    # >0 = MoE FFN
+  optimizer: {lr: 3.0e-4, betas: [0.9, 0.95], weight_decay: 0.1}
+  parallel:
+    pipeline: 1                     # stages (>1 = pipeline-parallel)
+    n_micro: 4                      # microbatches per step (pipeline)
+  training: {n_steps, log_every, save_every, val_every, plot_every,
+             resume_from, moe_aux_weight: 0.01}
+  generation: {n_tokens: 64}        # end-of-run greedy continuation
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tempo_tpu.cli import run_cli
+from tempo_tpu.data.tokens import TokenLoader, make_token_stream
+from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                      make_gpt_optimizer, num_params)
+from tempo_tpu.train.state import create_train_state
+from tempo_tpu.train.trainer import Trainer
+from tempo_tpu.utils.config import copy_config, load_config, require_keys, save_yaml
+from tempo_tpu.utils.dirs import init_directory
+
+
+def validate_config(config) -> None:
+    require_keys(config, ["output_dir", "data", "model", "training"])
+    data = config["data"]
+    if "tokens" not in data and "synthetic" not in data:
+        raise ValueError("FATAL: data needs 'tokens' (npy path) or "
+                         "'synthetic' ({vocab_size, length})")
+    if "tokens" in data and not Path(data["tokens"]).exists():
+        raise ValueError(f"FATAL: token stream doesn't exist: {data['tokens']}")
+    stages = int(config.get("parallel", {}).get("pipeline", 1))
+    n_layer = int(config["model"].get("n_layer", 12))
+    if stages > 1 and n_layer % stages != 0:
+        raise ValueError(f"FATAL: n_layer={n_layer} must divide by "
+                         f"parallel.pipeline={stages}")
+
+
+def _lm_loss_fn(model, aux_weight: float):
+    """(params, batch[B,T+1], rng) -> (loss, metrics): next-token NLL plus
+    the MoE aux term when the model routes."""
+    moe = model.config.n_experts > 0
+
+    def loss_fn(params, batch, rng):
+        tokens, targets = batch[:, :-1], batch[:, 1:]
+        if moe:
+            from tempo_tpu.nn.moe import moe_lm_loss_fn
+
+            loss, metrics = moe_lm_loss_fn(model, aux_weight)(
+                params, tokens, targets)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return loss, metrics
+        logits = model.apply({"params": params}, tokens)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).mean()
+        return nll, {"loss": nll, "nll": nll}
+
+    return loss_fn
+
+
+def _pp_loss_fn(config, n_stages, n_micro, mesh):
+    from tempo_tpu.parallel.pipeline import make_pp_loss_fn
+
+    inner = make_pp_loss_fn(config, n_stages, n_micro, mesh)
+
+    def loss_fn(params, batch, rng):
+        loss = inner(params, batch[:, :-1], batch[:, 1:])
+        return loss, {"loss": loss}
+
+    return loss_fn
+
+
+def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None:
+    config = load_config(config_path)
+    validate_config(config)
+
+    output_dir = init_directory(Path(config["output_dir"]),
+                                overwrite=overwrite)
+    (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+    copy_config(config_path, output_dir)
+
+    seed = config.get("seed", 42)
+    if debug:
+        print("DEBUG MODE: Reduced training steps")
+        config["training"]["n_steps"] = min(
+            200, config["training"].get("n_steps", 10000))
+        config["training"]["save_every"] = 100
+        config["training"]["val_every"] = 50
+        config["training"]["plot_every"] = 25
+
+    data_cfg = config["data"]
+    if "tokens" in data_cfg:
+        stream = np.load(data_cfg["tokens"], mmap_mode="r")
+    else:
+        syn = dict(data_cfg["synthetic"])
+        print(f"Generating synthetic token stream: {syn}")
+        stream = make_token_stream(int(syn["vocab_size"]),
+                                   int(syn["length"]),
+                                   seed=seed,
+                                   noise=float(syn.get("noise", 0.1)))
+    vocab = int(stream.max()) + 1
+
+    model_cfg = dict(config["model"])
+    model_cfg.setdefault("in_size", vocab)
+    tconfig = TransformerConfig(**{
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in model_cfg.items()})
+    model = Transformer(tconfig)
+
+    batch_size = int(data_cfg.get("batch_size", 16))
+    train_loader = TokenLoader(stream, batch_size, tconfig.block_size,
+                               seed=seed + 1)
+    val_loader = TokenLoader(stream, batch_size, tconfig.block_size,
+                             seed=seed + 2)
+
+    print("\nInitializing GPT...")
+    sample = next(iter(TokenLoader(stream, 2, tconfig.block_size, seed=0)))
+    init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
+    params = init_fn(jax.random.PRNGKey(seed), sample[:, :-1])
+    n_params = num_params(params)
+    print(f"Parameters: {n_params:,} (non-embedding)")
+
+    opt_cfg = dict(config.get("optimizer", {}))
+    stages = int(config.get("parallel", {}).get("pipeline", 1))
+    n_micro = int(config.get("parallel", {}).get("n_micro", 4))
+    aux_weight = float(config["training"].get("moe_aux_weight", 0.01))
+
+    mesh = None
+    if stages > 1:
+        from tempo_tpu.parallel.pipeline import (create_pp_mesh,
+                                                 place_pipeline_params,
+                                                 split_pipeline_params)
+
+        mesh = create_pp_mesh(stages)
+        params = place_pipeline_params(mesh,
+                                       *split_pipeline_params(params, stages))
+        if tconfig.n_experts > 0:
+            print("NOTE: pipeline path trains with the LM loss only "
+                  "(the MoE aux loss is not collected through the "
+                  "shard_map pipeline)")
+        loss_fn = _pp_loss_fn(tconfig, stages, n_micro, mesh)
+        print(f"Pipeline-parallel: {stages} stages x {n_micro} microbatches")
+    else:
+        loss_fn = _lm_loss_fn(model, aux_weight)
+
+    tx = make_gpt_optimizer(params,
+                            weight_decay=float(opt_cfg.get("weight_decay", 0.1)),
+                            learning_rate=float(opt_cfg.get("lr", 3e-4)),
+                            betas=tuple(opt_cfg.get("betas", (0.9, 0.95))))
+    state = create_train_state(params, tx, jax.random.PRNGKey(seed + 3))
+
+    train_cfg = config["training"]
+    trainer = Trainer(
+        loss_fn=loss_fn,
+        tx=tx,
+        state=state,
+        output_dir=output_dir,
+        save_every=train_cfg.get("save_every", 1000),
+        val_every=train_cfg.get("val_every", 100),
+        log_every=train_cfg.get("log_every", 10),
+        plot_every=train_cfg.get("plot_every", 50),
+        checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+    )
+    resume_from = train_cfg.get("resume_from")
+    if resume_from:
+        print(f"\nResuming from checkpoint: {resume_from}")
+        trainer.load_checkpoint(resume_from)
+
+    n_steps = train_cfg["n_steps"]
+    print(f"\nTraining GPT for {n_steps} steps...")
+    start_time = datetime.now()
+    stats = trainer.train(
+        train_iter=iter(train_loader),
+        val_iter_factory=lambda: iter(val_loader),
+        n_steps=n_steps,
+    )
+    end_time = datetime.now()
+
+    # end-of-run greedy continuation from the stream's first tokens
+    gen_cfg = dict(config.get("generation", {}))
+    n_tokens = int(gen_cfg.get("n_tokens", 16 if debug else 64))
+    if n_tokens > 0:
+        from tempo_tpu.nn.transformer import generate
+
+        gen_params = trainer.state.params
+        if stages > 1:
+            from tempo_tpu.parallel.pipeline import merge_pipeline_params
+
+            gen_params = merge_pipeline_params(*jax.device_get(gen_params))
+        prompt = jnp.asarray(
+            np.asarray(stream[:8])[None].astype(np.int32))
+        continuation = generate(model, gen_params, prompt,
+                                max_new_tokens=n_tokens,
+                                rng=jax.random.PRNGKey(seed + 4),
+                                temperature=0.0)  # greedy
+        np.save(output_dir / "generation_final.npy",
+                np.asarray(continuation))
+        print(f"Greedy continuation: {np.asarray(continuation)[0][:24]}...")
+
+    save_yaml({
+        "seed": seed,
+        "vocab_size": vocab,
+        "n_params_non_embedding": int(n_params),
+        "n_experts": tconfig.n_experts,
+        "pipeline_stages": stages,
+        "training_time": str(end_time - start_time),
+        "samples_per_sec": float(stats["samples_per_sec"]),
+    }, output_dir / "training_info.yaml")
+    print("\nDone!")
+
+
+if __name__ == "__main__":
+    run_cli(main, "Train a GPT (optionally MoE / pipeline-parallel) "
+                  "on a token stream")

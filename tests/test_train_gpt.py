@@ -1,0 +1,103 @@
+"""End-to-end GPT training CLI (cli/train_gpt.py): dense, MoE, and
+pipeline-parallel paths on the synthetic affine token stream."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+
+def _write(path: Path, cfg: dict) -> str:
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+BASE_MODEL = {"n_layer": 2, "n_head": 2, "n_embd": 32, "block_size": 32,
+              "dropout": 0.0}
+
+
+def _base_cfg(out: Path, **model_extra) -> dict:
+    return {
+        "output_dir": str(out),
+        "seed": 7,
+        "data": {"synthetic": {"vocab_size": 17, "length": 20000,
+                               "noise": 0.05},
+                 "batch_size": 16},
+        "model": {**BASE_MODEL, **model_extra},
+        "optimizer": {"lr": 3.0e-3, "weight_decay": 0.1},
+        "training": {"n_steps": 60, "log_every": 5, "save_every": 30,
+                     "val_every": 30, "plot_every": 1000},
+        "generation": {"n_tokens": 8},
+    }
+
+
+def test_train_gpt_learns_synthetic_stream(tmp_path):
+    """The affine stream is learnable: train NLL must drop well below the
+    log(V) no-learning floor; checkpoints + generation artifacts exist."""
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run"
+    main(_write(tmp_path / "cfg.yaml", _base_cfg(out)))
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    losses = [m["loss"] for m in metrics["train"]]
+    floor = np.log(17)  # ≈2.83: uniform-prediction loss
+    assert losses[-1] < 0.75 * floor, (losses[0], losses[-1])
+    assert losses[-1] < losses[0]
+
+    assert (out / "checkpoints" / "ckpt_step=000060.msgpack").exists()
+    gen = np.load(out / "generation_final.npy")
+    assert gen.shape == (1, 16) and gen.dtype == np.int32
+    info = yaml.safe_load((out / "training_info.yaml").read_text())
+    assert info["vocab_size"] == 17 and info["pipeline_stages"] == 1
+
+
+def test_train_gpt_moe_path(tmp_path):
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run_moe"
+    cfg = _base_cfg(out, n_experts=2, expert_capacity_factor=2.0)
+    cfg["training"]["n_steps"] = 20
+    cfg["training"]["moe_aux_weight"] = 0.02
+    main(_write(tmp_path / "cfg_moe.yaml", cfg))
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert "moe_aux" in metrics["train"][0]
+    assert np.isfinite(metrics["train"][-1]["moe_aux"])
+    info = yaml.safe_load((out / "training_info.yaml").read_text())
+    assert info["n_experts"] == 2
+
+
+def test_train_gpt_pipeline_parallel(tmp_path):
+    """parallel.pipeline: 2 stage-shards the block stack over the CPU mesh
+    and still trains + generates (params merged back for decode)."""
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run_pp"
+    cfg = _base_cfg(out)
+    cfg["parallel"] = {"pipeline": 2, "n_micro": 4}
+    cfg["training"]["n_steps"] = 20
+    main(_write(tmp_path / "cfg_pp.yaml", cfg))
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["train"][-1]["loss"] < metrics["train"][0]["loss"]
+    assert (out / "checkpoints").glob("ckpt_step=*")
+    assert np.load(out / "generation_final.npy").shape == (1, 16)
+    info = yaml.safe_load((out / "training_info.yaml").read_text())
+    assert info["pipeline_stages"] == 2
+
+
+def test_train_gpt_config_validation(tmp_path):
+    from tempo_tpu.cli.train_gpt import main
+
+    cfg = _base_cfg(tmp_path / "x")
+    cfg["parallel"] = {"pipeline": 3}  # n_layer=2 not divisible
+    with pytest.raises(ValueError, match="divide"):
+        main(_write(tmp_path / "bad.yaml", cfg))
+
+    cfg2 = _base_cfg(tmp_path / "y")
+    del cfg2["data"]["synthetic"]
+    with pytest.raises(ValueError, match="tokens"):
+        main(_write(tmp_path / "bad2.yaml", cfg2))
