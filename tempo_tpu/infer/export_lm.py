@@ -1,0 +1,106 @@
+"""AOT export of a trained GPT for serving: prefill + single-token decode
+step as portable StableHLO artifacts (params baked in), the
+KV-cache-serving analogue of the VAE codec export (infer/export_codec.py).
+
+A serving host needs NO model code: `jax.export.deserialize` rehydrates
+two functions —
+
+  prefill(tokens[b, t])          -> (logits[b, t, V], cache)
+  decode_step(tok[b,1], cache, pos) -> (logits[b, 1, V], cache)
+
+and the decode loop is host-side policy (greedy/top-k/temperature), one
+compiled call per token. Batch and prompt length are symbolic dimensions
+(prompt constrained to the block size), so one artifact serves any batch
+at any prompt length. The reference has no serving story for its GPT
+(networks.py:727-754 re-runs eager python per token).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from tempo_tpu.nn.transformer import Transformer, TransformerConfig, init_cache
+
+
+def export_lm(params, config: TransformerConfig,
+              out_dir: Union[str, Path]) -> Path:
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    model = Transformer(config)
+
+    def prefill(tokens):
+        cache = init_cache(config, tokens.shape[0], config.dtype)
+        return model.apply({"params": params}, tokens, cache=cache,
+                           input_pos=jnp.int32(0))
+
+    def decode_step(tok, cache, pos):
+        return model.apply({"params": params}, tok, cache=cache,
+                           input_pos=pos)
+
+    # separate symbolic scopes: prefill's (b, t) constraint on t must not
+    # leak into decode_step, whose args never mention t
+    b, t = jexport.symbolic_shape(
+        "b, t", constraints=[f"t <= {config.block_size}"])
+    (b2,) = jexport.symbolic_shape("b")
+    tok_t = jax.ShapeDtypeStruct((b, t), jnp.int32)
+    tok_1 = jax.ShapeDtypeStruct((b2, 1), jnp.int32)
+    cache_spec = jax.eval_shape(lambda: init_cache(config, b2, config.dtype))
+    pos_spec = jax.ShapeDtypeStruct((), jnp.int32)
+
+    platforms = ("cpu", "tpu")
+    pre = jexport.export(jax.jit(prefill), platforms=platforms)(tok_t)
+    dec = jexport.export(jax.jit(decode_step), platforms=platforms)(
+        tok_1, cache_spec, pos_spec)
+    (out_dir / "prefill.stablehlo").write_bytes(pre.serialize())
+    (out_dir / "decode_step.stablehlo").write_bytes(dec.serialize())
+    (out_dir / "meta.json").write_text(json.dumps({
+        "vocab_size": config.in_size,
+        "block_size": config.block_size,
+        "n_layer": config.n_layer,
+        "n_head": config.n_head,
+        "n_embd": config.n_embd,
+        "n_experts": config.n_experts,
+        "compute_dtype": config.compute_dtype,
+        "format": "jax.export StableHLO",
+        "platforms": list(platforms),
+    }, indent=2))
+    return out_dir
+
+
+def load_exported_lm(out_dir: Union[str, Path]):
+    """(prefill_fn, decode_step_fn, meta) — callable at any batch/prompt
+    size, no model code needed."""
+    out_dir = Path(out_dir)
+    pre = jexport.deserialize(
+        (out_dir / "prefill.stablehlo").read_bytes())
+    dec = jexport.deserialize(
+        (out_dir / "decode_step.stablehlo").read_bytes())
+    meta = json.loads((out_dir / "meta.json").read_text())
+    return jax.jit(pre.call), jax.jit(dec.call), meta
+
+
+def greedy_decode_exported(out_dir: Union[str, Path], prompt,
+                           max_new_tokens: int):
+    """Reference serving loop over the artifacts: prefill once, then one
+    decode_step per token, greedy."""
+    import numpy as np
+
+    prefill, decode_step, _ = load_exported_lm(out_dir)
+    prompt = jnp.asarray(prompt, jnp.int32)
+    logits, cache = prefill(prompt)
+    pos = jnp.int32(prompt.shape[1])
+    toks = [prompt]
+    tok = jnp.argmax(logits[:, -1:].astype(jnp.float32), axis=-1)
+    for _ in range(max_new_tokens - 1):
+        toks.append(tok)
+        logits, cache = decode_step(tok.astype(jnp.int32), cache, pos)
+        tok = jnp.argmax(logits[:, -1:].astype(jnp.float32), axis=-1)
+        pos = pos + 1
+    toks.append(tok)
+    return np.concatenate([np.asarray(x) for x in toks], axis=1)

@@ -50,3 +50,33 @@ def test_export_roundtrip(tmp_path):
     want5 = model.apply({"params": params}, jnp.asarray(x5),
                         method=AutoencoderKL.encode).mean
     np.testing.assert_allclose(np.asarray(z5), np.asarray(want5), atol=1e-6)
+
+
+def test_lm_export_roundtrip(tmp_path):
+    """GPT AOT serving export: prefill + decode_step StableHLO artifacts
+    reproduce the direct KV-cache greedy decode exactly, at a batch size
+    and prompt length never seen at export time (symbolic dims)."""
+    from tempo_tpu.infer.export_lm import (export_lm, greedy_decode_exported,
+                                           load_exported_lm)
+    from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                          generate)
+
+    cfg = TransformerConfig(in_size=31, block_size=32, n_layer=2, n_head=2,
+                            n_embd=32)
+    model = Transformer(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+
+    out = export_lm(params, cfg, tmp_path / "lm")
+    assert (out / "prefill.stablehlo").exists()
+    assert (out / "decode_step.stablehlo").exists()
+
+    _, _, meta = load_exported_lm(out)
+    assert meta["vocab_size"] == 31 and meta["block_size"] == 32
+
+    # batch 3, prompt 5 — neither seen at export time
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (3, 5), 0, 31)
+    got = greedy_decode_exported(out, prompt, 6)
+    ref = np.asarray(generate(model, params, prompt, 6,
+                              rng=jax.random.PRNGKey(9), temperature=0.0))
+    np.testing.assert_array_equal(got, ref)
