@@ -39,7 +39,6 @@ Config:
 
 from __future__ import annotations
 
-import dataclasses
 from datetime import datetime
 from pathlib import Path
 
@@ -74,8 +73,10 @@ def validate_config(config) -> None:
 
 def _lm_loss_fn(model, aux_weight: float):
     """(params, batch[B,T+1], rng) -> (loss, metrics): next-token NLL plus
-    the MoE aux term when the model routes."""
+    the MoE aux term when the model routes. `rng` drives dropout when the
+    model configures it."""
     moe = model.config.n_experts > 0
+    dropout = model.config.dropout > 0.0
 
     def loss_fn(params, batch, rng):
         tokens, targets = batch[:, :-1], batch[:, 1:]
@@ -83,11 +84,13 @@ def _lm_loss_fn(model, aux_weight: float):
             from tempo_tpu.nn.moe import moe_lm_loss_fn
 
             loss, metrics = moe_lm_loss_fn(model, aux_weight)(
-                params, tokens, targets)
+                params, tokens, targets, rng=rng)
             metrics = dict(metrics)
             metrics["loss"] = loss
             return loss, metrics
-        logits = model.apply({"params": params}, tokens)
+        kwargs = ({"deterministic": False, "rngs": {"dropout": rng}}
+                  if dropout else {})
+        logits = model.apply({"params": params}, tokens, **kwargs)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).mean()
         return nll, {"loss": nll, "nll": nll}
@@ -135,10 +138,13 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                                    int(syn["length"]),
                                    seed=seed,
                                    noise=float(syn.get("noise", 0.1)))
-    vocab = int(stream.max()) + 1
 
     model_cfg = dict(config["model"])
-    model_cfg.setdefault("in_size", vocab)
+    if "in_size" not in model_cfg:
+        # full-stream scan (pages in the whole mmap) — only when the config
+        # doesn't pin the vocab itself
+        model_cfg["in_size"] = int(stream.max()) + 1
+    vocab = int(model_cfg["in_size"])
     tconfig = TransformerConfig(**{
         k: (tuple(v) if isinstance(v, list) else v)
         for k, v in model_cfg.items()})
@@ -175,6 +181,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             print("NOTE: pipeline path trains with the LM loss only "
                   "(the MoE aux loss is not collected through the "
                   "shard_map pipeline)")
+        if tconfig.dropout > 0.0:
+            print("NOTE: pipeline path trains deterministically "
+                  "(dropout is not threaded through the pipeline)")
         loss_fn = _pp_loss_fn(tconfig, stages, n_micro, mesh)
         print(f"Pipeline-parallel: {stages} stages x {n_micro} microbatches")
     else:
@@ -213,27 +222,6 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     )
     end_time = datetime.now()
 
-    # end-of-run greedy continuation from the stream's first tokens
-    gen_cfg = dict(config.get("generation", {}))
-    n_tokens = int(gen_cfg.get("n_tokens", 16 if debug else 64))
-    if n_tokens > 0:
-        from tempo_tpu.nn.transformer import generate
-
-        gen_params = trainer.state.params
-        if stages > 1:
-            from tempo_tpu.parallel.pipeline import merge_pipeline_params
-
-            gen_params = merge_pipeline_params(*jax.device_get(gen_params))
-        prompt = jnp.asarray(
-            np.asarray(stream[:8])[None].astype(np.int32))
-        continuation = generate(model, gen_params, prompt,
-                                max_new_tokens=n_tokens,
-                                rng=jax.random.PRNGKey(seed + 4),
-                                temperature=0.0)  # greedy
-        np.save(output_dir / "generation_final.npy",
-                np.asarray(continuation))
-        print(f"Greedy continuation: {np.asarray(continuation)[0][:24]}...")
-
     save_yaml({
         "seed": seed,
         "vocab_size": vocab,
@@ -243,6 +231,36 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         "training_time": str(end_time - start_time),
         "samples_per_sec": float(stats["samples_per_sec"]),
     }, output_dir / "training_info.yaml")
+
+    # end-of-run greedy continuation from the stream's first tokens
+    # (training_info is already on disk — generation can't lose the run)
+    gen_cfg = dict(config.get("generation", {}))
+    n_tokens = int(gen_cfg.get("n_tokens", 16 if debug else 64))
+    prompt_len = 8
+    room = tconfig.block_size - prompt_len
+    if n_tokens > room:
+        print(f"generation.n_tokens={n_tokens} clamped to {room} "
+              f"(prompt {prompt_len} + new tokens must fit the "
+              f"block size {tconfig.block_size})")
+        n_tokens = room
+    if n_tokens > 0:
+        from tempo_tpu.nn.transformer import generate
+
+        gen_params = trainer.state.params
+        if stages > 1:
+            from tempo_tpu.parallel.pipeline import merge_pipeline_params
+
+            gen_params = merge_pipeline_params(*jax.device_get(gen_params))
+        prompt = jnp.asarray(
+            np.asarray(stream[:prompt_len])[None].astype(np.int32))
+        continuation = generate(model, gen_params, prompt,
+                                max_new_tokens=n_tokens,
+                                rng=jax.random.PRNGKey(seed + 4),
+                                temperature=0.0)  # greedy
+        np.save(output_dir / "generation_final.npy",
+                np.asarray(continuation))
+        print(f"Greedy continuation: {np.asarray(continuation)[0][:24]}...")
+
     print("\nDone!")
 
 

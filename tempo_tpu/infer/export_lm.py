@@ -91,8 +91,16 @@ def greedy_decode_exported(out_dir: Union[str, Path], prompt,
     decode_step per token, greedy."""
     import numpy as np
 
-    prefill, decode_step, _ = load_exported_lm(out_dir)
+    prefill, decode_step, meta = load_exported_lm(out_dir)
     prompt = jnp.asarray(prompt, jnp.int32)
+    if max_new_tokens <= 0:
+        return np.asarray(prompt)
+    if prompt.shape[1] + max_new_tokens > meta["block_size"]:
+        # past block_size the cache write clamps to the last slot and the
+        # outputs silently go stale — fail loudly instead
+        raise ValueError(
+            f"prompt {prompt.shape[1]} + {max_new_tokens} new tokens "
+            f"exceeds the exported block size {meta['block_size']}")
     logits, cache = prefill(prompt)
     pos = jnp.int32(prompt.shape[1])
     toks = [prompt]

@@ -42,13 +42,18 @@ def _linear_init(std: float = 0.02):
 
 def moe_lm_loss_fn(model, aux_weight: float = 0.01):
     """Cross-entropy LM loss + aux_weight * (mean Switch aux loss over MoE
-    blocks). Returns loss_fn(params, tokens, targets) -> (loss, metrics);
-    the aux term is collected from the 'losses' collection the blocks sow
-    into, so any stack depth works unchanged."""
+    blocks). Returns loss_fn(params, tokens, targets, rng=None) ->
+    (loss, metrics); the aux term is collected from the 'losses' collection
+    the blocks sow into, so any stack depth works unchanged. With `rng`
+    and a dropout-configured model, dropout is live."""
+    dropout = model.config.dropout > 0.0
 
-    def loss_fn(params, tokens, targets):
+    def loss_fn(params, tokens, targets, rng=None):
+        kwargs = {}
+        if dropout and rng is not None:
+            kwargs = {"deterministic": False, "rngs": {"dropout": rng}}
         logits, state = model.apply({"params": params}, tokens,
-                                    mutable=["losses"])
+                                    mutable=["losses"], **kwargs)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None],
                                    axis=-1).mean()

@@ -542,13 +542,36 @@ def estimate_mfu(config: TransformerConfig, n_params: int,
     return (flops_per_iter / dt) / peak_flops
 
 
+# leaf names that receive weight decay: matmul kernels, stacked expert
+# matmuls, and embeddings. For the dense GPT this is exactly the
+# reference's ">= 2-D tensors" rule (networks.py:683-709) — biases and
+# norm scales are 1-D — but unlike an ndim test it stays correct when
+# leaves gain leading axes (pipeline stage-stacking makes biases 3-D) or
+# when 2-D leaves are biases (MoE's [E, d] expert biases).
+_DECAY_LEAF_NAMES = frozenset({"kernel", "w1", "w2", "wte", "wpe",
+                               "embedding"})
+
+
+def gpt_decay_mask(params):
+    def leaf_name(path):
+        for k in reversed(path):
+            name = getattr(k, "key", getattr(k, "name", None))
+            if name is not None:
+                return name
+        return ""
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: leaf_name(path) in _DECAY_LEAF_NAMES, params)
+
+
 def make_gpt_optimizer(params, weight_decay: float, learning_rate,
                        betas: Tuple[float, float]):
-    """AdamW with weight decay only on >=2-D tensors (matmul kernels and
-    embeddings), none on biases/norm scales — the reference's two
-    optimizer groups (networks.py:683-709) as an optax decay mask."""
+    """AdamW with weight decay only on matmul kernels and embeddings, none
+    on biases/norm scales — the reference's two optimizer groups
+    (networks.py:683-709) as an optax decay mask (name-keyed; see
+    gpt_decay_mask)."""
     import optax
 
-    mask = jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
     return optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
-                       eps=1e-8, weight_decay=weight_decay, mask=mask)
+                       eps=1e-8, weight_decay=weight_decay,
+                       mask=gpt_decay_mask(params))

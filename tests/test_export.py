@@ -80,3 +80,24 @@ def test_lm_export_roundtrip(tmp_path):
     ref = np.asarray(generate(model, params, prompt, 6,
                               rng=jax.random.PRNGKey(9), temperature=0.0))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_lm_export_decode_bound(tmp_path):
+    """The exported serving loop refuses to decode past the block size
+    (where the clamped cache writes would silently go stale)."""
+    import pytest
+
+    from tempo_tpu.infer.export_lm import export_lm, greedy_decode_exported
+    from tempo_tpu.nn.transformer import Transformer, TransformerConfig
+
+    cfg = TransformerConfig(in_size=13, block_size=12, n_layer=1, n_head=2,
+                            n_embd=16)
+    model = Transformer(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 4), 0, 13)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+    out = export_lm(params, cfg, tmp_path / "lm")
+
+    with pytest.raises(ValueError, match="block size"):
+        greedy_decode_exported(out, tokens, 9)  # 4 + 9 > 12
+    np.testing.assert_array_equal(
+        greedy_decode_exported(out, tokens, 0), np.asarray(tokens))

@@ -158,3 +158,31 @@ def test_moe_blocks_compose_with_pipeline_parallelism():
         rest, stack, tokens)
     np.testing.assert_allclose(np.asarray(pp_logits), np.asarray(ref_logits),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_gpt_decay_mask_name_keyed():
+    """Weight decay hits exactly kernels / expert matmuls / embeddings —
+    never biases or norm scales — including 2-D MoE biases and
+    pipeline-stacked (rank-shifted) leaves."""
+    from tempo_tpu.nn.transformer import gpt_decay_mask
+    from tempo_tpu.parallel.pipeline import split_pipeline_params
+
+    model = Transformer(CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+
+    mask = gpt_decay_mask(params)
+    moe = mask["h_0"]["moe"]
+    assert moe["w1"] and moe["w2"] and moe["router"]["kernel"]
+    assert not moe["b1"] and not moe["b2"]  # 2-D but biases: no decay
+    assert mask["wte"] and mask["wpe"]
+    assert not mask["ln_f"]["scale"] and not mask["ln_f"]["bias"]
+    assert not mask["h_0"]["attn"]["c_attn"]["bias"]
+
+    # stacking shifts ranks but not names: the mask must be unchanged
+    split = split_pipeline_params(params, 2)
+    split_mask = gpt_decay_mask(split)
+    rest_mask, stack_mask = split_mask
+    assert not stack_mask["moe"]["b1"]  # now 4-D, still no decay
+    assert stack_mask["moe"]["w1"]
+    assert rest_mask["wte"]

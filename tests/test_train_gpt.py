@@ -83,7 +83,7 @@ def test_train_gpt_pipeline_parallel(tmp_path):
 
     metrics = json.loads((out / "metrics.json").read_text())
     assert metrics["train"][-1]["loss"] < metrics["train"][0]["loss"]
-    assert (out / "checkpoints").glob("ckpt_step=*")
+    assert any((out / "checkpoints").glob("ckpt_step=*"))
     assert np.load(out / "generation_final.npy").shape == (1, 16)
     info = yaml.safe_load((out / "training_info.yaml").read_text())
     assert info["pipeline_stages"] == 2
