@@ -8,12 +8,15 @@ beyond parity, and the model family behind the expert-parallel scaling axis
 Design is the TPU-canonical GShard/Switch formulation — everything static
 shapes and einsums so it lands on the MXU and shards cleanly:
 
-- Top-1 ("switch") routing in float32: gate = softmax(router(x)).
+- Routing in float32: top-1 ("Switch", gate = the raw top prob) or top-2
+  ("GShard", the two gates renormalized to sum to 1) by
+  `config.expert_top_k`.
 - Capacity-bounded dispatch: each expert processes at most
-  C = ceil(tokens/E * capacity_factor) tokens; overflow tokens fall through
-  the residual connection (their MoE output is zero), the classic
-  token-dropping behavior. Position-in-expert comes from a cumsum over the
-  one-hot expert assignment — no sorts, no dynamic shapes.
+  C = ceil(k·tokens/E * capacity_factor) slots; overflow falls through
+  the residual connection (that route's MoE output is zero), the classic
+  token-dropping behavior, with rank-major priority (secondary routes
+  overflow first). Position-in-expert comes from a cumsum over the
+  one-hot assignments — no sorts, no dynamic shapes.
 - One-hot dispatch [N,E,C] and combine (= dispatch * gate) tensors turn
   routing into three einsums: gather tokens per expert, run the stacked
   expert MLPs ([E,...] leading-axis weights, one batched matmul), scatter
@@ -74,40 +77,54 @@ class MoEBlock(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         e = cfg.n_experts
+        k = cfg.expert_top_k
+        assert 1 <= k <= e, f"expert_top_k={k} must be in [1, {e}]"
         d = cfg.n_embd
         d_hidden = int(cfg.rmlp * d)
         b, t = x.shape[0], x.shape[1]
         n = b * t
-        capacity = max(1, math.ceil(n / e * cfg.expert_capacity_factor))
+        # per-expert slots scale with k: every token occupies k slots total
+        capacity = max(1, math.ceil(k * n / e * cfg.expert_capacity_factor))
 
         tokens = x.reshape(n, d)
 
-        # --- routing (float32 for a stable softmax/argmax) ---
+        # --- routing (float32 for a stable softmax/top-k) ---
         router_logits = nn.Dense(e, use_bias=False, dtype=jnp.float32,
                                  kernel_init=_linear_init(),
                                  name="router")(tokens.astype(jnp.float32))
         probs = jax.nn.softmax(router_logits, axis=-1)           # [N,E]
-        gate = jnp.max(probs, axis=-1)                           # [N]
-        expert_idx = jnp.argmax(probs, axis=-1)                  # [N]
-        assign = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # [N,E]
+        topk_probs, topk_idx = jax.lax.top_k(probs, k)           # [N,k]
+        if k > 1:
+            # GShard convention: the k gates renormalize to sum to 1
+            gates = topk_probs / jnp.sum(topk_probs, -1, keepdims=True)
+        else:
+            gates = topk_probs  # Switch convention: the raw top-1 prob
+        assign_k = jax.nn.one_hot(topk_idx, e, dtype=jnp.float32)  # [N,k,E]
+        assign = assign_k[:, 0]                                  # rank-0 [N,E]
 
-        # Switch aux loss: E * sum_e (token fraction)_e * (mean prob)_e
+        # Switch aux loss on the PRIMARY assignment:
+        # E * sum_e (token fraction)_e * (mean prob)_e
         aux = e * jnp.sum(jnp.mean(assign, axis=0) * jnp.mean(probs, axis=0))
         self.sow("losses", "moe_aux", aux,
                  init_fn=lambda: jnp.zeros((), jnp.float32),
                  reduce_fn=lambda acc, v: acc + v)
 
-        # --- capacity-bounded position of each token within its expert ---
-        pos = jnp.cumsum(assign, axis=0) * assign - assign       # [N,E] 0-based
-        pos = jnp.sum(pos, axis=-1).astype(jnp.int32)            # [N]
-        keep = (pos < capacity).astype(jnp.float32) * gate       # gate*mask
-        pos_hot = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)  # [N,C]
+        # --- capacity-bounded position of each (token, rank) slot ---
+        # rank-major ordering: every rank-0 choice outranks every rank-1
+        # choice, so secondary routes are the first to overflow
+        assign_flat = assign_k.transpose(1, 0, 2).reshape(k * n, e)
+        pos_flat = jnp.cumsum(assign_flat, axis=0) * assign_flat - assign_flat
+        pos = jnp.sum(pos_flat, axis=-1).astype(jnp.int32)       # [k*N]
+        pos = pos.reshape(k, n).T                                # [N,k]
+        keep = (pos < capacity).astype(jnp.float32) * gates      # [N,k]
+        pos_hot = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)  # [N,k,C]
         # one_hot of pos >= capacity is the all-zero row, which is exactly
         # the drop semantics; the explicit mask below keeps dispatch exact
 
-        dispatch = assign[:, :, None] * pos_hot[:, None, :]      # [N,E,C]
-        dispatch = dispatch * (pos < capacity)[:, None, None]
-        combine = dispatch * keep[:, None, None]                 # [N,E,C]
+        dispatch_k = assign_k[..., None] * pos_hot[:, :, None, :]  # [N,k,E,C]
+        dispatch_k = dispatch_k * (pos < capacity)[:, :, None, None]
+        dispatch = jnp.sum(dispatch_k, axis=1)                   # [N,E,C]
+        combine = jnp.sum(dispatch_k * keep[:, :, None, None], axis=1)
 
         # --- stacked expert MLPs: one batched matmul per layer ---
         w1 = self.param("w1", _linear_init(), (e, d, d_hidden))

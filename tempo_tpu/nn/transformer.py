@@ -71,6 +71,7 @@ class TransformerConfig:
     # mixture-of-experts FFN (nn/moe.py); 0 = dense MLP (the reference GPT)
     n_experts: int = 0
     expert_capacity_factor: float = 1.25
+    expert_top_k: int = 1  # 1 = Switch routing, 2 = GShard top-2
 
     @property
     def head_dim(self) -> int:

