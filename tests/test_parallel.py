@@ -689,3 +689,31 @@ def test_sharded_checkpoint_pp_roundtrip(tmp_path):
     # restored state still trains through the pipeline
     l2 = jax.jit(loss_fn)(restored.params, tokens, targets)
     assert np.isfinite(float(l2))
+
+
+def test_tensor_parallel_gpt_matches_unsharded():
+    """The generic last-axis tp_sharding_rule extends to the transformer
+    family unchanged: channel-sharded GPT params give identical loss and
+    grads (XLA inserts the activation collectives)."""
+    from tempo_tpu.parallel.tensor import create_tp_mesh, shard_params_tp
+
+    cfg, model, params, tokens, targets = _pp_setup()
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, tokens)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.take_along_axis(logp, targets[..., None], -1).mean()
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    mesh = create_tp_mesh(n_model=4)
+    params_tp = shard_params_tp(params, mesh)
+    assert not params_tp["h_0"]["attn"]["c_attn"][
+        "kernel"].sharding.is_fully_replicated
+    l2, g2 = jax.jit(jax.value_and_grad(loss_fn))(params_tp)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
