@@ -120,27 +120,53 @@ def merge_pipeline_params(rest: Dict, stage_stack: Any) -> Dict:
     return params
 
 
-def pp_shardings(mesh: Mesh, rest: Dict, stage_stack: Any):
+def _is_fsdp_expert_leaf(path) -> bool:
+    """Stacked MoE expert weights ([S, L/S, E, ...] after stacking): the
+    leaves worth ZeRO-sharding — they carry the E× parameter blowup.
+    Router weights stay replicated (they're O(d·E), negligible)."""
+    names = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+    return "moe" in names and names[-1] in ("w1", "b1", "w2", "b2")
+
+
+def pp_shardings(mesh: Mesh, rest: Dict, stage_stack: Any,
+                 fsdp_experts: bool = False):
     """(rest_sharding, stack_sharding): stages sharded on their leading
-    axis over 'pipe', everything else replicated."""
+    axis over 'pipe', everything else replicated. With `fsdp_experts` (and
+    a 'data' axis in the mesh), stacked MoE expert weights additionally
+    shard their expert axis over 'data' — ZeRO-style storage sharding,
+    gathered on use inside the pipeline."""
     rep = NamedSharding(mesh, P())
     staged = NamedSharding(mesh, P(PIPE_AXIS))
-    return (jax.tree.map(lambda _: rep, rest),
-            jax.tree.map(lambda _: staged, stage_stack))
+    fsdp = NamedSharding(mesh, P(PIPE_AXIS, None, DATA_AXIS))
+    use_fsdp = fsdp_experts and DATA_AXIS in mesh.axis_names
+    stack_s = jax.tree_util.tree_map_with_path(
+        lambda path, _: fsdp if use_fsdp and _is_fsdp_expert_leaf(path)
+        else staged,
+        stage_stack)
+    return jax.tree.map(lambda _: rep, rest), stack_s
 
 
-def place_pipeline_params(mesh: Mesh, rest: Dict, stage_stack: Any):
-    rest_s, stack_s = pp_shardings(mesh, rest, stage_stack)
+def place_pipeline_params(mesh: Mesh, rest: Dict, stage_stack: Any,
+                          fsdp_experts: bool = False):
+    rest_s, stack_s = pp_shardings(mesh, rest, stage_stack, fsdp_experts)
     return (jax.tree.map(jax.device_put, rest, rest_s),
             jax.tree.map(jax.device_put, stage_stack, stack_s))
 
 
 def make_pipelined_apply(config: TransformerConfig, n_stages: int,
-                         n_micro: int, mesh: Mesh):
+                         n_micro: int, mesh: Mesh,
+                         fsdp_experts: bool = False):
     """Returns apply(rest, stage_stack, tokens) -> logits, the pipelined
     forward of Transformer.__call__ (deterministic), jittable and
     differentiable. tokens: [B, T] ints (tokenized) or [B, T, in_size]
-    floats; B must divide by n_micro."""
+    floats; B must divide by n_micro.
+
+    `fsdp_experts` (MoE models on a ('data','pipe') mesh): the stacked
+    expert weights live sharded over 'data' (ZeRO-style — each data slice
+    stores 1/D of every expert) and are all-gathered at stage entry; the
+    transpose of that gather is a reduce-scatter, so gradient shards come
+    back for free. Storage drops D-fold while the compute stays the
+    plain data-parallel pipeline."""
     block = TransformerBlock(config)
     model = Transformer(config)
 
@@ -180,8 +206,18 @@ def make_pipelined_apply(config: TransformerConfig, n_stages: int,
         assert b % n_micro == 0, f"batch {b} % n_micro {n_micro} != 0"
         micro = tokens.reshape((n_micro, b // n_micro) + tokens.shape[1:])
 
+        use_fsdp = fsdp_experts and DATA_AXIS in mesh.axis_names
+
         def spmd(rest, stage, micro):
             stage = jax.tree.map(lambda l: l[0], stage)  # [1,L/S,..]->[L/S,..]
+            if use_fsdp:
+                # gather the 'data'-sharded expert axis (axis 1 of
+                # [L/S, E/D, ...]) back to full E for compute
+                stage = jax.tree_util.tree_map_with_path(
+                    lambda path, l: jax.lax.all_gather(
+                        l, DATA_AXIS, axis=1, tiled=True)
+                    if _is_fsdp_expert_leaf(path) else l,
+                    stage)
             idx = jax.lax.axis_index(PIPE_AXIS)
             h_in = jax.vmap(lambda t: embed(rest, t))(micro)  # [M, mb, T, D]
             state = jnp.zeros_like(h_in[0])
@@ -222,7 +258,8 @@ def make_pipelined_apply(config: TransformerConfig, n_stages: int,
         has_data = DATA_AXIS in mesh.axis_names
         micro_spec = P(None, DATA_AXIS) if has_data else P()
 
-        rest_s, stack_s = pp_shardings(mesh, rest, stage_stack)
+        rest_s, stack_s = pp_shardings(mesh, rest, stage_stack,
+                                       fsdp_experts=use_fsdp)
         logits = shard_map(
             spmd, mesh=mesh,
             in_specs=(jax.tree.map(lambda s: s.spec, rest_s),
@@ -237,9 +274,10 @@ def make_pipelined_apply(config: TransformerConfig, n_stages: int,
 
 
 def make_pp_loss_fn(config: TransformerConfig, n_stages: int, n_micro: int,
-                    mesh: Mesh):
+                    mesh: Mesh, fsdp_experts: bool = False):
     """Cross-entropy LM loss through the pipeline (tokenized models)."""
-    apply_fn = make_pipelined_apply(config, n_stages, n_micro, mesh)
+    apply_fn = make_pipelined_apply(config, n_stages, n_micro, mesh,
+                                    fsdp_experts=fsdp_experts)
 
     def loss_fn(params, tokens, targets):
         rest, stage_stack = params

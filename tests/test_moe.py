@@ -231,3 +231,51 @@ def test_moe_top2_rank_major_overflow():
     g = jax.grad(lambda pp: jnp.sum(block.apply({"params": pp}, x) ** 2))(
         params)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+
+
+def test_fsdp_experts_in_pipeline_match_unsharded():
+    """('data','pipe') mesh with fsdp_experts: stacked expert weights are
+    stored sharded over 'data' (each slice holds 1/D of every expert),
+    all-gathered at stage entry; loss/grads equal the unpipelined model
+    and the gradient arrays come back still FSDP-sharded (the gather's
+    reduce-scatter transpose)."""
+    from tempo_tpu.parallel.pipeline import (create_pp_mesh, make_pp_loss_fn,
+                                             merge_pipeline_params,
+                                             place_pipeline_params,
+                                             split_pipeline_params)
+
+    cfg = dataclasses.replace(CFG, n_layer=4, block_size=16)
+    model = Transformer(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 31)
+    targets = jax.random.randint(jax.random.PRNGKey(2), (8, 16), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+
+    def ref_loss(p, tok, tgt):
+        logits = model.apply({"params": p}, tok)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0].mean()
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(
+        params, tokens, targets)
+
+    mesh = create_pp_mesh(2, n_data=2)
+    rest, stack = place_pipeline_params(
+        mesh, *split_pipeline_params(params, 2), fsdp_experts=True)
+    w1 = stack["moe"]["w1"]
+    # stored sharded: expert axis split over 'data'
+    assert w1.sharding.spec == (("pipe", None, "data")) or \
+        tuple(w1.sharding.spec) == ("pipe", None, "data")
+    assert (w1.addressable_shards[0].data.shape[2] * 2 == w1.shape[2])
+
+    loss_fn = make_pp_loss_fn(cfg, 2, 4, mesh, fsdp_experts=True)
+    l_pp, g_pp = jax.jit(jax.value_and_grad(loss_fn))(
+        (rest, stack), tokens, targets)
+
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-6)
+    assert tuple(g_pp[1]["moe"]["w1"].sharding.spec) == \
+        ("pipe", None, "data")  # grads stay sharded, never materialized full
+    merged = merge_pipeline_params(jax.device_get(g_pp[0]),
+                                   jax.device_get(g_pp[1]))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
