@@ -69,6 +69,17 @@ def validate_config(config) -> None:
     if stages > 1 and n_layer % stages != 0:
         raise ValueError(f"FATAL: n_layer={n_layer} must divide by "
                          f"parallel.pipeline={stages}")
+    n_expert = int(config.get("parallel", {}).get("expert", 1))
+    if n_expert > 1:
+        if stages > 1:
+            raise ValueError("FATAL: parallel.expert with parallel.pipeline "
+                             "is not a CLI path (use fsdp_experts in the "
+                             "library pipeline instead)")
+        n_experts = int(config["model"].get("n_experts", 0))
+        if n_experts == 0 or n_experts % n_expert != 0:
+            raise ValueError(f"FATAL: model.n_experts={n_experts} must be a "
+                             f"positive multiple of parallel.expert="
+                             f"{n_expert}")
 
 
 def _lm_loss_fn(model, aux_weight: float):
@@ -188,6 +199,13 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         print(f"Pipeline-parallel: {stages} stages x {n_micro} microbatches")
     else:
         loss_fn = _lm_loss_fn(model, aux_weight)
+        n_expert = int(config.get("parallel", {}).get("expert", 1))
+        if n_expert > 1:
+            from tempo_tpu.parallel.expert import (create_ep_mesh,
+                                                   shard_params_ep)
+
+            params = shard_params_ep(params, create_ep_mesh(n_expert))
+            print(f"Expert-parallel: [E,...] weights over {n_expert} devices")
 
     tx = make_gpt_optimizer(params,
                             weight_decay=float(opt_cfg.get("weight_decay", 0.1)),

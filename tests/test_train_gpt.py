@@ -101,3 +101,29 @@ def test_train_gpt_config_validation(tmp_path):
     del cfg2["data"]["synthetic"]
     with pytest.raises(ValueError, match="tokens"):
         main(_write(tmp_path / "bad2.yaml", cfg2))
+
+
+def test_train_gpt_expert_parallel(tmp_path):
+    """parallel.expert: 2 shards the [E,...] expert weights over an
+    'expert' mesh and still trains end-to-end."""
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run_ep"
+    cfg = _base_cfg(out, n_experts=2, expert_capacity_factor=2.0)
+    cfg["parallel"] = {"expert": 2}
+    cfg["training"]["n_steps"] = 15
+    main(_write(tmp_path / "cfg_ep.yaml", cfg))
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert np.isfinite(metrics["train"][-1]["loss"])
+    info = yaml.safe_load((out / "training_info.yaml").read_text())
+    assert info["n_experts"] == 2
+
+
+def test_train_gpt_expert_parallel_validation(tmp_path):
+    from tempo_tpu.cli.train_gpt import main
+
+    cfg = _base_cfg(tmp_path / "z", n_experts=3)
+    cfg["parallel"] = {"expert": 2}  # 3 % 2 != 0
+    with pytest.raises(ValueError, match="multiple"):
+        main(_write(tmp_path / "bad3.yaml", cfg))
