@@ -116,8 +116,12 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     config = load_config(config_path)
     validate_config(config)
 
+    # resume_from: auto re-enters an existing output dir and continues
+    # from its latest checkpoint (preemption recovery, as in train_vae)
+    resume_auto = config["training"].get("resume_from") == "auto"
     output_dir = Path(config["output_dir"])
-    output_dir = init_directory(output_dir, overwrite=overwrite)
+    output_dir = init_directory(output_dir, overwrite=overwrite,
+                                allow_existing=resume_auto)
     (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
     (output_dir / "figures").mkdir(parents=True, exist_ok=True)
     copy_config(config_path, output_dir)
@@ -237,6 +241,12 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     )
 
     resume_from = train_cfg.get("resume_from")
+    if resume_from == "auto":
+        from tempo_tpu.train.checkpoint import latest_checkpoint
+
+        resume_from = latest_checkpoint(output_dir / "checkpoints")
+        if resume_from is None:
+            print("\nresume_from: auto — no checkpoint found, starting fresh")
     if resume_from:
         print(f"\nResuming from checkpoint: {resume_from}")
         trainer.load_checkpoint(resume_from)

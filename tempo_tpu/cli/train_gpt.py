@@ -125,8 +125,12 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     config = load_config(config_path)
     validate_config(config)
 
+    # resume_from: auto re-enters an existing output dir and continues
+    # from its latest checkpoint (preemption recovery, as in train_vae)
+    resume_auto = config["training"].get("resume_from") == "auto"
     output_dir = init_directory(Path(config["output_dir"]),
-                                overwrite=overwrite)
+                                overwrite=overwrite,
+                                allow_existing=resume_auto)
     (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
     copy_config(config_path, output_dir)
 
@@ -226,6 +230,12 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
     )
     resume_from = train_cfg.get("resume_from")
+    if resume_from == "auto":
+        from tempo_tpu.train.checkpoint import latest_checkpoint
+
+        resume_from = latest_checkpoint(output_dir / "checkpoints")
+        if resume_from is None:
+            print("\nresume_from: auto — no checkpoint found, starting fresh")
     if resume_from:
         print(f"\nResuming from checkpoint: {resume_from}")
         trainer.load_checkpoint(resume_from)

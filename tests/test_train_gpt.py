@@ -127,3 +127,25 @@ def test_train_gpt_expert_parallel_validation(tmp_path):
     cfg["parallel"] = {"expert": 2}  # 3 % 2 != 0
     with pytest.raises(ValueError, match="multiple"):
         main(_write(tmp_path / "bad3.yaml", cfg))
+
+
+def test_train_gpt_resume_auto(tmp_path):
+    """resume_from: auto re-enters the run's own output dir and continues
+    from the latest checkpoint with the metric history intact."""
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run_resume"
+    cfg = _base_cfg(out)
+    cfg["training"].update({"n_steps": 30, "save_every": 15,
+                            "resume_from": "auto", "log_every": 5})
+    main(_write(tmp_path / "r1.yaml", cfg))
+    assert (out / "checkpoints" / "ckpt_step=000030.msgpack").exists()
+
+    cfg["training"]["n_steps"] = 45
+    main(_write(tmp_path / "r2.yaml", cfg))
+    assert (out / "checkpoints" / "ckpt_step=000045.msgpack").exists()
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    steps = [m["step"] for m in metrics["train"]]
+    assert steps == sorted(steps) and max(steps) == 45
+    assert 30 in steps and 35 in steps  # both phases in one history
