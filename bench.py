@@ -185,6 +185,29 @@ def bench_encode(batch_size: int = 64, warmup: int = 2, iters: int = 10,
     return {"encode_patches_per_sec": batch_size * iters / dt}
 
 
+def _arm_watchdog(seconds: float) -> None:
+    """The driver contract is ONE JSON line no matter what. A dead device
+    relay makes the first dispatch hang forever (no exception to catch),
+    so a daemon timer emits the error line and hard-exits."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "train_patches_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "patches/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {seconds:.0f}s "
+                     "(device relay unresponsive?)",
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -201,7 +224,14 @@ def main():
     ap.add_argument("--input-dtype", default="bfloat16",
                     choices=["bfloat16", "float16", "float32"],
                     help="host batch dtype (bfloat16 = device-buffer path)")
+    ap.add_argument("--watchdog", type=float,
+                    default=float(__import__("os").environ.get(
+                        "TEMPO_BENCH_TIMEOUT_S", 2400)),
+                    help="emit the error JSON and exit if no result within "
+                         "this many seconds (0 disables)")
     args = ap.parse_args()
+    if args.watchdog > 0:
+        _arm_watchdog(args.watchdog)
     try:
         _main(args)
     except Exception as exc:  # the driver expects exactly one JSON line
