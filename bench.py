@@ -185,16 +185,29 @@ def bench_encode(batch_size: int = 64, warmup: int = 2, iters: int = 10,
     return {"encode_patches_per_sec": batch_size * iters / dt}
 
 
-def _arm_watchdog(seconds: float) -> None:
+def _env_float(name: str, default: float) -> float:
+    """Malformed env values must not crash before the JSON line can be
+    emitted — fall back to the default."""
+    import os
+
+    try:
+        return float(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+def _arm_watchdog(seconds: float, metric: str):
     """The driver contract is ONE JSON line no matter what. A dead device
     relay makes the first dispatch hang forever (no exception to catch),
-    so a daemon timer emits the error line and hard-exits."""
+    so a daemon timer emits the error line and hard-exits. Returns the
+    timer so a successful run can cancel it (a post-result teardown wedge
+    must not print a second, contradictory line)."""
     import os
     import threading
 
     def fire():
         print(json.dumps({
-            "metric": "train_patches_per_sec_per_chip",
+            "metric": metric,
             "value": 0.0,
             "unit": "patches/s/chip",
             "vs_baseline": 0.0,
@@ -206,6 +219,7 @@ def _arm_watchdog(seconds: float) -> None:
     t = threading.Timer(seconds, fire)
     t.daemon = True
     t.start()
+    return t
 
 
 def main():
@@ -225,18 +239,25 @@ def main():
                     choices=["bfloat16", "float16", "float32"],
                     help="host batch dtype (bfloat16 = device-buffer path)")
     ap.add_argument("--watchdog", type=float,
-                    default=float(__import__("os").environ.get(
-                        "TEMPO_BENCH_TIMEOUT_S", 2400)),
+                    default=_env_float("TEMPO_BENCH_TIMEOUT_S", 2400),
                     help="emit the error JSON and exit if no result within "
                          "this many seconds (0 disables)")
     args = ap.parse_args()
+    watchdog = None
     if args.watchdog > 0:
-        _arm_watchdog(args.watchdog)
+        metric = ("l2_train_patches_per_sec_per_chip" if args.l2
+                  else "train_patches_per_sec_per_chip")
+        watchdog = _arm_watchdog(args.watchdog, metric)
     try:
         _main(args)
+        if watchdog is not None:
+            watchdog.cancel()  # result printed; never fire after success
     except Exception as exc:  # the driver expects exactly one JSON line
+        if watchdog is not None:
+            watchdog.cancel()
         print(json.dumps({
-            "metric": "train_patches_per_sec_per_chip",
+            "metric": ("l2_train_patches_per_sec_per_chip" if args.l2
+                       else "train_patches_per_sec_per_chip"),
             "value": 0.0,
             "unit": "patches/s/chip",
             "vs_baseline": 0.0,

@@ -229,13 +229,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         plot_every=train_cfg.get("plot_every", 50),
         checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
     )
-    resume_from = train_cfg.get("resume_from")
-    if resume_from == "auto":
-        from tempo_tpu.train.checkpoint import latest_checkpoint
+    from tempo_tpu.train.checkpoint import resolve_resume_from
 
-        resume_from = latest_checkpoint(output_dir / "checkpoints")
-        if resume_from is None:
-            print("\nresume_from: auto — no checkpoint found, starting fresh")
+    resume_from = resolve_resume_from(train_cfg, output_dir)
     if resume_from:
         print(f"\nResuming from checkpoint: {resume_from}")
         trainer.load_checkpoint(resume_from)

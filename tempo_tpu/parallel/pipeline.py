@@ -137,8 +137,11 @@ def pp_shardings(mesh: Mesh, rest: Dict, stage_stack: Any,
     gathered on use inside the pipeline."""
     rep = NamedSharding(mesh, P())
     staged = NamedSharding(mesh, P(PIPE_AXIS))
-    fsdp = NamedSharding(mesh, P(PIPE_AXIS, None, DATA_AXIS))
     use_fsdp = fsdp_experts and DATA_AXIS in mesh.axis_names
+    # construct the FSDP sharding only when the mesh actually carries a
+    # 'data' axis — NamedSharding validates axes eagerly
+    fsdp = (NamedSharding(mesh, P(PIPE_AXIS, None, DATA_AXIS))
+            if use_fsdp else staged)
     stack_s = jax.tree_util.tree_map_with_path(
         lambda path, _: fsdp if use_fsdp and _is_fsdp_expert_leaf(path)
         else staged,
@@ -207,6 +210,12 @@ def make_pipelined_apply(config: TransformerConfig, n_stages: int,
         micro = tokens.reshape((n_micro, b // n_micro) + tokens.shape[1:])
 
         use_fsdp = fsdp_experts and DATA_AXIS in mesh.axis_names
+        if use_fsdp and config.n_experts:
+            n_data = mesh.shape[DATA_AXIS]
+            assert config.n_experts % n_data == 0, (
+                f"FATAL: n_experts={config.n_experts} must be a positive "
+                f"multiple of the mesh 'data' axis ({n_data}) for "
+                f"fsdp_experts")
 
         def spmd(rest, stage, micro):
             stage = jax.tree.map(lambda l: l[0], stage)  # [1,L/S,..]->[L/S,..]

@@ -187,6 +187,19 @@ def latest_checkpoint(ckpt_dir: Union[str, Path]) -> Optional[Path]:
     return ckpts[-1] if ckpts else None
 
 
+def resolve_resume_from(train_cfg: dict,
+                        output_dir: Union[str, Path]) -> Optional[Path]:
+    """The CLIs' shared `training.resume_from` contract: an explicit path
+    is returned as-is; 'auto' resolves to the run's own latest checkpoint
+    (None + a notice when there is none yet — fresh start)."""
+    resume_from = train_cfg.get("resume_from")
+    if resume_from == "auto":
+        resume_from = latest_checkpoint(Path(output_dir) / "checkpoints")
+        if resume_from is None:
+            print("\nresume_from: auto — no checkpoint found, starting fresh")
+    return resume_from
+
+
 def checkpoint_step(path: Union[str, Path]) -> int:
     """Parse the step out of ckpt_step=NNNNNN.<ext> for any extension
     (native .msgpack and reference .pt checkpoints alike)."""
