@@ -177,10 +177,48 @@ def bench_diffusion(batch_size: int = 64, iters: int = 10,
     }
 
 
+def bench_decode(batch_size: int = 8, new_tokens: int = 128,
+                 iters: int = 5, compute_dtype: str = "bfloat16") -> dict:
+    """Autoregressive serving throughput: KV-cache scan decode on the
+    GPT-2-small shape (the inference side of the GPT family)."""
+    from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                          generate, num_params)
+
+    cfg = TransformerConfig(in_size=50304, block_size=1024, n_layer=12,
+                            n_head=12, n_embd=768,
+                            compute_dtype=compute_dtype)
+    model = Transformer(cfg)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.in_size, (batch_size, 64), dtype=np.int32))
+    init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
+    params = init_fn(jax.random.PRNGKey(0), prompt[:1])
+
+    def run(key):
+        return generate(model, params, prompt, new_tokens, rng=key,
+                        temperature=1.0)
+
+    out = run(jax.random.PRNGKey(1))
+    int(np.asarray(out)[0, -1])  # sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.PRNGKey(2 + i))
+    int(np.asarray(out)[0, -1])
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "family": "gpt_decode",
+        "n_params": num_params(params),
+        "batch": batch_size,
+        "prompt_len": 64,
+        "new_tokens": new_tokens,
+        "ms_per_token": round(1000 * dt / new_tokens, 3),
+        "tokens_per_sec": round(batch_size * new_tokens / dt, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="all",
-                    choices=["gpt", "moe", "diffusion", "all"])
+                    choices=["gpt", "moe", "diffusion", "decode", "all"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8,
                     help="GPT/MoE batch size (diffusion fixed at 64)")
@@ -196,6 +234,9 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     if args.family in ("diffusion", "all"):
         results.append(bench_diffusion(iters=args.iters))
+        print(json.dumps(results[-1]), flush=True)
+    if args.family in ("decode", "all"):
+        results.append(bench_decode(iters=max(2, args.iters // 2)))
         print(json.dumps(results[-1]), flush=True)
 
 
