@@ -243,21 +243,22 @@ def main():
                     help="emit the error JSON and exit if no result within "
                          "this many seconds (0 disables)")
     args = ap.parse_args()
+    # single source of truth for the driver-facing metric name: the
+    # watchdog, the error path and the success path must never desync
+    metric = ("l2_train_patches_per_sec_per_chip" if args.l2
+              else "train_patches_per_sec_per_chip")
     watchdog = None
     if args.watchdog > 0:
-        metric = ("l2_train_patches_per_sec_per_chip" if args.l2
-                  else "train_patches_per_sec_per_chip")
         watchdog = _arm_watchdog(args.watchdog, metric)
     try:
-        _main(args)
+        _main(args, metric)
         if watchdog is not None:
             watchdog.cancel()  # result printed; never fire after success
     except Exception as exc:  # the driver expects exactly one JSON line
         if watchdog is not None:
             watchdog.cancel()
         print(json.dumps({
-            "metric": ("l2_train_patches_per_sec_per_chip" if args.l2
-                       else "train_patches_per_sec_per_chip"),
+            "metric": metric,
             "value": 0.0,
             "unit": "patches/s/chip",
             "vs_baseline": 0.0,
@@ -266,7 +267,7 @@ def main():
         raise SystemExit(1)
 
 
-def _main(args):
+def _main(args, metric):
     if args.l2:
         bench_fn = bench_train_l2
     else:
@@ -275,8 +276,6 @@ def _main(args):
                                      pad_boundary=not args.no_pad,
                                      remat=args.remat,
                                      input_dtype=args.input_dtype)
-    metric = ("l2_train_patches_per_sec_per_chip" if args.l2
-              else "train_patches_per_sec_per_chip")
     if args.sweep:
         sizes = [int(s) for s in args.sweep.split(",")]
         runs = {b: bench_fn(batch_size=b) for b in sizes}

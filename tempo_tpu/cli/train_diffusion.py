@@ -118,7 +118,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     # resume_from: auto re-enters an existing output dir and continues
     # from its latest checkpoint (preemption recovery, as in train_vae)
-    resume_auto = config["training"].get("resume_from") == "auto"
+    from tempo_tpu.train.checkpoint import wants_auto_resume
+    resume_auto = wants_auto_resume(config["training"])
     output_dir = Path(config["output_dir"])
     output_dir = init_directory(output_dir, overwrite=overwrite,
                                 allow_existing=resume_auto)

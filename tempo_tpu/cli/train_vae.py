@@ -71,7 +71,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     # resume_from: auto re-enters an existing output dir and continues from
     # its latest checkpoint — the preemption-recovery path (the v5e
     # operational reality; the reference only has explicit resume_from).
-    resume_auto = config["training"].get("resume_from") == "auto"
+    from tempo_tpu.train.checkpoint import wants_auto_resume
+    resume_auto = wants_auto_resume(config["training"])
     output_dir = Path(config["output_dir"])
     if is_primary:
         output_dir = init_directory(output_dir, overwrite=overwrite,

@@ -187,6 +187,14 @@ def latest_checkpoint(ckpt_dir: Union[str, Path]) -> Optional[Path]:
     return ckpts[-1] if ckpts else None
 
 
+def wants_auto_resume(train_cfg: dict) -> bool:
+    """True when `training.resume_from: auto` — the sentinel the CLIs use
+    to allow re-entering an existing output dir (init_directory
+    allow_existing). Kept beside resolve_resume_from so the detection and
+    the resolution halves of the contract can't drift apart."""
+    return train_cfg.get("resume_from") == "auto"
+
+
 def resolve_resume_from(train_cfg: dict,
                         output_dir: Union[str, Path]) -> Optional[Path]:
     """The CLIs' shared `training.resume_from` contract: an explicit path

@@ -10,7 +10,7 @@ Axon-transport rules apply (CLAUDE.md): everything jitted (init included),
 sync via scalar fetch, chain steps between fetches.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_toolkit.py
-       [--family gpt|moe|diffusion|all] [--iters N]
+       [--family gpt|moe|diffusion|decode|all] [--iters N]
 """
 
 from __future__ import annotations
@@ -193,9 +193,11 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
     init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
     params = init_fn(jax.random.PRNGKey(0), prompt[:1])
 
-    def run(key):
-        return generate(model, params, prompt, new_tokens, rng=key,
-                        temperature=1.0)
+    # jit the WHOLE generate (prefill + scanned decode): eager prefill
+    # would dispatch hundreds of ops at the relay's 7-14 ms round-trip
+    # each and swamp the decode time being measured
+    run = jax.jit(lambda key: generate(model, params, prompt, new_tokens,
+                                       rng=key, temperature=1.0))
 
     out = run(jax.random.PRNGKey(1))
     int(np.asarray(out)[0, -1])  # sync
