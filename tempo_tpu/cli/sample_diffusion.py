@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
-"""Generate tiles from a trained diffusion run.
+"""Generate tiles from a trained diffusion or flow-matching run.
 
-Consumes a `train_diffusion.py` output directory: reads its copied
-config to rebuild the score model / schedule / frozen-VAE codec, loads a
-checkpoint (latest by default), runs scanned ancestral sampling on
-device, decodes to pixel space when the run trained in latents, and
-writes `samples.npy` + a panel figure.
+Consumes a `train_diffusion.py` output directory (family vdm or sfm):
+reads its copied config to rebuild the model / schedule / frozen-VAE
+codec, loads a checkpoint (latest by default), runs scanned sampling on
+device (ancestral for vdm, SDE integration for sfm), decodes to pixel
+space when the run trained in latents, and writes `samples.npy` + a
+panel figure.
 
 Config:
   run_dir: <train_diffusion output dir>
@@ -56,10 +57,13 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         n_samples, n_steps = min(n_samples, 4), min(n_steps, 20)
     seed = int(config.get("seed", 0))
 
-    # rebuild the model exactly as train_diffusion.py did
-    from tempo_tpu.cli.train_diffusion import _build_codec, _save_sample_panel
-    from tempo_tpu.models.diffusion import VDM, sample as vdm_sample
-    from tempo_tpu.nn.unet import CUNet
+    # rebuild the model exactly as train_diffusion.py did (shared builder,
+    # so the two CLIs can never drift apart)
+    from tempo_tpu.cli.train_diffusion import (_build_codec,
+                                               _build_generative,
+                                               _init_generative,
+                                               _make_sampler,
+                                               _save_sample_panel)
 
     # training_info.yaml only exists for COMPLETED runs; a preempted or
     # still-running run (the resume_from-supported state) must be
@@ -75,41 +79,24 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     else:
         model_shape = tuple(int(s) for s in px)
 
-    score_cfg = dict(train_config["score_model"])
-    score = CUNet(shape=model_shape,
-                  chs=tuple(score_cfg.get("chs", [64, 96])),
-                  norm_groups=score_cfg.get("norm_groups", 8),
-                  n_attention_heads=score_cfg.get("n_attention_heads", 4),
-                  dropout_prob=score_cfg.get("dropout_prob", 0.0),
-                  t_conditioning=True,
-                  t_embedding_dim=score_cfg.get("t_embedding_dim", 64))
-    diff_cfg = dict(train_config.get("diffusion", {}))
-    model = VDM(score,
-                noise_schedule=diff_cfg.get("noise_schedule", "fixed_linear"),
-                gamma_min=float(diff_cfg.get("gamma_min", -13.3)),
-                gamma_max=float(diff_cfg.get("gamma_max", 5.0)))
-
-    init_fn = jax.jit(lambda k1, k2, z: model.init(k1, z, rng=k2))
-    template = init_fn(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
-                       np.zeros((2, *model_shape), np.float32))["params"]
+    model, family = _build_generative(train_config, model_shape)
+    template = _init_generative(model, family, model_shape, seed=0)
     from tempo_tpu.train.checkpoint import load_params
 
     params = load_params(ckpt, template)
 
-    print(f"Sampling {n_samples} tiles over {n_steps} steps...")
-
-    @jax.jit
-    def _sample(p, rng):
-        z = vdm_sample(model, p, rng, batch_size=n_samples,
-                       n_sampling_steps=n_steps, sample_shape=model_shape)
-        return decode_fn(z) if decode_fn is not None else z
+    print(f"Sampling {n_samples} tiles over {n_steps} steps ({family})...")
+    _sample = _make_sampler(
+        model, family, model_shape, n_samples, n_steps,
+        decode_fn=decode_fn,
+        method=dict(train_config.get("sampling", {})).get("method", "euler"))
 
     samples = np.asarray(jax.device_get(
         _sample(params, jax.random.PRNGKey(seed))))
     np.save(output_dir / "samples.npy", samples)
     _save_sample_panel(output_dir / "samples.png", samples[:8])
-    save_yaml({"checkpoint": str(ckpt), "n_samples": n_samples,
-               "n_steps": n_steps, "seed": seed,
+    save_yaml({"checkpoint": str(ckpt), "family": family,
+               "n_samples": n_samples, "n_steps": n_steps, "seed": seed,
                "sample_shape": list(samples.shape)},
               output_dir / "sampling_info.yaml")
     print(f"Wrote {samples.shape} -> {output_dir / 'samples.npy'}")

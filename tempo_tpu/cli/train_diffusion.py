@@ -1,35 +1,40 @@
 #!/usr/bin/env python3
-"""Train a variational diffusion model (VDM) on TEMPO tiles — in pixel
-space or in the latent space of a trained VAE.
+"""Train a generative model on TEMPO tiles — variational diffusion (VDM)
+or stochastic flow matching (SFM) — in pixel space or in the latent space
+of a trained VAE.
 
-Runtime surface for the diffusion family the reference toolkit carries
-(src/mltools/models/vdm_model.py + ddpm_model.py; the reference has no
-active training script for it — this CLI gives the capability the same
-config/checkpoint/figures contract as the rest of the framework).
+Runtime surface for the generative families the reference toolkit
+carries (src/mltools/models/vdm_model.py + ddpm_model.py + sfm_model.py;
+the reference has no active training script for them — this CLI gives
+the capability the same config/checkpoint/figures contract as the rest
+of the framework).
 
 TPU-first: ONE fused jitted step covers frozen-VAE encode (a fresh
 posterior draw every step — stronger augmentation than a pre-encoded
-latent dataset), the continuous-time ELBO, backward, clip, and AdamW;
-ancestral sampling runs as a single `lax.scan` program; with multiple
-chips the batch is sharded over the 'data' mesh axis.
+latent dataset), the family loss, backward, clip, and AdamW; sampling
+(ancestral for VDM, SDE integration for SFM) runs as a single `lax.scan`
+program; with multiple chips the batch is sharded over the 'data' mesh
+axis.
 
 Config sections (beyond the train_vae.py schema):
+  family: vdm | sfm           # default vdm
   latent:                     # optional — omit to train in pixel space
     vae_checkpoint: <path>    # .msgpack | sharded dir | reference .pt
     vae_model: {...}          # VAEConfig dict for that checkpoint
     scale: 1.0                # latent scaling (LDM convention)
-  score_model:                # CUNet over the (latent) tensor
-    chs: [64, 96]
+  score_model:                # CUNet over the (latent) tensor — the
+    chs: [64, 96]             # velocity model when family: sfm
     norm_groups: 8
     n_attention_heads: 4
     t_embedding_dim: 64
-  diffusion:
+  diffusion:                  # family: vdm only
     noise_schedule: fixed_linear | sigmoid | learned_linear | learned_nn
     gamma_min: -13.3
     gamma_max: 5.0
   sampling:                   # end-of-run sample panel
     n_samples: 8
     n_steps: 250
+    method: euler | lm        # family: sfm integrator (default euler)
 """
 
 from __future__ import annotations
@@ -64,6 +69,84 @@ def validate_config(config) -> None:
         ckpt = Path(config["latent"]["vae_checkpoint"])
         if not ckpt.exists():
             raise ValueError(f"FATAL: VAE checkpoint doesn't exist: {ckpt}")
+
+
+def _build_generative(train_config, model_shape):
+    """(model, family) over `model_shape` from a train_diffusion config.
+
+    Shared by the train and sample CLIs so a run directory always
+    rebuilds exactly the model it trained. family 'vdm' (default) wraps
+    the CUNet as a VDM score model; 'sfm' wraps it as the velocity model
+    of a stochastic flow from N(0,1), with the source sample fed back as
+    spatial conditioning (reference: sfm_model.py:123-137)."""
+    family = str(train_config.get("family", "vdm")).lower()
+    score_cfg = dict(train_config["score_model"])
+    kw = dict(shape=tuple(model_shape),
+              chs=tuple(score_cfg.get("chs", [64, 96])),
+              norm_groups=score_cfg.get("norm_groups", 8),
+              n_attention_heads=score_cfg.get("n_attention_heads", 4),
+              dropout_prob=score_cfg.get("dropout_prob", 0.0),
+              t_conditioning=True,
+              t_embedding_dim=score_cfg.get("t_embedding_dim", 64))
+    if family == "sfm":
+        from tempo_tpu.models.flow import SFM
+
+        velocity = CUNet(s_conditioning_channels=int(model_shape[-1]), **kw)
+        return SFM(velocity), family
+    if family != "vdm":
+        raise ValueError(f"FATAL: unknown family {family!r} (vdm | sfm)")
+    diff_cfg = dict(train_config.get("diffusion", {}))
+    model = VDM(CUNet(**kw),
+                noise_schedule=diff_cfg.get("noise_schedule", "fixed_linear"),
+                gamma_min=float(diff_cfg.get("gamma_min", -13.3)),
+                gamma_max=float(diff_cfg.get("gamma_max", 5.0)),
+                antithetic_time_sampling=diff_cfg.get(
+                    "antithetic_time_sampling", True),
+                data_noise=float(diff_cfg.get("data_noise", 1.0e-3)))
+    return model, family
+
+
+def _init_generative(model, family, model_shape, seed: int):
+    """Jit-initialized params for either family (SFM's loss signature is
+    (x0, x1); VDM's is (x,))."""
+    z = np.zeros((2,) + tuple(model_shape), np.float32)
+    if family == "sfm":
+        init_fn = jax.jit(lambda k1, k2, zz: model.init(k1, zz, zz, rng=k2))
+    else:
+        init_fn = jax.jit(lambda k1, k2, zz: model.init(k1, zz, rng=k2))
+    return init_fn(jax.random.PRNGKey(seed),
+                   jax.random.PRNGKey(seed + 1), z)["params"]
+
+
+def _make_sampler(model, family, model_shape, n_samples: int, n_steps: int,
+                  decode_fn=None, method: str = "euler"):
+    """Jitted (params, rng) -> pixel/latent samples for either family:
+    scanned ancestral sampling (VDM) or scanned SDE integration from a
+    standard-normal source (SFM)."""
+    if family == "sfm":
+        from tempo_tpu.models.flow import predict as flow_predict
+
+        @jax.jit
+        def _sample(p, rng):
+            k_src, k_sde = jax.random.split(rng)
+            x0 = jax.random.normal(
+                k_src, (n_samples,) + tuple(model_shape), np.float32)
+            z = flow_predict(model, p, x0, k_sde, n_sampling_steps=n_steps,
+                             method=method)
+            return decode_fn(z) if decode_fn is not None else z
+
+        return _sample
+
+    from tempo_tpu.models.diffusion import sample as vdm_sample
+
+    @jax.jit
+    def _sample(p, rng):
+        z = vdm_sample(model, p, rng, batch_size=n_samples,
+                       n_sampling_steps=n_steps,
+                       sample_shape=tuple(model_shape))
+        return decode_fn(z) if decode_fn is not None else z
+
+    return _sample
 
 
 def _build_codec(latent_cfg, sample_shape):
@@ -176,28 +259,10 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         model_shape = z_shape[1:]
         print(f"Latent shape: {model_shape}")
 
-    score_cfg = dict(config["score_model"])
-    score = CUNet(shape=tuple(model_shape),
-                  chs=tuple(score_cfg.get("chs", [64, 96])),
-                  norm_groups=score_cfg.get("norm_groups", 8),
-                  n_attention_heads=score_cfg.get("n_attention_heads", 4),
-                  dropout_prob=score_cfg.get("dropout_prob", 0.0),
-                  t_conditioning=True,
-                  t_embedding_dim=score_cfg.get("t_embedding_dim", 64))
-    diff_cfg = dict(config.get("diffusion", {}))
-    model = VDM(score,
-                noise_schedule=diff_cfg.get("noise_schedule", "fixed_linear"),
-                gamma_min=float(diff_cfg.get("gamma_min", -13.3)),
-                gamma_max=float(diff_cfg.get("gamma_max", 5.0)),
-                antithetic_time_sampling=diff_cfg.get(
-                    "antithetic_time_sampling", True),
-                data_noise=float(diff_cfg.get("data_noise", 1.0e-3)))
+    model, family = _build_generative(config, model_shape)
 
-    print("\nInitializing diffusion model...")
-    z_sample = np.zeros((2,) + tuple(model_shape), np.float32)
-    init_fn = jax.jit(lambda k1, k2, z: model.init(k1, z, rng=k2))
-    params = init_fn(jax.random.PRNGKey(seed),
-                     jax.random.PRNGKey(seed + 1), z_sample)["params"]
+    print(f"\nInitializing {family} model...")
+    params = _init_generative(model, family, model_shape, seed)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     print(f"Score-model + schedule parameters: {n_params:,}")
@@ -226,9 +291,19 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         z0_hat = (zt - VDM.sigma(gamma_t) * eps_hat) / VDM.alpha(gamma_t)
         return decode_fn(z0_hat) if decode_fn is not None else z0_hat
 
+    if family == "sfm":
+        from tempo_tpu.train.step import flow_loss_fn
+
+        loss_fn = flow_loss_fn(model, encode_fn)
+        # a flow has no denoising round trip — no recon figures; the
+        # end-of-run sample panel is the visual artifact
+        recon_fn = None
+    else:
+        loss_fn = diffusion_loss_fn(model, encode_fn)
+
     train_cfg = config["training"]
     trainer = Trainer(
-        loss_fn=diffusion_loss_fn(model, encode_fn),
+        loss_fn=loss_fn,
         tx=tx,
         state=state,
         output_dir=output_dir,
@@ -249,7 +324,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         trainer.load_checkpoint(resume_from)
 
     n_steps = train_cfg["n_steps"]
-    print(f"\nStarting diffusion training for {n_steps} steps...")
+    print(f"\nStarting {family} training for {n_steps} steps...")
     start_time = datetime.now()
     stats = trainer.train(
         train_iter=iter(train_loader),
@@ -267,14 +342,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     n_samples = int(samp_cfg.get("n_samples", 8))
     n_samp_steps = int(samp_cfg.get("n_steps", 50 if debug else 250))
     print(f"\nSampling {n_samples} tiles ({n_samp_steps} steps)...")
-    from tempo_tpu.models.diffusion import sample as vdm_sample
-
-    @jax.jit
-    def _sample(p, rng):
-        z = vdm_sample(model, p, rng, batch_size=n_samples,
-                       n_sampling_steps=n_samp_steps,
-                       sample_shape=tuple(model_shape))
-        return decode_fn(z) if decode_fn is not None else z
+    _sample = _make_sampler(model, family, model_shape, n_samples,
+                            n_samp_steps, decode_fn=decode_fn,
+                            method=samp_cfg.get("method", "euler"))
 
     samples = np.asarray(jax.device_get(
         _sample(trainer.state.params, jax.random.PRNGKey(seed + 3))))
@@ -283,6 +353,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     save_yaml({
         "seed": seed,
+        "family": family,
         "n_devices": n_chips,
         "n_params": int(n_params),
         "latent_space": "latent" in config,

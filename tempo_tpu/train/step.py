@@ -66,6 +66,26 @@ def diffusion_loss_fn(model, encode_fn=None) -> LossFn:
     return loss_fn
 
 
+def flow_loss_fn(model, encode_fn=None) -> LossFn:
+    """Loss closure for stochastic flow matching
+    (tempo_tpu.models.flow.SFM; reference: src/mltools/models/sfm_model.py
+    :123-137). The source sample x0 is a fresh standard-normal draw every
+    step — a generative flow from noise to tiles — and the target x1 is
+    the batch, optionally pushed through a frozen-VAE `encode_fn` fused
+    into the jitted step exactly like diffusion_loss_fn."""
+
+    def loss_fn(params, batch, rng):
+        if encode_fn is not None:
+            rng, enc_rng = jax.random.split(rng)
+            batch = jax.lax.stop_gradient(encode_fn(batch, enc_rng))
+        rng, src_rng = jax.random.split(rng)
+        x0 = jax.random.normal(src_rng, batch.shape, jnp.float32)
+        loss = model.apply({"params": params}, x0, batch, rng=rng)
+        return loss, {"loss": loss}
+
+    return loss_fn
+
+
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                     donate: bool = True, ema_alpha: float = 0.99):
     """Returns jitted (state, batch) -> (state, metrics).

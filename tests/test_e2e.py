@@ -513,3 +513,60 @@ def test_train_and_sample_diffusion_pixel_space(pipeline_dir, tiles_dir):
     s = np.load(pipeline_dir / "diff_samples_px" / "samples.npy")
     assert s.shape == (2, TILE, TILE, N_SPECTRAL)
     assert np.isfinite(s).all()
+
+
+def test_train_and_sample_flow_matching(pipeline_dir, tiles_dir, run_dir):
+    """family: sfm — stochastic flow matching trained in the latent space
+    of the trained VAE (frozen codec fused into the jitted step), sampled
+    by scanned SDE integration from N(0,1) through the same sampling CLI."""
+    from tempo_tpu.cli.sample_diffusion import main as sample_main
+    from tempo_tpu.cli.train_diffusion import main as train_main
+
+    out = pipeline_dir / "run_flow"
+    cfg = _write(pipeline_dir / "train_flow.yaml", {
+        "output_dir": str(out),
+        "seed": 4,
+        "family": "sfm",
+        "data": {
+            "train_dir": str(tiles_dir / "train"),
+            "val_dir": str(tiles_dir / "val"),
+            "batch_size": 8,
+            "min_buffer_size": 16,
+            "val_min_buffer_size": 8,
+        },
+        "latent": {
+            "vae_checkpoint": str(run_dir / "checkpoints"
+                                  / "ckpt_step=000030.msgpack"),
+            "vae_model": MODEL_CFG,
+        },
+        "score_model": {"chs": [12, 16], "norm_groups": 4,
+                        "n_attention_heads": 2, "t_embedding_dim": 8},
+        "optimizer": {"lr": 1e-3},
+        "training": {"n_steps": 20, "save_every": 10, "val_every": 10,
+                     "log_every": 5, "plot_every": 10},
+        "sampling": {"n_samples": 2, "n_steps": 6, "method": "lm"},
+    })
+    train_main(cfg)
+    metrics = json.loads((out / "metrics.json").read_text())
+    losses = [m["loss"] for m in metrics["train"]]
+    assert np.isfinite(losses).all()
+    assert metrics["val"], "validation ran"
+    assert (out / "checkpoints" / "ckpt_step=000020.msgpack").exists()
+    info = yaml.safe_load((out / "training_info.yaml").read_text())
+    assert info["family"] == "sfm" and info["latent_space"]
+    samples = np.load(out / "figures" / "samples_final.npy")
+    assert samples.shape == (2, TILE, TILE, N_SPECTRAL)
+    assert np.isfinite(samples).all()
+
+    scfg = _write(pipeline_dir / "sample_flow.yaml", {
+        "run_dir": str(out),
+        "output_dir": str(pipeline_dir / "flow_samples"),
+        "n_samples": 2, "n_steps": 5, "seed": 6,
+    })
+    sample_main(scfg)
+    s = np.load(pipeline_dir / "flow_samples" / "samples.npy")
+    assert s.shape == (2, TILE, TILE, N_SPECTRAL)
+    assert np.isfinite(s).all()
+    info = yaml.safe_load(
+        (pipeline_dir / "flow_samples" / "sampling_info.yaml").read_text())
+    assert info["family"] == "sfm"
