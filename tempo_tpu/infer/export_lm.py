@@ -66,6 +66,7 @@ def export_lm(params, config: TransformerConfig,
         "n_head": config.n_head,
         "n_embd": config.n_embd,
         "n_experts": config.n_experts,
+        "quantize": config.quantize,
         "compute_dtype": config.compute_dtype,
         "format": "jax.export StableHLO",
         "platforms": list(platforms),

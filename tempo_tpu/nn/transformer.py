@@ -72,6 +72,9 @@ class TransformerConfig:
     n_experts: int = 0
     expert_capacity_factor: float = 1.25
     expert_top_k: int = 1  # 1 = Switch routing, 2 = GShard top-2
+    # 'int8' = weight-only quantized block matmuls for serving
+    # (nn/quant.py; convert a trained tree with quantize_lm_params)
+    quantize: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -138,6 +141,23 @@ def _linear_init(std: float = 0.02):
     return nn.initializers.normal(stddev=std)
 
 
+def _dense(cfg: TransformerConfig, features: int, kernel_init, name: str,
+           use_bias: Optional[bool] = None) -> nn.Module:
+    """The block matmul layer: nn.Dense, or its int8 weight-only twin when
+    cfg.quantize == 'int8' (nn/quant.py — serving path; param tree comes
+    from quantize_lm_params, kernel_init is unused there)."""
+    if use_bias is None:
+        use_bias = cfg.bias
+    if cfg.quantize == "int8":
+        from tempo_tpu.nn.quant import QuantDense
+
+        return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype,
+                          name=name)
+    assert cfg.quantize == "none", f"unknown quantize mode {cfg.quantize!r}"
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype,
+                    kernel_init=kernel_init, name=name)
+
+
 class SelfAttention(nn.Module):
     """Causal multi-head attention with optional RoPE and KV cache.
 
@@ -156,8 +176,7 @@ class SelfAttention(nn.Module):
         b, t, c = x.shape
         n, hd = cfg.n_head, cfg.head_dim
 
-        qkv = nn.Dense(3 * c, use_bias=cfg.bias, dtype=cfg.dtype,
-                       kernel_init=_linear_init(), name="c_attn")(x)
+        qkv = _dense(cfg, 3 * c, _linear_init(), "c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, n, hd)
         k = k.reshape(b, t, n, hd)
@@ -247,10 +266,9 @@ class SelfAttention(nn.Module):
 
         y = y.reshape(b, t, c)
         y = tap(y, "y_out")
-        y = nn.Dense(c, use_bias=cfg.bias, dtype=cfg.dtype,
-                     kernel_init=_linear_init(
-                         0.02 / math.sqrt(2 * cfg.n_layer)),
-                     name="c_proj")(y)
+        y = _dense(cfg, c,
+                   _linear_init(0.02 / math.sqrt(2 * cfg.n_layer)),
+                   "c_proj")(y)
         if cfg.dropout > 0.0 and not deterministic:
             y = nn.Dropout(cfg.dropout)(y, deterministic=False)
         y = tap(y, "y_out_proj")
@@ -267,13 +285,11 @@ class MLPBlock(nn.Module):
         cfg = self.config
         d_hidden = int(cfg.rmlp * cfg.n_embd)
         assert d_hidden == cfg.rmlp * cfg.n_embd, "rmlp*n_embd must be int"
-        h = nn.Dense(d_hidden, use_bias=cfg.bias, dtype=cfg.dtype,
-                     kernel_init=_linear_init(), name="c_fc")(x)
+        h = _dense(cfg, d_hidden, _linear_init(), "c_fc")(x)
         h = gelu_exact(h)
-        h = nn.Dense(cfg.n_embd, use_bias=cfg.bias, dtype=cfg.dtype,
-                     kernel_init=_linear_init(
-                         0.02 / math.sqrt(2 * cfg.n_layer)),
-                     name="c_proj")(h)
+        h = _dense(cfg, cfg.n_embd,
+                   _linear_init(0.02 / math.sqrt(2 * cfg.n_layer)),
+                   "c_proj")(h)
         if cfg.dropout > 0.0 and not deterministic:
             h = nn.Dropout(cfg.dropout)(h, deterministic=False)
         return h
@@ -306,6 +322,9 @@ class TransformerBlock(nn.Module):
         if cfg.mlp:
             h = LayerNorm(cfg.bias, cfg.dtype, name="ln_2")(x) if cfg.ln else x
             if cfg.n_experts > 0:
+                assert cfg.quantize == "none", (
+                    "int8 quantization covers the dense family only; "
+                    "MoE expert weights are not quantized")
                 from tempo_tpu.nn.moe import MoEBlock
 
                 mlp_res = MoEBlock(cfg, name="moe")(h, deterministic)
@@ -428,8 +447,8 @@ class Transformer(nn.Module):
             if cfg.tie_emb:
                 out = h @ wte.T.astype(cfg.dtype)
             else:
-                out = nn.Dense(cfg.in_size, use_bias=False, dtype=cfg.dtype,
-                               kernel_init=_linear_init(), name="lm_head")(h)
+                out = _dense(cfg, cfg.in_size, _linear_init(), "lm_head",
+                             use_bias=False)(h)
         else:
             out = tied.transposed(h)
         if cache is not None:

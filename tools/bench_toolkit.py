@@ -178,9 +178,14 @@ def bench_diffusion(batch_size: int = 64, iters: int = 10,
 
 
 def bench_decode(batch_size: int = 8, new_tokens: int = 128,
-                 iters: int = 5, compute_dtype: str = "bfloat16") -> dict:
+                 iters: int = 5, compute_dtype: str = "bfloat16",
+                 quantize: bool = False) -> dict:
     """Autoregressive serving throughput: KV-cache scan decode on the
-    GPT-2-small shape (the inference side of the GPT family)."""
+    GPT-2-small shape (the inference side of the GPT family). With
+    quantize=True the block matmuls run from int8 weights (nn/quant.py) —
+    decode is HBM-bound, so bytes-per-token is the metric this moves."""
+    import dataclasses
+
     from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
                                           generate, num_params)
 
@@ -192,6 +197,11 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
         0, cfg.in_size, (batch_size, 64), dtype=np.int32))
     init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
     params = init_fn(jax.random.PRNGKey(0), prompt[:1])
+    if quantize:
+        from tempo_tpu.nn.quant import quantize_lm_params
+
+        model = Transformer(dataclasses.replace(cfg, quantize="int8"))
+        params = jax.jit(quantize_lm_params)(params)
 
     # jit the WHOLE generate (prefill + scanned decode): eager prefill
     # would dispatch hundreds of ops at the relay's 7-14 ms round-trip
@@ -207,7 +217,7 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
     int(np.asarray(out)[0, -1])
     dt = (time.perf_counter() - t0) / iters
     return {
-        "family": "gpt_decode",
+        "family": "gpt_decode_int8" if quantize else "gpt_decode",
         "n_params": num_params(params),
         "batch": batch_size,
         "prompt_len": 64,
@@ -239,6 +249,9 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     if args.family in ("decode", "all"):
         results.append(bench_decode(iters=max(2, args.iters // 2)))
+        print(json.dumps(results[-1]), flush=True)
+        results.append(bench_decode(iters=max(2, args.iters // 2),
+                                    quantize=True))
         print(json.dumps(results[-1]), flush=True)
 
 
