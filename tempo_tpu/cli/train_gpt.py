@@ -56,6 +56,15 @@ from tempo_tpu.utils.config import copy_config, load_config, require_keys, save_
 from tempo_tpu.utils.dirs import init_directory
 
 
+def build_transformer_config(model_cfg: dict) -> TransformerConfig:
+    """`model:` config section -> TransformerConfig (lists become tuples).
+    Shared with cli/export_lm.py so an exported run rebuilds exactly the
+    model it trained."""
+    return TransformerConfig(**{
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in model_cfg.items()})
+
+
 def validate_config(config) -> None:
     require_keys(config, ["output_dir", "data", "model", "training"])
     data = config["data"]
@@ -161,9 +170,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         # doesn't pin the vocab itself
         model_cfg["in_size"] = int(stream.max()) + 1
     vocab = int(model_cfg["in_size"])
-    tconfig = TransformerConfig(**{
-        k: (tuple(v) if isinstance(v, list) else v)
-        for k, v in model_cfg.items()})
+    tconfig = build_transformer_config(model_cfg)
     model = Transformer(tconfig)
 
     batch_size = int(data_cfg.get("batch_size", 16))

@@ -18,9 +18,13 @@ Design:
 - `quantize_lm_params` converts a TRAINED float param tree into the
   quantized tree `Transformer(cfg with quantize='int8')` expects:
   symmetric per-output-channel rounding of every block Dense kernel
-  (attention c_attn/c_proj, MLP c_fc/c_proj, untied lm_head). Embedding
-  tables (wte/wpe) and LayerNorm/bias vectors stay float — they are a
-  gather and O(d) reads per token, not matmul streams.
+  (attention c_attn/c_proj, MLP c_fc/c_proj, untied lm_head), plus the
+  token table `wte` per-row — with a tied head (GPT-2) the table is
+  ~1/3 of the weights and is STREAMED by the `h @ wte.T` logit matmul
+  every decode step, so it gets the same treatment (gather-then-dequant
+  on the way in, scale-after-matmul on the way out). The position table
+  and LayerNorm/bias vectors stay float — O(d) reads per token, not
+  matmul streams.
 
 Inference-only: QuantDense params initialize to zeros/ones placeholders
 (training a quantized model is not supported — convert after training).
@@ -73,7 +77,10 @@ def quantize_kernel(kernel: jax.Array):
 
 def quantize_lm_params(params: Dict) -> Dict:
     """Float Transformer param tree -> the tree its `quantize='int8'`
-    twin expects. Leaves everything but the block Dense kernels alone."""
+    twin expects: block Dense kernels get per-output-channel int8, the
+    token table `wte` gets per-row int8 (each embedding vector scaled
+    independently — the same scale the tied head then applies per
+    logit). Position table and LayerNorm/bias vectors stay float."""
 
     def rec(tree, name):
         if isinstance(tree, dict):
@@ -83,7 +90,15 @@ def quantize_lm_params(params: Dict) -> Dict:
                 if "bias" in tree:
                     out["bias"] = tree["bias"]
                 return out
-            return {k: rec(v, k) for k, v in tree.items()}
+            out = {}
+            for k, v in tree.items():
+                if k == "wte" and not isinstance(v, dict):
+                    q_t, scale = quantize_kernel(jnp.asarray(v).T)
+                    out["wte_q"] = q_t.T
+                    out["wte_scale"] = scale
+                else:
+                    out[k] = rec(v, k)
+            return out
         return tree
 
     return rec(params, "")

@@ -406,9 +406,24 @@ class Transformer(nn.Module):
             assert t <= cfg.block_size, (
                 f"sequence length {t} > block size {cfg.block_size}")
             if cfg.tokenized:
-                wte = self.param("wte", _linear_init(),
-                                 (cfg.in_size, cfg.n_embd))
-                tok_emb = jnp.take(wte, x, axis=0).astype(cfg.dtype)
+                if cfg.quantize == "int8":
+                    # int8 token table with per-row scale: gather first,
+                    # dequantize the gathered rows (never materialize a
+                    # float copy of the table); the tied head below applies
+                    # the scale per logit AFTER its matmul, so the table is
+                    # streamed from HBM as int8 in both directions
+                    wte_q = self.param("wte_q", nn.initializers.zeros,
+                                       (cfg.in_size, cfg.n_embd), jnp.int8)
+                    wte_scale = self.param("wte_scale",
+                                           nn.initializers.ones,
+                                           (cfg.in_size,), jnp.float32)
+                    tok_emb = (jnp.take(wte_q, x, axis=0).astype(cfg.dtype)
+                               * jnp.take(wte_scale, x,
+                                          axis=0)[..., None].astype(cfg.dtype))
+                else:
+                    wte = self.param("wte", _linear_init(),
+                                     (cfg.in_size, cfg.n_embd))
+                    tok_emb = jnp.take(wte, x, axis=0).astype(cfg.dtype)
             else:
                 tied = TiedLinear(cfg.in_size, cfg.n_embd, cfg.dtype,
                                   name="wte")
@@ -445,7 +460,11 @@ class Transformer(nn.Module):
             out = self.unembedders["x"](h)
         elif cfg.tokenized:
             if cfg.tie_emb:
-                out = h @ wte.T.astype(cfg.dtype)
+                if cfg.quantize == "int8":
+                    out = ((h @ wte_q.T.astype(cfg.dtype))
+                           * wte_scale[None, None, :].astype(cfg.dtype))
+                else:
+                    out = h @ wte.T.astype(cfg.dtype)
             else:
                 out = _dense(cfg, cfg.in_size, _linear_init(), "lm_head",
                              use_bias=False)(h)

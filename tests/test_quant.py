@@ -39,7 +39,7 @@ def _init(model, batch=2, t=16, seed=0):
 
 def _dequantize(tree):
     """Quantized tree -> the float tree encoding exactly the same
-    weights (kernel = kernel_q * scale)."""
+    weights (kernel = kernel_q * scale; wte = wte_q * row scale)."""
     if isinstance(tree, dict):
         if "kernel_q" in tree:
             out = {"kernel": (tree["kernel_q"].astype(jnp.float32)
@@ -47,7 +47,16 @@ def _dequantize(tree):
             if "bias" in tree:
                 out["bias"] = tree["bias"]
             return out
-        return {k: _dequantize(v) for k, v in tree.items()}
+        out = {}
+        for k, v in tree.items():
+            if k == "wte_q":
+                out["wte"] = (v.astype(jnp.float32)
+                              * tree["wte_scale"][:, None])
+            elif k == "wte_scale":
+                pass
+            else:
+                out[k] = _dequantize(v)
+        return out
     return tree
 
 
@@ -133,6 +142,32 @@ def test_quantize_param_bytes_shrink():
     after = nbytes(qparams, is_kernel)
     # wte stays float; the block kernels dominate this tiny config too
     assert after < 0.5 * before, (before, after)
+
+
+def test_quantized_tied_embedding_exact():
+    """GPT-2 shape (tied head): the int8 token table is exact on
+    dequantized weights through BOTH uses — the input gather and the
+    h @ wte.T logit matmul with its per-logit scale."""
+    cfg = dataclasses.replace(CFG, tie_emb=True, pos_embed=True, rope=False)
+    fp = Transformer(cfg)
+    qm = Transformer(dataclasses.replace(cfg, quantize="int8"))
+    tok = jnp.asarray(np.random.default_rng(11).integers(
+        0, cfg.in_size, (2, 12), dtype=np.int32))
+    params = jax.jit(lambda k, x: fp.init(k, x)["params"])(
+        jax.random.PRNGKey(11), tok)
+    qparams = quantize_lm_params(params)
+    assert qparams["wte_q"].dtype == jnp.int8
+    assert qparams["wte_scale"].shape == (cfg.in_size,)
+
+    out_q = qm.apply({"params": qparams}, tok)
+    out_fp = fp.apply({"params": _dequantize(qparams)}, tok)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_fp),
+                               atol=1e-5, rtol=1e-5)
+
+    # and the serving path runs on it
+    run = jax.jit(lambda p, key: generate(qm, p, tok[:, :4], 6, rng=key,
+                                          temperature=0.0))
+    assert run(qparams, jax.random.PRNGKey(0)).shape == (2, 10)
 
 
 def test_quantized_export_roundtrip(tmp_path):

@@ -89,6 +89,48 @@ def test_train_gpt_pipeline_parallel(tmp_path):
     assert info["pipeline_stages"] == 2
 
 
+def test_export_lm_cli_from_run(tmp_path):
+    """cli/export_lm.py consumes a train_gpt run dir: fp and int8 exports
+    both verify their own greedy roundtrip against the live model, and a
+    pipeline-parallel checkpoint is merged back to the flat tree."""
+    from tempo_tpu.cli.export_lm import main as export_main
+    from tempo_tpu.cli.train_gpt import main as train_main
+
+    out = tmp_path / "run"
+    cfg = _base_cfg(out)
+    cfg["training"]["n_steps"] = 20
+    train_main(_write(tmp_path / "cfg.yaml", cfg))
+
+    for mode in ("none", "int8"):
+        exp = tmp_path / f"export_{mode}"
+        export_main(_write(tmp_path / f"exp_{mode}.yaml", {
+            "run_dir": str(out), "output_dir": str(exp),
+            "quantize": mode}))
+        assert (exp / "lm" / "prefill.stablehlo").exists()
+        assert (exp / "lm" / "decode_step.stablehlo").exists()
+        info = yaml.safe_load((exp / "export_info.yaml").read_text())
+        assert info["quantize"] == mode and info["vocab_size"] == 17
+
+    # pipeline-parallel run: stage stacks merged back for serving
+    out_pp = tmp_path / "run_pp"
+    cfg = _base_cfg(out_pp)
+    cfg["parallel"] = {"pipeline": 2, "n_micro": 4}
+    cfg["training"]["n_steps"] = 10
+    train_main(_write(tmp_path / "cfg_pp.yaml", cfg))
+    exp = tmp_path / "export_pp"
+    export_main(_write(tmp_path / "exp_pp.yaml", {
+        "run_dir": str(out_pp), "output_dir": str(exp)}))
+    info = yaml.safe_load((exp / "export_info.yaml").read_text())
+    assert info["pipeline_stages_merged"] == 2
+
+    # the exported artifact actually decodes greedily from cold
+    from tempo_tpu.infer.export_lm import greedy_decode_exported
+
+    toks = greedy_decode_exported(tmp_path / "export_int8" / "lm",
+                                  np.zeros((1, 3), np.int32), 5)
+    assert toks.shape == (1, 8)
+
+
 def test_train_gpt_config_validation(tmp_path):
     from tempo_tpu.cli.train_gpt import main
 
