@@ -511,7 +511,8 @@ def init_cache(config: TransformerConfig, batch_size: int,
 
 def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
              rng: jax.Array, temperature: float = 1.0,
-             top_k: Optional[int] = None) -> jax.Array:
+             top_k: Optional[int] = None,
+             cache_dtype=None) -> jax.Array:
     """Sample continuations with a KV cache: prefill once, then one
     compiled single-token step per new token under `lax.scan`.
 
@@ -519,7 +520,12 @@ def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
     (networks.py:727-754): same sampling semantics (temperature scaling,
     optional top-k truncation, categorical sampling), but O(T) per token.
     Requires len(idx) + max_new_tokens <= block_size (the reference
-    instead crops context — at serving scale, plan the cache)."""
+    instead crops context — at serving scale, plan the cache).
+
+    `cache_dtype` (default float32) sizes the KV buffers — at serving
+    batch sizes the cache streamed per token rivals the weight bytes, so
+    bfloat16 here halves a first-order HBM term; attention scores stay
+    float32 either way (the cache decode path upcasts)."""
     cfg = model.config
     assert cfg.tokenized, "generate requires a tokenized model"
     b, t0 = idx.shape
@@ -527,7 +533,7 @@ def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
         f"prompt {t0} + {max_new_tokens} new tokens exceeds block size "
         f"{cfg.block_size}")
 
-    cache = init_cache(cfg, b)
+    cache = init_cache(cfg, b, dtype=cache_dtype or jnp.float32)
     logits, cache = model.apply(
         {"params": params}, idx, cache=cache, input_pos=jnp.int32(0))
 

@@ -193,6 +193,31 @@ def test_quantized_export_roundtrip(tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_generate_cache_dtype_lever():
+    """The serving KV cache can run reduced-precision: generate with a
+    bfloat16 cache decodes the same shape jitted, and the buffers really
+    are bfloat16 (the other first-order HBM term besides the weights)."""
+    from tempo_tpu.nn.transformer import init_cache
+
+    fp, _ = _models()
+    params, _ = _init(fp, seed=13)
+    prompt = jnp.asarray(np.random.default_rng(13).integers(
+        0, CFG.in_size, (2, 6), dtype=np.int32))
+
+    cache = init_cache(CFG, 2, dtype=jnp.bfloat16)
+    assert all(k.dtype == jnp.bfloat16 and v.dtype == jnp.bfloat16
+               for k, v in cache)
+
+    run = jax.jit(lambda key: generate(fp, params, prompt, 10, rng=key,
+                                       temperature=0.0,
+                                       cache_dtype=jnp.bfloat16))
+    out = run(jax.random.PRNGKey(0))
+    assert out.shape == (2, 16)
+    # prompt tokens pass through untouched regardless of cache precision
+    np.testing.assert_array_equal(np.asarray(out[:, :6]),
+                                  np.asarray(prompt))
+
+
 def test_quantized_moe_rejected():
     qcfg = dataclasses.replace(CFG, quantize="int8", n_experts=2)
     model = Transformer(qcfg)

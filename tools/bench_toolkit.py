@@ -205,9 +205,12 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
 
     # jit the WHOLE generate (prefill + scanned decode): eager prefill
     # would dispatch hundreds of ops at the relay's 7-14 ms round-trip
-    # each and swamp the decode time being measured
-    run = jax.jit(lambda key: generate(model, params, prompt, new_tokens,
-                                       rng=key, temperature=1.0))
+    # each and swamp the decode time being measured. The KV cache follows
+    # the compute dtype — at batch 8 the streamed cache bytes rival the
+    # weight bytes, so a f32 cache would mask the int8 weight win.
+    run = jax.jit(lambda key: generate(
+        model, params, prompt, new_tokens, rng=key, temperature=1.0,
+        cache_dtype=jnp.dtype(compute_dtype)))
 
     out = run(jax.random.PRNGKey(1))
     int(np.asarray(out)[0, -1])  # sync
