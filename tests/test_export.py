@@ -97,7 +97,16 @@ def test_lm_export_decode_bound(tmp_path):
     params = model.init(jax.random.PRNGKey(0), tokens)["params"]
     out = export_lm(params, cfg, tmp_path / "lm")
 
-    with pytest.raises(ValueError, match="block size"):
+    with pytest.raises(ValueError, match="serving window"):
         greedy_decode_exported(out, tokens, 9)  # 4 + 9 > 12
     np.testing.assert_array_equal(
         greedy_decode_exported(out, tokens, 0), np.asarray(tokens))
+
+    # a request-sized cache (max_seq < block_size) is exact within its
+    # window and refuses beyond it
+    out8 = export_lm(params, cfg, tmp_path / "lm8", max_seq=8)
+    np.testing.assert_array_equal(
+        greedy_decode_exported(out8, tokens, 4),
+        greedy_decode_exported(out, tokens, 4))
+    with pytest.raises(ValueError, match="serving window"):
+        greedy_decode_exported(out8, tokens, 5)  # 4 + 5 > 8

@@ -218,9 +218,39 @@ def test_generate_cache_dtype_lever():
                                   np.asarray(prompt))
 
 
-def test_quantized_moe_rejected():
-    qcfg = dataclasses.replace(CFG, quantize="int8", n_experts=2)
-    model = Transformer(qcfg)
-    tok = jnp.zeros((1, 4), jnp.int32)
-    with pytest.raises(AssertionError, match="dense family"):
-        model.init(jax.random.PRNGKey(0), tok)
+def test_quantized_moe_exact_on_dequantized_weights():
+    """MoE expert kernels quantize too (per-expert, per-out-channel
+    scales): exact against the float model on dequantized weights, with
+    the router left in float32."""
+    cfg = dataclasses.replace(CFG, n_experts=2)
+    fp = Transformer(cfg)
+    qm = Transformer(dataclasses.replace(cfg, quantize="int8"))
+    tok = jnp.asarray(np.random.default_rng(17).integers(
+        0, cfg.in_size, (2, 12), dtype=np.int32))
+    params = jax.jit(lambda k, x: fp.init(k, x)["params"])(
+        jax.random.PRNGKey(17), tok)
+    qparams = quantize_lm_params(params)
+
+    moe0 = qparams["h_0"]["moe"]
+    assert moe0["w1_q"].dtype == jnp.int8 and moe0["w2_q"].dtype == jnp.int8
+    assert moe0["w1_scale"].shape == (2, int(cfg.rmlp * cfg.n_embd))
+    assert "kernel" in moe0["router"]  # router stays float32
+
+    def deq(tree):
+        if isinstance(tree, dict):
+            if "w1_q" in tree:
+                out = {k: v for k, v in tree.items()
+                       if not k.startswith(("w1_", "w2_"))}
+                out["w1"] = (tree["w1_q"].astype(jnp.float32)
+                             * tree["w1_scale"][:, None, :])
+                out["w2"] = (tree["w2_q"].astype(jnp.float32)
+                             * tree["w2_scale"][:, None, :])
+                return out
+            return {k: deq(v) for k, v in tree.items()}
+        return tree
+
+    out_q = qm.apply({"params": qparams}, tok, mutable=["losses"])[0]
+    out_fp = fp.apply({"params": deq(_dequantize(qparams))}, tok,
+                      mutable=["losses"])[0]
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_fp),
+                               atol=1e-5, rtol=1e-5)

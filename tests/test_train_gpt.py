@@ -123,12 +123,19 @@ def test_export_lm_cli_from_run(tmp_path):
     info = yaml.safe_load((exp / "export_info.yaml").read_text())
     assert info["pipeline_stages_merged"] == 2
 
-    # the exported artifact actually decodes greedily from cold
+    # the exported artifacts decode greedily from cold, and on a TRAINED
+    # model (sharp margins on the learnable affine stream) the int8
+    # export agrees with the fp export on almost every greedy token
     from tempo_tpu.infer.export_lm import greedy_decode_exported
 
-    toks = greedy_decode_exported(tmp_path / "export_int8" / "lm",
-                                  np.zeros((1, 3), np.int32), 5)
-    assert toks.shape == (1, 8)
+    prompt = np.zeros((1, 3), np.int32)
+    fp_toks = greedy_decode_exported(tmp_path / "export_none" / "lm",
+                                     prompt, 12)
+    q_toks = greedy_decode_exported(tmp_path / "export_int8" / "lm",
+                                    prompt, 12)
+    assert fp_toks.shape == q_toks.shape == (1, 15)
+    agreement = float((fp_toks == q_toks).mean())
+    assert agreement >= 0.8, agreement
 
 
 def test_train_gpt_config_validation(tmp_path):
