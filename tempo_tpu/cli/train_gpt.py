@@ -31,6 +31,9 @@ Config:
   optimizer: {lr: 3.0e-4, betas: [0.9, 0.95], weight_decay: 0.1}
   parallel:
     pipeline: 1                     # stages (>1 = pipeline-parallel)
+    tensor: 1                       # >1 = channel-sharded params ('model'
+                                    #      axis; composes with dp only)
+    expert: 1                       # >1 = expert-parallel MoE weights
     n_micro: 4                      # microbatches per step (pipeline)
   training: {n_steps, log_every, save_every, val_every, plot_every,
              resume_from, moe_aux_weight: 0.01}
@@ -89,6 +92,11 @@ def validate_config(config) -> None:
             raise ValueError(f"FATAL: model.n_experts={n_experts} must be a "
                              f"positive multiple of parallel.expert="
                              f"{n_expert}")
+    n_model = int(config.get("parallel", {}).get("tensor", 1))
+    if n_model > 1 and (stages > 1 or n_expert > 1):
+        raise ValueError("FATAL: parallel.tensor composes with data "
+                         "parallelism only — not with parallel.pipeline "
+                         "or parallel.expert in this CLI")
 
 
 def _lm_loss_fn(model, aux_weight: float):
@@ -218,6 +226,16 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
             params = shard_params_ep(params, create_ep_mesh(n_expert))
             print(f"Expert-parallel: [E,...] weights over {n_expert} devices")
+        n_model = int(config.get("parallel", {}).get("tensor", 1))
+        if n_model > 1:
+            # channel-sharded params via the generic last-axis rule (the
+            # same tp_sharding_rule the VAE uses; pinned equal to
+            # unsharded in test_parallel.py::test_tensor_parallel_gpt_*)
+            from tempo_tpu.parallel.tensor import (create_tp_mesh,
+                                                   shard_params_tp)
+
+            params = shard_params_tp(params, create_tp_mesh(n_model))
+            print(f"Tensor-parallel: channels over {n_model} devices")
 
     tx = make_gpt_optimizer(params,
                             weight_decay=float(opt_cfg.get("weight_decay", 0.1)),

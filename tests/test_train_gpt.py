@@ -169,6 +169,31 @@ def test_train_gpt_expert_parallel(tmp_path):
     assert info["n_experts"] == 2
 
 
+def test_train_gpt_tensor_parallel(tmp_path):
+    """parallel.tensor: 2 channel-shards the params over a 'model' mesh
+    axis and still trains + generates end-to-end (XLA inserts the
+    activation collectives)."""
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run_tp"
+    cfg = _base_cfg(out)
+    cfg["parallel"] = {"tensor": 2}
+    cfg["training"]["n_steps"] = 15
+    main(_write(tmp_path / "cfg_tp.yaml", cfg))
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["train"][-1]["loss"] < metrics["train"][0]["loss"]
+    assert np.load(out / "generation_final.npy").shape == (1, 16)
+
+    # tensor composes with dp only in this CLI
+    cfg = _base_cfg(tmp_path / "bad")
+    cfg["parallel"] = {"tensor": 2, "pipeline": 2}
+    import pytest
+
+    with pytest.raises(ValueError, match="parallel.tensor"):
+        main(_write(tmp_path / "cfg_bad_tp.yaml", cfg))
+
+
 def test_train_gpt_expert_parallel_validation(tmp_path):
     from tempo_tpu.cli.train_gpt import main
 
