@@ -51,6 +51,7 @@ import numpy as np
 
 from tempo_tpu.cli import run_cli
 from tempo_tpu.data.tokens import TokenLoader, make_token_stream
+from tempo_tpu.ops.losses import lm_cross_entropy
 from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
                                       make_gpt_optimizer, num_params)
 from tempo_tpu.train.state import create_train_state
@@ -119,8 +120,7 @@ def _lm_loss_fn(model, aux_weight: float):
         kwargs = ({"deterministic": False, "rngs": {"dropout": rng}}
                   if dropout else {})
         logits = model.apply({"params": params}, tokens, **kwargs)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).mean()
+        nll = lm_cross_entropy(logits, targets)
         return nll, {"loss": nll, "nll": nll}
 
     return loss_fn

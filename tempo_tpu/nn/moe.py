@@ -57,9 +57,9 @@ def moe_lm_loss_fn(model, aux_weight: float = 0.01):
             kwargs = {"deterministic": False, "rngs": {"dropout": rng}}
         logits, state = model.apply({"params": params}, tokens,
                                     mutable=["losses"], **kwargs)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None],
-                                   axis=-1).mean()
+        from tempo_tpu.ops.losses import lm_cross_entropy
+
+        nll = lm_cross_entropy(logits, targets)
         aux_leaves = jax.tree_util.tree_leaves(state.get("losses", {}))
         n_blocks = max(len(aux_leaves), 1)
         aux = sum(aux_leaves) / n_blocks if aux_leaves else jnp.zeros(())

@@ -75,6 +75,12 @@ class TransformerConfig:
     # 'int8' = weight-only quantized block matmuls for serving
     # (nn/quant.py; convert a trained tree with quantize_lm_params)
     quantize: str = "none"
+    # training-attention kernel: 'auto' = Pallas TPU flash attention for
+    # the hot (no-tap / no-cache / no-dropout) path when the sequence tiles
+    # cleanly, XLA otherwise; 'flash' / 'xla' force one. Measured on v5e at
+    # [8,12,1024,64] fwd+bwd: flash 4.30 ms vs XLA 5.91 ms per layer
+    # (block_q=1024, block_k=512 — tools/profile_gpt.py attribution).
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -84,6 +90,39 @@ class TransformerConfig:
     @property
     def dtype(self):
         return jnp.dtype(self.compute_dtype)
+
+
+def _flash_ok(cfg: "TransformerConfig", t: int) -> bool:
+    """Resolve cfg.attn_impl for a [*, t, n_head, head_dim] attention call.
+    'auto' requires a TPU backend and a sequence the tuned block sizes
+    (512/1024) tile exactly; anything else falls back to the XLA path."""
+    if cfg.attn_impl == "flash":
+        return True
+    if cfg.attn_impl == "xla":
+        return False
+    assert cfg.attn_impl == "auto", f"unknown attn_impl {cfg.attn_impl!r}"
+    return jax.default_backend() == "tpu" and t >= 512 and t % 512 == 0
+
+
+def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     causal: bool, sm_scale: float) -> jax.Array:
+    """Pallas TPU flash attention over [b, t, n, hd] inputs, with the block
+    sizes measured fastest on v5e (tools/profile_gpt.py). Differentiable —
+    the kernel ships its own dq/dkv passes."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (BlockSizes,
+                                                                 flash_attention)
+
+    t = q.shape[1]
+    bq = 1024 if t % 1024 == 0 else 512
+    bk = 512
+    bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                    block_q_major_dkv=bq, block_k_major_dkv=bk,
+                    block_q_dkv=bq, block_k_dkv=bk,
+                    block_q_dq=bq, block_k_major_dq=bk, block_k_dq=bk)
+    out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), causal=causal,
+                          sm_scale=sm_scale, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)
 
 
 def _patch(x: jax.Array, name: str, patches: Taps) -> jax.Array:
@@ -260,6 +299,10 @@ class SelfAttention(nn.Module):
                     jax.nn.softmax(scores, axis=-1), deterministic=False)
                 y = jnp.einsum("bnqk,bknh->bqnh", weights,
                                v.astype(jnp.float32)).astype(cfg.dtype)
+            elif _flash_ok(cfg, t):
+                y = _flash_attention(q, k, v, causal=cfg.causal,
+                                     sm_scale=1.0 / math.sqrt(hd))
+                y = y.astype(cfg.dtype)
             else:
                 y = jax.nn.dot_product_attention(
                     q, k, v, is_causal=cfg.causal)

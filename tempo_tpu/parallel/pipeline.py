@@ -291,9 +291,8 @@ def make_pp_loss_fn(config: TransformerConfig, n_stages: int, n_micro: int,
     def loss_fn(params, tokens, targets):
         rest, stage_stack = params
         logits = apply_fn(rest, stage_stack, tokens)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None],
-                                   axis=-1)[..., 0]
-        return nll.mean()
+        from tempo_tpu.ops.losses import lm_cross_entropy
+
+        return lm_cross_entropy(logits, targets)
 
     return loss_fn

@@ -304,3 +304,37 @@ def test_gpt_trains_end_to_end():
                    max_new_tokens=3, rng=jax.random.PRNGKey(1),
                    temperature=0.0)
     np.testing.assert_array_equal(np.asarray(out[:, 4:7]), seq[:, 4:7])
+
+
+def test_lm_cross_entropy_matches_log_softmax_gather():
+    """The fused (logsumexp - label logit) LM loss used by every training
+    path must equal the reference log_softmax + gather formulation."""
+    from tempo_tpu.ops.losses import lm_cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((2, 6, 33)) * 4.0, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 33, (2, 6)), jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    want = -jnp.take_along_axis(logp, targets[..., None], axis=-1).mean()
+    got = lm_cross_entropy(logits, targets)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    # bf16 logits: reductions still happen in f32
+    got16 = lm_cross_entropy(logits.astype(jnp.bfloat16), targets)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(want), rtol=2e-2)
+
+
+def test_attn_impl_routing():
+    """'auto' resolves to the XLA path off-TPU and for ragged sequences;
+    the forced modes obey. (The flash kernel itself is exercised on the
+    real chip — tools/profile_gpt.py and the on-chip train_gpt runs.)"""
+    from tempo_tpu.nn.transformer import _flash_ok
+
+    auto = TransformerConfig(attn_impl="auto")
+    on_tpu = jax.default_backend() == "tpu"
+    assert _flash_ok(auto, 1024) == on_tpu
+    assert not _flash_ok(auto, 640)     # not a multiple of 512
+    assert not _flash_ok(auto, 256)     # shorter than one k block
+    assert _flash_ok(TransformerConfig(attn_impl="flash"), 8)
+    assert not _flash_ok(TransformerConfig(attn_impl="xla"), 1024)
+    with pytest.raises(AssertionError):
+        _flash_ok(TransformerConfig(attn_impl="bogus"), 1024)

@@ -64,9 +64,10 @@ def bench_gpt(batch_size: int = 8, iters: int = 10, n_experts: int = 0,
                             betas=(0.9, 0.95))
 
     def loss_fn(p, tok):
+        from tempo_tpu.ops.losses import lm_cross_entropy
+
         logits = model.apply({"params": p}, tok[:, :-1])
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        return -jnp.take_along_axis(logp, tok[:, 1:, None], -1).mean()
+        return lm_cross_entropy(logits, tok[:, 1:])
 
     @jax.jit
     def step(state, tok):
