@@ -33,17 +33,41 @@ def multiscale_mse(x: jax.Array, recon: jax.Array) -> jax.Array:
     return err
 
 
+@jax.custom_vjp
 def lm_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Mean next-token NLL over [..., T, V] logits and [..., T] int targets.
 
     Formulated as logsumexp(logits) - logits[target] with only the
     reductions in float32 — numerically identical to the log_softmax +
     gather form (same max-shifted exp-sum), but it never materializes a
-    float32 [B, T, V] log-probability tensor. Measured on v5e at
-    GPT-2-small scale (B8 T1024 V50304): full train step 91.4 ms vs
-    98.4 ms for the log_softmax form, identical loss to 4 decimals.
+    float32 [B, T, V] tensor in either direction: the custom VJP saves the
+    compute-dtype logits plus the [B, T] logsumexp and emits the softmax
+    gradient straight back in the logits dtype. Measured on v5e at
+    GPT-2-small scale (T1024 V50304): batch-8 train step 98.4 -> 91.4 ms
+    vs the log_softmax form, and batch 32 stops spilling (the saved f32
+    residuals alone were 6.6 GB).
     """
     lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
     label = jnp.take_along_axis(logits, targets[..., None],
                                 axis=-1)[..., 0].astype(jnp.float32)
     return (lse - label).mean()
+
+
+def _lm_ce_fwd(logits, targets):
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    label = jnp.take_along_axis(logits, targets[..., None],
+                                axis=-1)[..., 0].astype(jnp.float32)
+    return (lse - label).mean(), (logits, targets, lse)
+
+
+def _lm_ce_bwd(res, g):
+    logits, targets, lse = res
+    # d loss / d logits = (softmax - onehot) / n_positions
+    p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=jnp.float32)
+    scale = g / targets.size
+    dlogits = ((p - onehot) * scale).astype(logits.dtype)
+    return dlogits, None
+
+
+lm_cross_entropy.defvjp(_lm_ce_fwd, _lm_ce_bwd)

@@ -338,3 +338,22 @@ def test_attn_impl_routing():
     assert not _flash_ok(TransformerConfig(attn_impl="xla"), 1024)
     with pytest.raises(AssertionError):
         _flash_ok(TransformerConfig(attn_impl="bogus"), 1024)
+
+
+def test_lm_cross_entropy_gradient_matches_autodiff():
+    """The hand-written softmax-minus-onehot VJP must equal autodiff of the
+    log_softmax formulation."""
+    from tempo_tpu.ops.losses import lm_cross_entropy
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((3, 5, 19)) * 3.0, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 19, (3, 5)), jnp.int32)
+
+    def ref(lg):
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        return -jnp.take_along_axis(logp, targets[..., None], axis=-1).mean()
+
+    g_ref = jax.grad(ref)(logits)
+    g_got = jax.grad(lambda lg: lm_cross_entropy(lg, targets))(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
