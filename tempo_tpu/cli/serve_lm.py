@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""Serve exported GPT artifacts (cli/export_lm.py output).
+
+Two modes over the same LMServer (infer/serving.py):
+
+- `mode: batch` — read a JSONL request file ({"tokens": [...],
+  "n_tokens": N, "temperature": T, "top_k": K, "seed": S} per line),
+  bucket same-shaped requests into batched prefill+decode chains, write
+  `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
+- `mode: http` — a stdlib single-threaded HTTP endpoint:
+  GET /healthz -> artifact metadata; POST /generate with one request
+  object or {"requests": [...]} -> completions. Single-threaded is the
+  honest policy: the chip is single-tenant and the artifacts' decode
+  chain is sequential; concurrency belongs in a fleet balancer, not here.
+
+The serving host runs from the StableHLO artifacts alone — this CLI never
+imports the model or checkpoint code. (The reference has no serving
+story: networks.py:727-754 re-runs eager python per token from the full
+training source tree.)
+
+Config:
+  output_dir: <logs/completions dir>
+  artifacts: <exported lm dir (the `lm/` dir export_lm.py writes)>
+  mode: batch | http
+  requests: <jsonl path>            # batch mode
+  host: 127.0.0.1                   # http mode
+  port: 8900                        # http mode
+  max_requests: 0                   # http mode: exit after N POSTs (0 = run forever)
+  default_n_tokens: 64
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from pathlib import Path
+
+from tempo_tpu.cli import run_cli
+from tempo_tpu.utils.config import copy_config, load_config, require_keys, save_yaml
+from tempo_tpu.utils.dirs import init_directory
+
+
+def _serve_batch(server, config: dict, output_dir: Path,
+                 default_n: int) -> None:
+    req_path = Path(config["requests"])
+    if not req_path.exists():
+        raise ValueError(f"FATAL: requests file not found: {req_path}")
+    requests = [json.loads(line) for line in
+                req_path.read_text().splitlines() if line.strip()]
+    print(f"Serving {len(requests)} requests from {req_path} ...")
+    t0 = time.perf_counter()
+    responses = server.serve_requests(requests, default_new_tokens=default_n)
+    elapsed = time.perf_counter() - t0
+    out_path = output_dir / "completions.jsonl"
+    with out_path.open("w") as f:
+        for resp in responses:
+            f.write(json.dumps(resp) + "\n")
+    n_generated = sum(r["n_generated"] for r in responses)
+    info = {
+        "n_requests": len(requests),
+        "n_generated_tokens": n_generated,
+        "elapsed_s": round(elapsed, 3),
+        "tokens_per_sec": round(n_generated / max(elapsed, 1e-9), 2),
+        "artifacts": str(config["artifacts"]),
+    }
+    save_yaml(info, output_dir / "serving_info.yaml")
+    print(f"Wrote {out_path}")
+    print(f"Generated {n_generated} tokens in {elapsed:.2f}s "
+          f"({info['tokens_per_sec']} tok/s)")
+
+
+def _serve_http(server, config: dict, output_dir: Path,
+                default_n: int) -> None:
+    host = str(config.get("host", "127.0.0.1"))
+    port = int(config.get("port", 8900))
+    max_requests = int(config.get("max_requests", 0))
+    counter = {"posts": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "tempo_tpu-lm"
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — stdlib API
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", **server.meta})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802 — stdlib API
+            if self.path != "/generate":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                requests = (payload["requests"]
+                            if "requests" in payload else [payload])
+                responses = server.serve_requests(
+                    requests, default_new_tokens=default_n)
+                out = (responses if "requests" in payload
+                       else responses[0])
+                self._send(200, {"responses": out}
+                           if "requests" in payload else out)
+            except Exception as exc:  # serving endpoint: report, don't die
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+            counter["posts"] += 1
+
+        def log_message(self, fmt, *args):
+            print(f"[http] {fmt % args}")
+
+    httpd = HTTPServer((host, port), Handler)
+    bound = httpd.server_address
+    print(f"Serving on http://{bound[0]}:{bound[1]} "
+          f"(POST /generate, GET /healthz)"
+          + (f", exiting after {max_requests} requests" if max_requests
+             else ""))
+    save_yaml({"host": bound[0], "port": int(bound[1]),
+               "artifacts": str(config["artifacts"])},
+              output_dir / "serving_info.yaml")
+    try:
+        if max_requests:
+            while counter["posts"] < max_requests:
+                httpd.handle_request()
+        else:
+            httpd.serve_forever()
+    finally:
+        httpd.server_close()
+
+
+def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None:
+    config = load_config(config_path)
+    require_keys(config, ["output_dir", "artifacts"])
+    artifacts = Path(config["artifacts"])
+    if not (artifacts / "meta.json").exists():
+        raise ValueError(f"FATAL: no exported artifacts at {artifacts} "
+                         "(expected meta.json + *.stablehlo from "
+                         "cli/export_lm.py)")
+
+    output_dir = init_directory(Path(config["output_dir"]),
+                                overwrite=overwrite)
+    copy_config(config_path, output_dir)
+
+    from tempo_tpu.infer.serving import LMServer
+
+    server = LMServer(artifacts)
+    print(f"Loaded artifacts: vocab {server.vocab}, "
+          f"window {server.window}, quantize "
+          f"{server.meta.get('quantize', 'none')}")
+
+    default_n = int(config.get("default_n_tokens", 64))
+    if debug:
+        default_n = min(default_n, 8)
+
+    mode = str(config.get("mode", "batch"))
+    if mode == "batch":
+        require_keys(config, ["requests"])
+        _serve_batch(server, config, output_dir, default_n)
+    elif mode == "http":
+        _serve_http(server, config, output_dir, default_n)
+    else:
+        raise ValueError(f"FATAL: unknown mode {mode!r} (batch | http)")
+    print("\nDone!")
+
+
+if __name__ == "__main__":
+    run_cli(main, "Serve exported GPT artifacts (batch JSONL or HTTP)")

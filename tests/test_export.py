@@ -110,3 +110,135 @@ def test_lm_export_decode_bound(tmp_path):
         greedy_decode_exported(out, tokens, 4))
     with pytest.raises(ValueError, match="serving window"):
         greedy_decode_exported(out8, tokens, 5)  # 4 + 5 > 8
+
+
+def _tiny_lm_export(tmp_path):
+    from tempo_tpu.infer.export_lm import export_lm
+    from tempo_tpu.nn.transformer import Transformer, TransformerConfig
+
+    cfg = TransformerConfig(in_size=31, block_size=32, n_layer=2, n_head=2,
+                            n_embd=32)
+    model = Transformer(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+    return export_lm(params, cfg, tmp_path / "lm"), model, params, cfg
+
+
+def test_lm_server_policies_and_bucketing(tmp_path):
+    """LMServer: greedy matches the reference serving loop; seeded
+    sampling is reproducible and respects top-k support; mixed-length
+    request lists bucket into batched chains with order preserved."""
+    import pytest
+
+    from tempo_tpu.infer.export_lm import greedy_decode_exported
+    from tempo_tpu.infer.serving import LMServer
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    server = LMServer(out)
+
+    prompt = np.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], np.int32)
+    got = server.generate_batch(prompt, 6)
+    ref = greedy_decode_exported(out, prompt, 6)[:, 5:]
+    np.testing.assert_array_equal(got, ref)
+
+    # seeded sampling: reproducible, in-vocab, and distinct from greedy
+    s1 = server.generate_batch(prompt, 6, temperature=1.0, top_k=5, seed=7)
+    s2 = server.generate_batch(prompt, 6, temperature=1.0, top_k=5, seed=7)
+    np.testing.assert_array_equal(s1, s2)
+    assert s1.min() >= 0 and s1.max() < cfg.in_size
+
+    # guards
+    with pytest.raises(ValueError, match="serving window"):
+        server.generate_batch(prompt, 28)
+    with pytest.raises(ValueError, match="token ids"):
+        server.generate_batch(np.full((1, 3), 99, np.int32), 2)
+
+    # bucketing: 2 lengths + 2 sampling configs -> per-request results
+    # equal the unbatched calls, in request order
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 4},
+        {"tokens": [9, 2, 6], "n_tokens": 4},
+        {"tokens": [9, 2, 6, 5, 3], "n_tokens": 4},
+        {"tokens": [1, 1, 2], "n_tokens": 4, "temperature": 1.0, "seed": 3},
+    ]
+    resp = server.serve_requests(reqs)
+    assert len(resp) == 4
+    assert resp[0]["batch"] == 2 and resp[2]["batch"] == 2  # same bucket
+    for i in (0, 1, 2):
+        solo = server.generate_batch(
+            np.asarray([reqs[i]["tokens"]], np.int32), 4)
+        np.testing.assert_array_equal(np.asarray([resp[i]["tokens"]]), solo)
+
+
+def test_serve_lm_cli_batch(tmp_path):
+    import json
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.utils.config import save_yaml
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    reqs = [{"tokens": [3, 1, 4, 1], "n_tokens": 5},
+            {"tokens": [2, 7], "n_tokens": 3, "temperature": 0.7, "seed": 1}]
+    req_path = tmp_path / "requests.jsonl"
+    req_path.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(out), "mode": "batch",
+               "requests": str(req_path)}, cfg_path)
+
+    serve_main(str(cfg_path))
+    lines = [json.loads(l) for l in
+             (tmp_path / "served" / "completions.jsonl").read_text()
+             .splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["n_generated"] == 5 and lines[1]["n_generated"] == 3
+    assert (tmp_path / "served" / "serving_info.yaml").exists()
+
+
+def test_serve_lm_cli_http(tmp_path):
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.utils.config import load_config, save_yaml
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(out), "mode": "http", "port": 0,
+               "max_requests": 2}, cfg_path)
+
+    th = threading.Thread(target=serve_main, args=(str(cfg_path),),
+                          daemon=True)
+    th.start()
+    info_path = tmp_path / "served" / "serving_info.yaml"
+    for _ in range(200):
+        if info_path.exists():
+            break
+        time.sleep(0.05)
+    port = int(load_config(str(info_path))["port"])
+    base = f"http://127.0.0.1:{port}"
+
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["vocab_size"] == 31
+
+    body = json.dumps({"tokens": [3, 1, 4, 1, 5], "n_tokens": 4}).encode()
+    req = urllib.request.Request(f"{base}/generate", data=body,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        resp = json.loads(r.read())
+    assert resp["n_generated"] == 4
+
+    # second POST (multi-request payload) also ends the server loop
+    body = json.dumps({"requests": [{"tokens": [2, 7], "n_tokens": 2},
+                                    {"tokens": [5, 5], "n_tokens": 2}]}).encode()
+    req = urllib.request.Request(f"{base}/generate", data=body,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        multi = json.loads(r.read())
+    assert len(multi["responses"]) == 2
+    th.join(timeout=60)
+    assert not th.is_alive()
