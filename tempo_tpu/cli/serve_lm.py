@@ -1,11 +1,20 @@
 #!/usr/bin/env python3
 """Serve exported GPT artifacts (cli/export_lm.py output).
 
-Two modes over the same LMServer (infer/serving.py):
+Two schedulers (infer/serving.py):
+
+- `scheduler: bucketed` (default) — LMServer buckets same-length requests
+  into batched prefill+decode chains (one shared position counter).
+- `scheduler: continuous` — ContinuousLMServer: a fixed pool of `slots`
+  batch rows, each at its own position (`decode_rows`/`admit` artifacts);
+  finished rows are refilled mid-flight, so mixed prompt/generation
+  lengths share one device batch with no convoy effect.
+
+Two modes over either scheduler:
 
 - `mode: batch` — read a JSONL request file ({"tokens": [...],
-  "n_tokens": N, "temperature": T, "top_k": K, "seed": S} per line),
-  bucket same-shaped requests into batched prefill+decode chains, write
+  "n_tokens": N, "temperature": T, "top_k": K, "seed": S per line,
+  plus "eos" under the continuous scheduler), write
   `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
 - `mode: http` — a stdlib single-threaded HTTP endpoint:
   GET /healthz -> artifact metadata; POST /generate with one request
@@ -22,6 +31,8 @@ Config:
   output_dir: <logs/completions dir>
   artifacts: <exported lm dir (the `lm/` dir export_lm.py writes)>
   mode: batch | http
+  scheduler: bucketed | continuous
+  slots: 8                          # continuous scheduler: batch rows
   requests: <jsonl path>            # batch mode
   host: 127.0.0.1                   # http mode
   port: 8900                        # http mode
@@ -64,6 +75,8 @@ def _serve_batch(server, config: dict, output_dir: Path,
         "tokens_per_sec": round(n_generated / max(elapsed, 1e-9), 2),
         "artifacts": str(config["artifacts"]),
     }
+    if getattr(server, "last_stats", None):
+        info["scheduler_stats"] = server.last_stats
     save_yaml(info, output_dir / "serving_info.yaml")
     print(f"Wrote {out_path}")
     print(f"Generated {n_generated} tokens in {elapsed:.2f}s "
@@ -148,11 +161,19 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                                 overwrite=overwrite)
     copy_config(config_path, output_dir)
 
-    from tempo_tpu.infer.serving import LMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer, LMServer
 
-    server = LMServer(artifacts)
+    scheduler = str(config.get("scheduler", "bucketed"))
+    if scheduler == "continuous":
+        server = ContinuousLMServer(artifacts,
+                                    n_slots=int(config.get("slots", 8)))
+    elif scheduler == "bucketed":
+        server = LMServer(artifacts)
+    else:
+        raise ValueError(f"FATAL: unknown scheduler {scheduler!r} "
+                         "(bucketed | continuous)")
     print(f"Loaded artifacts: vocab {server.vocab}, "
-          f"window {server.window}, quantize "
+          f"window {server.window}, scheduler {scheduler}, quantize "
           f"{server.meta.get('quantize', 'none')}")
 
     default_n = int(config.get("default_n_tokens", 64))

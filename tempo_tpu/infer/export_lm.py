@@ -13,6 +13,19 @@ compiled call per token. Batch and prompt length are symbolic dimensions
 (prompt constrained to the block size), so one artifact serves any batch
 at any prompt length. The reference has no serving story for its GPT
 (networks.py:727-754 re-runs eager python per token).
+
+Two further artifacts make the batch *continuous* (per-slot scheduling,
+no convoy effect from one shared position counter):
+
+  decode_rows(tok[b,1], cache, pos[b]) -> (logits[b, 1, V], cache)
+  admit(cache, row_cache, slot)        -> cache
+
+`decode_rows` advances every batch row at its OWN absolute position
+(per-row cache scatter + per-row causal mask), and `admit` splices a
+freshly prefilled single-request cache into one slot of the serving
+batch — so a finished slot is refilled while the other rows keep
+decoding. The host-side scheduler lives in infer/serving.py
+(ContinuousLMServer).
 """
 
 from __future__ import annotations
@@ -51,6 +64,20 @@ def export_lm(params, config: TransformerConfig,
         return model.apply({"params": params}, tok, cache=cache,
                            input_pos=pos)
 
+    def decode_rows(tok, cache, pos_rows):
+        # identical compute, but pos_rows is [b]: every slot advances at
+        # its own absolute position (continuous batching)
+        return model.apply({"params": params}, tok, cache=cache,
+                           input_pos=pos_rows)
+
+    def admit(cache, row_cache, slot):
+        # splice a prefilled batch-1 cache into row `slot` of the serving
+        # cache; the whole row is replaced, so whatever a parked slot
+        # accumulated is dead on arrival
+        return jax.tree_util.tree_map(
+            lambda c, r: jax.lax.dynamic_update_slice_in_dim(
+                c, r.astype(c.dtype), slot, axis=0), cache, row_cache)
+
     # separate symbolic scopes: prefill's (b, t) constraint on t must not
     # leak into decode_step, whose args never mention t
     b, t = jexport.symbolic_shape(
@@ -61,13 +88,23 @@ def export_lm(params, config: TransformerConfig,
     cache_spec = jax.eval_shape(
         lambda: init_cache(config, b2, config.dtype, cache_len=max_seq))
     pos_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    pos_rows_spec = jax.ShapeDtypeStruct((b2,), jnp.int32)
+    row_cache_spec = jax.eval_shape(
+        lambda: init_cache(config, 1, config.dtype, cache_len=max_seq))
+    slot_spec = jax.ShapeDtypeStruct((), jnp.int32)
 
     platforms = ("cpu", "tpu")
     pre = jexport.export(jax.jit(prefill), platforms=platforms)(tok_t)
     dec = jexport.export(jax.jit(decode_step), platforms=platforms)(
         tok_1, cache_spec, pos_spec)
+    rows = jexport.export(jax.jit(decode_rows), platforms=platforms)(
+        tok_1, cache_spec, pos_rows_spec)
+    adm = jexport.export(jax.jit(admit), platforms=platforms)(
+        cache_spec, row_cache_spec, slot_spec)
     (out_dir / "prefill.stablehlo").write_bytes(pre.serialize())
     (out_dir / "decode_step.stablehlo").write_bytes(dec.serialize())
+    (out_dir / "decode_rows.stablehlo").write_bytes(rows.serialize())
+    (out_dir / "admit.stablehlo").write_bytes(adm.serialize())
     (out_dir / "meta.json").write_text(json.dumps({
         "vocab_size": config.in_size,
         "block_size": config.block_size,
@@ -80,6 +117,7 @@ def export_lm(params, config: TransformerConfig,
         "compute_dtype": config.compute_dtype,
         "format": "jax.export StableHLO",
         "platforms": list(platforms),
+        "continuous": True,
     }, indent=2))
     return out_dir
 
@@ -94,6 +132,21 @@ def load_exported_lm(out_dir: Union[str, Path]):
         (out_dir / "decode_step.stablehlo").read_bytes())
     meta = json.loads((out_dir / "meta.json").read_text())
     return jax.jit(pre.call), jax.jit(dec.call), meta
+
+
+def load_exported_continuous(out_dir: Union[str, Path]):
+    """(prefill, decode_rows, admit, meta) — the continuous-batching
+    surface. Raises FileNotFoundError on artifacts exported before the
+    continuous pair existed."""
+    out_dir = Path(out_dir)
+    pre = jexport.deserialize(
+        (out_dir / "prefill.stablehlo").read_bytes())
+    rows = jexport.deserialize(
+        (out_dir / "decode_rows.stablehlo").read_bytes())
+    adm = jexport.deserialize(
+        (out_dir / "admit.stablehlo").read_bytes())
+    meta = json.loads((out_dir / "meta.json").read_text())
+    return jax.jit(pre.call), jax.jit(rows.call), jax.jit(adm.call), meta
 
 
 def greedy_decode_exported(out_dir: Union[str, Path], prompt,

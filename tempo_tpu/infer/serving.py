@@ -24,7 +24,8 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 import jax.numpy as jnp
 import numpy as np
 
-from tempo_tpu.infer.export_lm import load_exported_lm
+from tempo_tpu.infer.export_lm import (load_exported_continuous,
+                                        load_exported_lm)
 
 
 def sample_next(logits_last: np.ndarray, temperature: float,
@@ -123,3 +124,169 @@ class LMServer:
                 }
         assert all(r is not None for r in responses)
         return responses  # type: ignore[return-value]
+
+    def serve(self, requests: Sequence[Dict[str, Any]],
+              default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        """Scheduler-agnostic alias: hosts call serve() on either server."""
+        return self.serve_requests(requests, default_new_tokens)
+
+
+class ContinuousLMServer:
+    """Continuous batching over the exported per-row-position artifacts.
+
+    A fixed pool of `n_slots` batch rows decodes in lockstep, but every
+    row sits at its OWN absolute position (`decode_rows` takes pos[b]);
+    when a row finishes its request — token budget spent or `eos` hit —
+    the next pending request is prefilled at batch 1 and `admit` splices
+    its cache into the freed row while the other rows keep decoding. No
+    same-length bucketing, no convoy effect: mixed prompt lengths and
+    mixed generation lengths share one device batch.
+
+    Numerics: identical to per-request `generate_batch` for greedy
+    decoding (per-row cache scatter + per-row absolute-position mask keep
+    rows independent; pinned by test_export.py). Sampled requests get a
+    per-request numpy Generator seeded by their own `seed`.
+    """
+
+    def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8):
+        (self.prefill, self.decode_rows, self.admit,
+         self.meta) = load_exported_continuous(artifacts_dir)
+        assert n_slots >= 1, n_slots
+        self.n_slots = int(n_slots)
+        self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
+        self.vocab = int(self.meta["vocab_size"])
+        self.last_stats: Dict[str, Any] = {}
+
+    def _validate(self, requests: Sequence[Dict[str, Any]],
+                  default_new_tokens: int) -> None:
+        for i, req in enumerate(requests):
+            if "tokens" not in req:
+                raise ValueError(f"request {i}: missing 'tokens'")
+            t = len(req["tokens"])
+            n = int(req.get("n_tokens", default_new_tokens))
+            if t + n > self.window:
+                raise ValueError(
+                    f"request {i}: prompt {t} + {n} new tokens exceeds the "
+                    f"exported serving window {self.window}")
+            toks = np.asarray(req["tokens"], np.int64)
+            if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
+                raise ValueError(
+                    f"request {i}: token ids outside [0, {self.vocab})")
+
+    def serve(self, requests: Sequence[Dict[str, Any]],
+              default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        """requests: dicts with 'tokens' and optional 'n_tokens',
+        'temperature', 'top_k', 'seed', 'eos' (early stop on this token
+        id, which is kept in the output). Responses keep request order."""
+        self._validate(requests, default_new_tokens)
+        n_req = len(requests)
+        responses: List[Optional[Dict[str, Any]]] = [None] * n_req
+        pending = list(range(n_req))[::-1]  # pop() preserves arrival order
+        b = self.n_slots
+
+        # a parked row is dead weight: it decodes token 0 at position 0
+        # every step and `admit` replaces its whole cache row on reuse
+        slots: List[Optional[Dict[str, Any]]] = [None] * b
+        pos = np.zeros(b, np.int32)
+        toks = np.zeros((b, 1), np.int32)
+        _, cache = self.prefill(jnp.zeros((b, 1), jnp.int32))
+
+        t_start = time.perf_counter()
+        decode_steps = 0
+        prefills = 0
+
+        def finalize(s: int) -> None:
+            st = slots[s]
+            assert st is not None
+            responses[st["req"]] = {
+                "tokens": st["out"],
+                "n_prompt": st["n_prompt"],
+                "n_generated": len(st["out"]),
+                "slot": s,
+                "stopped_early": st["eos_hit"],
+            }
+            slots[s] = None
+            pos[s] = 0
+            toks[s, 0] = 0
+
+        def push(s: int, st: Dict[str, Any], tok_row: np.ndarray) -> None:
+            tok = int(tok_row[0, 0])
+            st["out"].append(tok)
+            st["remaining"] -= 1
+            if st["eos"] is not None and tok == st["eos"]:
+                st["eos_hit"] = True
+                st["remaining"] = 0
+            if st["remaining"] <= 0:
+                finalize(s)
+            else:
+                toks[s, 0] = tok
+
+        while pending or any(st is not None for st in slots):
+            for s in range(b):
+                while slots[s] is None and pending:
+                    i = pending.pop()
+                    req = requests[i]
+                    n_tokens = int(req.get("n_tokens", default_new_tokens))
+                    if n_tokens <= 0:
+                        responses[i] = {"tokens": [], "n_prompt":
+                                        len(req["tokens"]), "n_generated": 0,
+                                        "slot": s, "stopped_early": False}
+                        continue
+                    prompt = np.asarray(req["tokens"],
+                                        np.int32).reshape(1, -1)
+                    logits, row_cache = self.prefill(jnp.asarray(prompt))
+                    cache = self.admit(cache, row_cache, jnp.int32(s))
+                    prefills += 1
+                    st = {
+                        "req": i,
+                        "n_prompt": prompt.shape[1],
+                        "out": [],
+                        "remaining": n_tokens,
+                        "temperature": float(req.get("temperature", 0.0)),
+                        "top_k": req.get("top_k"),
+                        "eos": req.get("eos"),
+                        "eos_hit": False,
+                        "rng": np.random.default_rng(
+                            int(req.get("seed", 0))),
+                    }
+                    slots[s] = st
+                    pos[s] = prompt.shape[1]
+                    tok = sample_next(np.asarray(logits[:, -1]),
+                                      st["temperature"], st["top_k"],
+                                      st["rng"])
+                    push(s, st, tok)
+
+            if not any(st is not None for st in slots):
+                break
+            logits, cache = self.decode_rows(
+                jnp.asarray(toks), cache, jnp.asarray(pos))
+            logits_np = np.asarray(logits[:, -1])
+            decode_steps += 1
+            for s in range(b):
+                st = slots[s]
+                if st is None:
+                    continue
+                tok = sample_next(logits_np[s:s + 1], st["temperature"],
+                                  st["top_k"], st["rng"])
+                pos[s] += 1
+                push(s, st, tok)
+
+        dt = time.perf_counter() - t_start
+        n_generated = sum(r["n_generated"] for r in responses
+                          if r is not None)
+        self.last_stats = {
+            "decode_steps": decode_steps,
+            "prefills": prefills,
+            "n_requests": n_req,
+            "n_slots": b,
+            "n_generated": n_generated,
+            "seconds": round(dt, 4),
+            "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
+        }
+        assert all(r is not None for r in responses)
+        return responses  # type: ignore[return-value]
+
+    def serve_requests(self, requests: Sequence[Dict[str, Any]],
+                       default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        """Scheduler-agnostic alias: hosts call either name."""
+        return self.serve(requests, default_new_tokens)

@@ -146,10 +146,18 @@ def rope_cache(seq_len: int, head_dim: int,
 
 def apply_rope(x: jax.Array, cache: jax.Array) -> jax.Array:
     """Rotate adjacent feature pairs. x: [B, T, n_head, head_dim]; cache:
-    [T, head_dim//2, 2] (already gathered at the right positions).
-    Float32 rotation, cast back (reference: blocks.py:265-292)."""
+    [T, head_dim//2, 2] (already gathered at the right positions), or
+    [B, T, head_dim//2, 2] when every row sits at its own position
+    (continuous-batching decode). Float32 rotation, cast back
+    (reference: blocks.py:265-292)."""
     b, t, n, d = x.shape
     xs = x.astype(jnp.float32).reshape(b, t, n, d // 2, 2)
+    if cache.ndim == 4:  # per-row positions
+        cos = cache[:, :, None, :, 0]
+        sin = cache[:, :, None, :, 1]
+        out = jnp.stack([xs[..., 0] * cos - xs[..., 1] * sin,
+                         xs[..., 1] * cos + xs[..., 0] * sin], axis=-1)
+        return out.reshape(b, t, n, d).astype(x.dtype)
     cos = cache[None, :, None, :, 0]
     sin = cache[None, :, None, :, 1]
     out = jnp.stack([xs[..., 0] * cos - xs[..., 1] * sin,
@@ -236,6 +244,10 @@ class SelfAttention(nn.Module):
             full = rope_cache(cfg.block_size, hd, cfg.rope_base)
             if input_pos is None:
                 rc = full[:t]
+            elif jnp.ndim(input_pos) == 1:
+                # per-row positions [b] (continuous-batching decode):
+                # gather each row's own rotation angles -> [b, t, hd//2, 2]
+                rc = full[input_pos[:, None] + jnp.arange(t)[None]]
             else:
                 rc = jax.lax.dynamic_slice_in_dim(full, input_pos, t, axis=0)
             q = apply_rope(q, rc)
@@ -255,19 +267,29 @@ class SelfAttention(nn.Module):
             # input_pos, attend over the valid prefix only.
             ck, cv = cache
             pos = input_pos if input_pos is not None else jnp.int32(0)
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype),
-                                                     pos, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype),
-                                                     pos, axis=1)
+            if jnp.ndim(pos) == 1:
+                # per-row positions: each batch row writes its own slice
+                # (vmapped dynamic_update_slice lowers to one scatter)
+                row_upd = jax.vmap(
+                    lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(
+                        c, u, p, axis=0))
+                ck = row_upd(ck, k.astype(ck.dtype), pos)
+                cv = row_upd(cv, v.astype(cv.dtype), pos)
+                q_idx = pos[:, None] + jnp.arange(t)        # [b, t]
+            else:
+                ck = jax.lax.dynamic_update_slice_in_dim(
+                    ck, k.astype(ck.dtype), pos, axis=1)
+                cv = jax.lax.dynamic_update_slice_in_dim(
+                    cv, v.astype(cv.dtype), pos, axis=1)
+                q_idx = (pos + jnp.arange(t))[None]         # [1, t]
             new_cache = (ck, cv)
             s = ck.shape[1]
             kv_idx = jnp.arange(s)
-            q_idx = pos + jnp.arange(t)
             # causal over absolute positions; never attend beyond pos+t
-            mask = kv_idx[None, :] <= q_idx[:, None]
+            mask = kv_idx[None, None, :] <= q_idx[:, :, None]  # [b|1, t, s]
             scores = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
                                 ck.astype(jnp.float32)) / math.sqrt(hd)
-            scores = jnp.where(mask[None, None], scores, -jnp.inf)
+            scores = jnp.where(mask[:, None], scores, -jnp.inf)
             weights = jax.nn.softmax(scores, axis=-1)
             y = jnp.einsum("bnqk,bknh->bqnh", weights,
                            cv.astype(jnp.float32)).astype(cfg.dtype)
@@ -472,11 +494,20 @@ class Transformer(nn.Module):
             if cfg.pos_embed:
                 wpe = self.param("wpe", _linear_init(),
                                  (cfg.block_size, cfg.n_embd))
-                pos = (jnp.arange(t) if input_pos is None
-                       else input_pos + jnp.arange(t))
-                pos_emb = tap(jnp.take(wpe, pos, axis=0).astype(cfg.dtype),
-                              "pos_emb")
-                tok_emb = tok_emb + pos_emb[None]
+                if input_pos is not None and jnp.ndim(input_pos) == 1:
+                    # per-row positions [b]: gather a [b, t, c] table slice
+                    pos = input_pos[:, None] + jnp.arange(t)[None]
+                    pos_emb = tap(jnp.take(wpe, pos,
+                                           axis=0).astype(cfg.dtype),
+                                  "pos_emb")
+                    tok_emb = tok_emb + pos_emb
+                else:
+                    pos = (jnp.arange(t) if input_pos is None
+                           else input_pos + jnp.arange(t))
+                    pos_emb = tap(jnp.take(wpe, pos,
+                                           axis=0).astype(cfg.dtype),
+                                  "pos_emb")
+                    tok_emb = tok_emb + pos_emb[None]
             h = tok_emb
         if cfg.dropout > 0.0 and not deterministic:
             h = nn.Dropout(cfg.dropout)(h, deterministic=False)

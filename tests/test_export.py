@@ -242,3 +242,103 @@ def test_serve_lm_cli_http(tmp_path):
     assert len(multi["responses"]) == 2
     th.join(timeout=60)
     assert not th.is_alive()
+
+
+def test_lm_export_continuous_batching(tmp_path):
+    """decode_rows + admit: slot-scheduled continuous batching reproduces
+    per-request greedy decode exactly across mixed prompt and generation
+    lengths, while sharing one device batch (no same-length bucketing)."""
+    from tempo_tpu.infer.serving import ContinuousLMServer, LMServer
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    server = ContinuousLMServer(out, n_slots=2)
+    solo = LMServer(out)
+
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 6},
+        {"tokens": [9, 2, 6], "n_tokens": 3},
+        {"tokens": [9, 2, 6, 5, 3, 5], "n_tokens": 5},
+        {"tokens": [1, 1], "n_tokens": 7},
+        {"tokens": [2], "n_tokens": 1},
+    ]
+    resp = server.serve(reqs)
+    assert len(resp) == 5
+    for i, req in enumerate(reqs):
+        want = solo.generate_batch(
+            np.asarray([req["tokens"]], np.int32), req["n_tokens"])
+        np.testing.assert_array_equal(
+            np.asarray([resp[i]["tokens"]]), want)
+
+    # 5 requests shared 2 slots: the makespan must beat serial decoding
+    stats = server.last_stats
+    assert stats["prefills"] == 5 and stats["n_slots"] == 2
+    serial_steps = sum(r["n_tokens"] - 1 for r in reqs)
+    assert stats["decode_steps"] < serial_steps
+
+    # eos early-stop: the stop token is kept, the budget is not spent
+    eos = resp[0]["tokens"][2]
+    stopped = server.serve(
+        [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 6, "eos": eos}])[0]
+    assert stopped["stopped_early"]
+    first_hit = resp[0]["tokens"].index(eos) + 1
+    assert stopped["tokens"] == resp[0]["tokens"][:first_hit]
+
+    # zero-budget requests answer immediately without occupying a slot
+    empty = server.serve([{"tokens": [5, 5], "n_tokens": 0}])[0]
+    assert empty["tokens"] == [] and not empty["stopped_early"]
+
+
+def test_lm_export_continuous_rope(tmp_path):
+    """The per-row-position decode path also covers RoPE models (per-row
+    rotation-angle gather instead of the learned-table gather)."""
+    from tempo_tpu.infer.export_lm import export_lm
+    from tempo_tpu.infer.serving import ContinuousLMServer, LMServer
+    from tempo_tpu.nn.transformer import Transformer, TransformerConfig
+
+    cfg = TransformerConfig(in_size=23, block_size=24, n_layer=2, n_head=2,
+                            n_embd=24, rope=True, pos_embed=False)
+    model = Transformer(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 23)
+    params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+    out = export_lm(params, cfg, tmp_path / "lm_rope")
+
+    server = ContinuousLMServer(out, n_slots=2)
+    solo = LMServer(out)
+    reqs = [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 5},
+            {"tokens": [7, 7], "n_tokens": 6},
+            {"tokens": [2, 0, 9, 9], "n_tokens": 4}]
+    resp = server.serve(reqs)
+    for i, req in enumerate(reqs):
+        want = solo.generate_batch(
+            np.asarray([req["tokens"]], np.int32), req["n_tokens"])
+        np.testing.assert_array_equal(np.asarray([resp[i]["tokens"]]), want)
+
+
+def test_serve_lm_cli_continuous(tmp_path):
+    """The serving CLI drives the continuous scheduler end-to-end and
+    records its slot-level stats."""
+    import json
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.utils.config import load_config, save_yaml
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    reqs = [{"tokens": [3, 1, 4, 1], "n_tokens": 5},
+            {"tokens": [2, 7], "n_tokens": 3},
+            {"tokens": [2, 7, 7, 1, 1], "n_tokens": 4}]
+    req_path = tmp_path / "requests.jsonl"
+    req_path.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(out), "mode": "batch",
+               "scheduler": "continuous", "slots": 2,
+               "requests": str(req_path)}, cfg_path)
+
+    serve_main(str(cfg_path))
+    lines = [json.loads(l) for l in
+             (tmp_path / "served" / "completions.jsonl").read_text()
+             .splitlines()]
+    assert [l["n_generated"] for l in lines] == [5, 3, 4]
+    info = load_config(str(tmp_path / "served" / "serving_info.yaml"))
+    assert info["scheduler_stats"]["n_slots"] == 2
+    assert info["scheduler_stats"]["prefills"] == 3

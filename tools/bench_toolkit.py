@@ -10,7 +10,7 @@ Axon-transport rules apply (CLAUDE.md): everything jitted (init included),
 sync via scalar fetch, chain steps between fetches.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_toolkit.py
-       [--family gpt|moe|diffusion|decode|all] [--iters N]
+       [--family gpt|moe|diffusion|decode|serve|all] [--iters N]
 """
 
 from __future__ import annotations
@@ -231,10 +231,74 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
     }
 
 
+def bench_serve(batch_size: int = 8, new_tokens: int = 128,
+                iters: int = 5, compute_dtype: str = "bfloat16") -> dict:
+    """Cost of the continuous-batching machinery: one scanned decode chain
+    with per-row positions (vmapped KV scatter + per-row mask + per-row
+    RoPE/wpe gather — the decode_rows surface) vs the scalar-position
+    chain. Same model, same cache, same token count; the ratio is the
+    per-step price of slot-level scheduling (should be ~1.0: the scatter
+    and gathers are tiny next to the cache stream)."""
+    from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                          init_cache)
+
+    cfg = TransformerConfig(in_size=50304, block_size=1024, n_layer=12,
+                            n_head=12, n_embd=768,
+                            compute_dtype=compute_dtype)
+    model = Transformer(cfg)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.in_size, (batch_size, 64), dtype=np.int32))
+    init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
+    params = init_fn(jax.random.PRNGKey(0), prompt[:1])
+    cache_len = 256
+
+    def chain(vector_pos: bool):
+        def run(tok0):
+            cache = init_cache(cfg, batch_size, jnp.dtype(compute_dtype),
+                               cache_len=cache_len)
+            _, cache = model.apply({"params": params}, prompt, cache=cache,
+                                   input_pos=jnp.int32(0))
+            p0 = prompt.shape[1]
+            pos0 = (jnp.full((batch_size,), p0, jnp.int32) if vector_pos
+                    else jnp.int32(p0))
+
+            def step(carry, _):
+                tok, cache, pos = carry
+                logits, cache = model.apply({"params": params}, tok[:, None],
+                                            cache=cache, input_pos=pos)
+                nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
+                                 axis=-1).astype(jnp.int32)
+                return (nxt, cache, pos + 1), ()
+
+            (tok, _, _), _ = jax.lax.scan(
+                step, (tok0, cache, pos0), None, length=new_tokens)
+            return tok
+
+        return jax.jit(run)
+
+    out = {"family": "serve_decode_rows", "batch": batch_size,
+           "new_tokens": new_tokens, "cache_len": cache_len}
+    tok0 = prompt[:, -1]
+    for name, vec in (("scalar_pos", False), ("row_pos", True)):
+        run = chain(vec)
+        int(np.asarray(run(tok0))[0])  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            got = run(tok0)
+        int(np.asarray(got)[0])
+        dt = (time.perf_counter() - t0) / iters
+        out[f"{name}_ms_per_token"] = round(1000 * dt / new_tokens, 3)
+    out["row_pos_overhead"] = round(
+        out["row_pos_ms_per_token"] / out["scalar_pos_ms_per_token"], 3)
+    # both chains decode greedily from the same prefill: same tokens
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="all",
-                    choices=["gpt", "moe", "diffusion", "decode", "all"])
+                    choices=["gpt", "moe", "diffusion", "decode", "serve",
+                             "all"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8,
                     help="GPT/MoE batch size (diffusion fixed at 64)")
@@ -256,6 +320,9 @@ def main():
         print(json.dumps(results[-1]), flush=True)
         results.append(bench_decode(iters=max(2, args.iters // 2),
                                     quantize=True))
+        print(json.dumps(results[-1]), flush=True)
+    if args.family in ("serve", "all"):
+        results.append(bench_serve(iters=max(2, args.iters // 2)))
         print(json.dumps(results[-1]), flush=True)
 
 
