@@ -9,6 +9,11 @@ Two schedulers (infer/serving.py):
   batch rows, each at its own position (`decode_rows`/`admit` artifacts);
   finished rows are refilled mid-flight, so mixed prompt/generation
   lengths share one device batch with no convoy effect.
+- `scheduler: speculative` — SpeculativeLMServer: a small draft model
+  (`draft_artifacts`, a second exported dir) proposes `k_draft` tokens,
+  the target verifies the block in one `extend` pass. Greedy output is
+  exactly the target-only greedy sequence; sampling is distribution-
+  preserving rejection sampling. A latency lever (per-request decode).
 
 Two modes over either scheduler:
 
@@ -31,8 +36,10 @@ Config:
   output_dir: <logs/completions dir>
   artifacts: <exported lm dir (the `lm/` dir export_lm.py writes)>
   mode: batch | http
-  scheduler: bucketed | continuous
+  scheduler: bucketed | continuous | speculative
   slots: 8                          # continuous scheduler: batch rows
+  draft_artifacts: <exported draft lm dir>  # speculative scheduler
+  k_draft: 4                        # speculative scheduler: block size
   requests: <jsonl path>            # batch mode
   host: 127.0.0.1                   # http mode
   port: 8900                        # http mode
@@ -161,17 +168,25 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                                 overwrite=overwrite)
     copy_config(config_path, output_dir)
 
-    from tempo_tpu.infer.serving import ContinuousLMServer, LMServer
+    from tempo_tpu.infer.serving import (ContinuousLMServer, LMServer,
+                                         SpeculativeLMServer)
 
     scheduler = str(config.get("scheduler", "bucketed"))
     if scheduler == "continuous":
         server = ContinuousLMServer(artifacts,
                                     n_slots=int(config.get("slots", 8)))
+    elif scheduler == "speculative":
+        require_keys(config, ["draft_artifacts"])
+        draft = Path(config["draft_artifacts"])
+        if not (draft / "meta.json").exists():
+            raise ValueError(f"FATAL: no exported draft artifacts at {draft}")
+        server = SpeculativeLMServer(artifacts, draft,
+                                     k_draft=int(config.get("k_draft", 4)))
     elif scheduler == "bucketed":
         server = LMServer(artifacts)
     else:
         raise ValueError(f"FATAL: unknown scheduler {scheduler!r} "
-                         "(bucketed | continuous)")
+                         "(bucketed | continuous | speculative)")
     print(f"Loaded artifacts: vocab {server.vocab}, "
           f"window {server.window}, scheduler {scheduler}, quantize "
           f"{server.meta.get('quantize', 'none')}")

@@ -26,6 +26,17 @@ freshly prefilled single-request cache into one slot of the serving
 batch — so a finished slot is refilled while the other rows keep
 decoding. The host-side scheduler lives in infer/serving.py
 (ContinuousLMServer).
+
+A fifth artifact enables speculative decoding (target-model side):
+
+  extend(tokens[b, k], cache, pos) -> (logits[b, k, V], cache)
+
+One pass scores a whole k-token draft block into an EXISTING cache at
+positions pos..pos+k-1 (prefill always rebuilds its cache from zero).
+Rollback after a rejected draft is free: the absolute-position causal
+mask hides the stale KV rows and the next extend overwrites them. The
+host-side scheduler (draft/verify loop, rejection sampling) is
+infer/serving.py SpeculativeLMServer.
 """
 
 from __future__ import annotations
@@ -70,6 +81,14 @@ def export_lm(params, config: TransformerConfig,
         return model.apply({"params": params}, tok, cache=cache,
                            input_pos=pos_rows)
 
+    def extend(tokens, cache, pos):
+        # score k tokens at positions pos..pos+k-1 into an EXISTING cache
+        # (prefill rebuilds its cache from zero; this continues one) —
+        # the target-model verify call of speculative decoding: one pass
+        # scores a whole draft block
+        return model.apply({"params": params}, tokens, cache=cache,
+                           input_pos=pos)
+
     def admit(cache, row_cache, slot):
         # splice a prefilled batch-1 cache into row `slot` of the serving
         # cache; the whole row is replaced, so whatever a parked slot
@@ -83,8 +102,15 @@ def export_lm(params, config: TransformerConfig,
     b, t = jexport.symbolic_shape(
         "b, t", constraints=[f"t <= {max_seq}"])
     (b2,) = jexport.symbolic_shape("b")
+    # extend's own scope: draft-block length k is symbolic too, so one
+    # artifact serves any speculation depth
+    b3, k3 = jexport.symbolic_shape(
+        "b, k", constraints=[f"k <= {max_seq}"])
     tok_t = jax.ShapeDtypeStruct((b, t), jnp.int32)
     tok_1 = jax.ShapeDtypeStruct((b2, 1), jnp.int32)
+    tok_k = jax.ShapeDtypeStruct((b3, k3), jnp.int32)
+    cache_spec_k = jax.eval_shape(
+        lambda: init_cache(config, b3, config.dtype, cache_len=max_seq))
     cache_spec = jax.eval_shape(
         lambda: init_cache(config, b2, config.dtype, cache_len=max_seq))
     pos_spec = jax.ShapeDtypeStruct((), jnp.int32)
@@ -101,10 +127,13 @@ def export_lm(params, config: TransformerConfig,
         tok_1, cache_spec, pos_rows_spec)
     adm = jexport.export(jax.jit(admit), platforms=platforms)(
         cache_spec, row_cache_spec, slot_spec)
+    ext = jexport.export(jax.jit(extend), platforms=platforms)(
+        tok_k, cache_spec_k, pos_spec)
     (out_dir / "prefill.stablehlo").write_bytes(pre.serialize())
     (out_dir / "decode_step.stablehlo").write_bytes(dec.serialize())
     (out_dir / "decode_rows.stablehlo").write_bytes(rows.serialize())
     (out_dir / "admit.stablehlo").write_bytes(adm.serialize())
+    (out_dir / "extend.stablehlo").write_bytes(ext.serialize())
     (out_dir / "meta.json").write_text(json.dumps({
         "vocab_size": config.in_size,
         "block_size": config.block_size,
@@ -118,6 +147,7 @@ def export_lm(params, config: TransformerConfig,
         "format": "jax.export StableHLO",
         "platforms": list(platforms),
         "continuous": True,
+        "speculative": True,
     }, indent=2))
     return out_dir
 
@@ -147,6 +177,19 @@ def load_exported_continuous(out_dir: Union[str, Path]):
         (out_dir / "admit.stablehlo").read_bytes())
     meta = json.loads((out_dir / "meta.json").read_text())
     return jax.jit(pre.call), jax.jit(rows.call), jax.jit(adm.call), meta
+
+
+def load_exported_speculative(out_dir: Union[str, Path]):
+    """(prefill, extend, meta) — the target-model side of speculative
+    decoding (block verify into an existing cache). Raises
+    FileNotFoundError on artifacts exported before `extend` existed."""
+    out_dir = Path(out_dir)
+    pre = jexport.deserialize(
+        (out_dir / "prefill.stablehlo").read_bytes())
+    ext = jexport.deserialize(
+        (out_dir / "extend.stablehlo").read_bytes())
+    meta = json.loads((out_dir / "meta.json").read_text())
+    return jax.jit(pre.call), jax.jit(ext.call), meta
 
 
 def greedy_decode_exported(out_dir: Union[str, Path], prompt,

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tempo_tpu.infer.export_lm import (load_exported_continuous,
-                                        load_exported_lm)
+                                        load_exported_lm,
+                                        load_exported_speculative)
 
 
 def sample_next(logits_last: np.ndarray, temperature: float,
@@ -46,6 +47,51 @@ def sample_next(logits_last: np.ndarray, temperature: float,
     for i in range(logits.shape[0]):
         out[i, 0] = rng.choice(logits.shape[-1], p=probs[i])
     return out
+
+
+def policy_probs(logits_row: np.ndarray, temperature: float,
+                 top_k: Optional[int]) -> np.ndarray:
+    """The sampling policy of `sample_next` as an explicit probability
+    vector [V] (temperature scaling + top-k support truncation). This is
+    the distribution speculative decoding must preserve, so the verify
+    math (`speculative_accept`) runs on exactly this."""
+    logits = np.asarray(logits_row, np.float64).reshape(-1)
+    assert temperature > 0.0, "policy_probs is the sampled path"
+    logits = logits / float(temperature)
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        kth = np.partition(logits, -top_k)[-top_k]
+        logits = np.where(logits < kth, -np.inf, logits)
+    logits -= logits.max()
+    probs = np.exp(logits)
+    return probs / probs.sum()
+
+
+def speculative_accept(p: np.ndarray, q: np.ndarray, draft_tok: int,
+                       u: float) -> tuple:
+    """One rejection-sampling step of speculative decoding: the draft
+    token was sampled from q; accept it with probability min(1, p/q) and
+    otherwise resample from the residual max(p - q, 0) (normalized).
+    Marginalized over draft_tok ~ q, the emitted token is EXACTLY ~ p —
+    pinned analytically by test_export.py::test_speculative_accept_math.
+
+    Returns (accepted: bool, residual: Optional[np.ndarray]) — residual
+    is the normalized distribution to resample from on rejection (falls
+    back to p itself in the measure-zero case residual == 0)."""
+    p = np.asarray(p, np.float64)
+    q = np.asarray(q, np.float64)
+    pd, qd = float(p[draft_tok]), float(q[draft_tok])
+    if qd <= 0.0:
+        # the draft could never propose this token under q; treat as a
+        # hard reject (acceptance ratio p/q -> inf is only sound if the
+        # proposal truly came from q)
+        accept = False
+    else:
+        accept = u < min(1.0, pd / qd)
+    if accept:
+        return True, None
+    residual = np.maximum(p - q, 0.0)
+    s = residual.sum()
+    return False, (residual / s if s > 0.0 else p)
 
 
 class LMServer:
@@ -290,3 +336,201 @@ class ContinuousLMServer:
                        default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """Scheduler-agnostic alias: hosts call either name."""
         return self.serve(requests, default_new_tokens)
+
+
+class SpeculativeLMServer:
+    """Speculative decoding over two exported artifact sets: a small
+    DRAFT model proposes `k_draft` tokens autoregressively (its prefill +
+    decode_step artifacts), then the TARGET model verifies the whole
+    block in ONE `extend` call (k+1 positions scored into its live
+    cache). Per committed token the target runs ~1/(j+1) passes, where j
+    is the per-round accepted count — the latency lever the big model's
+    sequential decode cannot reach alone.
+
+    Numerics: greedy (temperature 0) acceptance is `draft == target
+    argmax` and rejection emits the target argmax, so the output is
+    EXACTLY the target-only greedy sequence (pinned by test_export.py).
+    Sampled requests use Leviathan-style rejection sampling
+    (`speculative_accept`): marginally the emitted tokens follow exactly
+    the target policy (temperature, top_k), pinned analytically by
+    test_speculative_accept_math.
+
+    Cache discipline: each round the target writes KV for
+    [last, d_1..d_k] at absolute positions n..n+k. After accepting j < k
+    drafts, positions n+j+1.. hold stale draft KV — harmless: the
+    absolute-position causal mask (kv_idx <= query pos) hides them from
+    every later query until the next round's extend (which starts at
+    exactly the first stale position) overwrites them. The same argument
+    covers the draft cache, so rollback costs zero device work.
+
+    Decoding is per-request (batch 1): speculation is a LATENCY lever —
+    rows accept different lengths and would de-sync a shared batch after
+    one round. Throughput batching belongs to ContinuousLMServer.
+    """
+
+    def __init__(self, target_dir: Union[str, Path],
+                 draft_dir: Union[str, Path], k_draft: int = 4):
+        (self.t_prefill, self.t_extend,
+         self.meta) = load_exported_speculative(target_dir)
+        self.d_prefill, self.d_decode, self.d_meta = load_exported_lm(
+            draft_dir)
+        if int(self.d_meta["vocab_size"]) != int(self.meta["vocab_size"]):
+            raise ValueError(
+                f"draft vocab {self.d_meta['vocab_size']} != target vocab "
+                f"{self.meta['vocab_size']} — speculative decoding needs a "
+                "shared token space")
+        assert k_draft >= 1, k_draft
+        self.k_draft = int(k_draft)
+        self.window = min(
+            int(self.meta.get("max_seq", self.meta["block_size"])),
+            int(self.d_meta.get("max_seq", self.d_meta["block_size"])))
+        self.vocab = int(self.meta["vocab_size"])
+        self.last_stats: Dict[str, Any] = {}
+
+    def _generate(self, prompt: Sequence[int], n_tokens: int,
+                  temperature: float, top_k: Optional[int],
+                  rng: np.random.Generator) -> tuple:
+        t = len(prompt)
+        prompt_arr = jnp.asarray(np.asarray(prompt, np.int32).reshape(1, -1))
+        tg_logits, tg_cache = self.t_prefill(prompt_arr)
+        dr_logits, dr_cache = self.d_prefill(prompt_arr)
+        first = sample_next(np.asarray(tg_logits[:, -1]), temperature,
+                            top_k, rng)
+        all_toks = list(map(int, prompt)) + [int(first[0, 0])]
+        out = [int(first[0, 0])]
+        dr_done = t  # draft cache is correct through position dr_done-1
+        rounds = drafted = accepted = 0
+
+        while len(out) < n_tokens:
+            n_committed = len(all_toks)  # target cache correct to n-2
+            k = min(self.k_draft, n_tokens - len(out))
+
+            # draft phase: sync the draft cache (committed tokens it has
+            # not seen — the round's correction token, plus d_k after a
+            # fully accepted round), then propose k tokens
+            for pos in range(dr_done, n_committed):
+                dr_logits, dr_cache = self.d_decode(
+                    jnp.asarray([[all_toks[pos]]], jnp.int32), dr_cache,
+                    jnp.int32(pos))
+            dr_done = n_committed
+            drafts: List[int] = []
+            qdists: List[Optional[np.ndarray]] = []
+            for i in range(k):
+                row = np.asarray(dr_logits[:, -1]).reshape(-1)
+                if temperature <= 0.0:
+                    d = int(np.argmax(row.astype(np.float32)))
+                    q = None
+                else:
+                    q = policy_probs(row, temperature, top_k)
+                    d = int(rng.choice(q.shape[0], p=q))
+                drafts.append(d)
+                qdists.append(q)
+                if i < k - 1:
+                    dr_logits, dr_cache = self.d_decode(
+                        jnp.asarray([[d]], jnp.int32), dr_cache,
+                        jnp.int32(dr_done + i))
+            drafted += k
+
+            # verify phase: ONE target pass over [last, d_1..d_k]
+            block = np.asarray([[all_toks[n_committed - 1]] + drafts],
+                               np.int32)
+            tg_logits, tg_cache = self.t_extend(
+                jnp.asarray(block), tg_cache, jnp.int32(n_committed - 1))
+            logits_np = np.asarray(tg_logits[0])  # [k+1, V]
+
+            j = 0
+            next_tok: Optional[int] = None
+            for i in range(k):
+                if temperature <= 0.0:
+                    argmax = int(np.argmax(logits_np[i].astype(np.float32)))
+                    if drafts[i] == argmax:
+                        j += 1
+                        continue
+                    next_tok = argmax
+                    break
+                p = policy_probs(logits_np[i], temperature, top_k)
+                ok, residual = speculative_accept(
+                    p, qdists[i], drafts[i], float(rng.uniform()))
+                if ok:
+                    j += 1
+                    continue
+                next_tok = int(rng.choice(residual.shape[0], p=residual))
+                break
+            if next_tok is None:  # full acceptance: bonus token for free
+                if temperature <= 0.0:
+                    next_tok = int(np.argmax(
+                        logits_np[k].astype(np.float32)))
+                else:
+                    p = policy_probs(logits_np[k], temperature, top_k)
+                    next_tok = int(rng.choice(p.shape[0], p=p))
+            accepted += j
+            commit = drafts[:j] + [next_tok]
+            out.extend(commit)
+            all_toks.extend(commit)
+            # drafts beyond d_{k-1} were never fed to the draft cache
+            dr_done = n_committed + min(j, k - 1)
+            rounds += 1
+
+        stats = {"rounds": rounds, "drafted": drafted, "accepted": accepted,
+                 "target_passes": rounds + 1}
+        return out[:n_tokens], stats
+
+    def serve_requests(self, requests: Sequence[Dict[str, Any]],
+                       default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        """requests: dicts with 'tokens' and optional 'n_tokens',
+        'temperature', 'top_k', 'seed'. Served one request at a time
+        (speculation de-syncs a shared batch); responses in order."""
+        responses: List[Dict[str, Any]] = []
+        totals = {"rounds": 0, "drafted": 0, "accepted": 0,
+                  "target_passes": 0, "n_generated": 0}
+        t_start = time.perf_counter()
+        for i, req in enumerate(requests):
+            if "tokens" not in req:
+                raise ValueError(f"request {i}: missing 'tokens'")
+            toks = np.asarray(req["tokens"], np.int64)
+            n = int(req.get("n_tokens", default_new_tokens))
+            if len(req["tokens"]) + n > self.window:
+                raise ValueError(
+                    f"request {i}: prompt {len(req['tokens'])} + {n} new "
+                    f"tokens exceeds the serving window {self.window} "
+                    "(min of target and draft windows)")
+            if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
+                raise ValueError(
+                    f"request {i}: token ids outside [0, {self.vocab})")
+            if n <= 0:
+                responses.append({"tokens": [], "n_prompt": len(req["tokens"]),
+                                  "n_generated": 0, "rounds": 0,
+                                  "accept_rate": None})
+                continue
+            rng = np.random.default_rng(int(req.get("seed", 0)))
+            out, stats = self._generate(
+                req["tokens"], n, float(req.get("temperature", 0.0)),
+                req.get("top_k"), rng)
+            responses.append({
+                "tokens": out,
+                "n_prompt": len(req["tokens"]),
+                "n_generated": len(out),
+                "rounds": stats["rounds"],
+                "accept_rate": (round(stats["accepted"] / stats["drafted"], 4)
+                                if stats["drafted"] else None),
+            })
+            for key in totals:
+                if key != "n_generated":
+                    totals[key] += stats[key]
+            totals["n_generated"] += len(out)
+        dt = time.perf_counter() - t_start
+        self.last_stats = {
+            **totals,
+            "n_requests": len(requests),
+            "k_draft": self.k_draft,
+            "tokens_per_target_pass": (
+                round(totals["n_generated"] / totals["target_passes"], 3)
+                if totals["target_passes"] else None),
+            "seconds": round(dt, 4),
+        }
+        return responses
+
+    def serve(self, requests: Sequence[Dict[str, Any]],
+              default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        """Scheduler-agnostic alias: hosts call either name."""
+        return self.serve_requests(requests, default_new_tokens)

@@ -314,6 +314,139 @@ def test_lm_export_continuous_rope(tmp_path):
         np.testing.assert_array_equal(np.asarray([resp[i]["tokens"]]), want)
 
 
+def test_speculative_accept_math():
+    """The rejection-sampling step preserves the target distribution
+    EXACTLY: marginalized over draft ~ q, P(emitted = x) == p(x). Checked
+    analytically (no sampling noise) using the helper's own acceptance
+    boundary and residual."""
+    from tempo_tpu.infer.serving import speculative_accept
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        v = 7
+        p = rng.dirichlet(np.ones(v) * (0.3 + trial))
+        q = rng.dirichlet(np.ones(v) * (0.3 + trial))
+        if trial == 4:
+            q[2] = 0.0  # a token the draft can never propose
+            q /= q.sum()
+        marginal = np.zeros(v)
+        for d in range(v):
+            a_d = min(1.0, p[d] / q[d]) if q[d] > 0 else 0.0
+            # the helper's boundary must sit exactly at a_d
+            if q[d] > 0 and a_d > 1e-9:
+                ok, _ = speculative_accept(p, q, d, a_d - 1e-12)
+                assert ok
+            if a_d < 1.0:
+                ok, residual = speculative_accept(p, q, d, a_d + 1e-12)
+                assert not ok
+            _, residual = speculative_accept(p, q, d, 1.0)  # forced reject
+            marginal[d] += q[d] * a_d
+            marginal += q[d] * (1.0 - a_d) * residual
+        np.testing.assert_allclose(marginal, p, atol=1e-12)
+
+
+def _draft_lm_export(tmp_path):
+    """A genuinely smaller draft model sharing the target's vocab."""
+    from tempo_tpu.infer.export_lm import export_lm
+    from tempo_tpu.nn.transformer import Transformer, TransformerConfig
+
+    cfg = TransformerConfig(in_size=31, block_size=32, n_layer=1, n_head=2,
+                            n_embd=16)
+    model = Transformer(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(4), tokens)["params"]
+    return export_lm(params, cfg, tmp_path / "draft")
+
+
+def test_lm_export_speculative_greedy(tmp_path):
+    """Draft-propose / target-verify greedy decoding emits EXACTLY the
+    target-only greedy sequence, at any speculation depth, with the
+    verify pass running as one multi-token `extend` per round."""
+    from tempo_tpu.infer.serving import LMServer, SpeculativeLMServer
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    draft = _draft_lm_export(tmp_path)
+    solo = LMServer(out)
+
+    reqs = [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 9},
+            {"tokens": [9, 2], "n_tokens": 6},
+            {"tokens": [7], "n_tokens": 1}]
+    for k_draft in (1, 3):
+        server = SpeculativeLMServer(out, draft, k_draft=k_draft)
+        resp = server.serve(reqs)
+        for i, req in enumerate(reqs):
+            want = solo.generate_batch(
+                np.asarray([req["tokens"]], np.int32), req["n_tokens"])
+            np.testing.assert_array_equal(
+                np.asarray([resp[i]["tokens"]]), want,
+                err_msg=f"k_draft={k_draft} req={i}")
+
+    # a self-draft (draft == target) accepts every proposal, so each
+    # round commits k+1 tokens: the target-pass count collapses
+    self_server = SpeculativeLMServer(out, out, k_draft=3)
+    resp = self_server.serve([{"tokens": [3, 1, 4, 1, 5], "n_tokens": 9}])
+    assert resp[0]["accept_rate"] == 1.0
+    assert resp[0]["rounds"] == 2  # 1 prefill token + 2 rounds x (3+1)
+    want = solo.generate_batch(np.asarray([[3, 1, 4, 1, 5]], np.int32), 9)
+    np.testing.assert_array_equal(np.asarray([resp[0]["tokens"]]), want)
+
+
+def test_lm_export_speculative_sampled(tmp_path):
+    """Sampled speculative decoding: seeded-reproducible, in-vocab, and
+    the guards hold (window = min of target/draft, shared vocab)."""
+    import pytest
+
+    from tempo_tpu.infer.serving import SpeculativeLMServer
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    draft = _draft_lm_export(tmp_path)
+    server = SpeculativeLMServer(out, draft, k_draft=2)
+
+    req = {"tokens": [3, 1, 4], "n_tokens": 8, "temperature": 1.0,
+           "top_k": 5, "seed": 11}
+    r1 = server.serve([req])[0]
+    r2 = server.serve([req])[0]
+    assert r1["tokens"] == r2["tokens"]
+    assert len(r1["tokens"]) == 8
+    assert min(r1["tokens"]) >= 0 and max(r1["tokens"]) < cfg.in_size
+    assert server.last_stats["tokens_per_target_pass"] is not None
+
+    with pytest.raises(ValueError, match="serving window"):
+        server.serve([{"tokens": [1] * 30, "n_tokens": 6}])
+    with pytest.raises(ValueError, match="token ids"):
+        server.serve([{"tokens": [99], "n_tokens": 2}])
+
+
+def test_serve_lm_cli_speculative(tmp_path):
+    """The serving CLI drives the speculative scheduler end-to-end and
+    records acceptance stats."""
+    import json
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.utils.config import load_config, save_yaml
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    draft = _draft_lm_export(tmp_path)
+    reqs = [{"tokens": [3, 1, 4, 1], "n_tokens": 5},
+            {"tokens": [2, 7], "n_tokens": 3}]
+    req_path = tmp_path / "requests.jsonl"
+    req_path.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(out), "mode": "batch",
+               "scheduler": "speculative", "draft_artifacts": str(draft),
+               "k_draft": 2, "requests": str(req_path)}, cfg_path)
+
+    serve_main(str(cfg_path))
+    lines = [json.loads(l) for l in
+             (tmp_path / "served" / "completions.jsonl").read_text()
+             .splitlines()]
+    assert [l["n_generated"] for l in lines] == [5, 3]
+    info = load_config(str(tmp_path / "served" / "serving_info.yaml"))
+    assert info["scheduler_stats"]["k_draft"] == 2
+    assert info["scheduler_stats"]["target_passes"] > 0
+
+
 def test_serve_lm_cli_continuous(tmp_path):
     """The serving CLI drives the continuous scheduler end-to-end and
     records its slot-level stats."""
