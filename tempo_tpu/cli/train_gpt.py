@@ -34,6 +34,9 @@ Config:
     tensor: 1                       # >1 = channel-sharded params ('model'
                                     #      axis; composes with dp only)
     expert: 1                       # >1 = expert-parallel MoE weights
+    context: 1                      # >1 = sequence sharded over a 'seq'
+                                    #      axis (ring attention,
+                                    #      parallel/context.py)
     n_micro: 4                      # microbatches per step (pipeline)
   training: {n_steps, log_every, save_every, val_every, plot_every,
              resume_from, moe_aux_weight: 0.01}
@@ -98,6 +101,23 @@ def validate_config(config) -> None:
         raise ValueError("FATAL: parallel.tensor composes with data "
                          "parallelism only — not with parallel.pipeline "
                          "or parallel.expert in this CLI")
+    n_seq = int(config.get("parallel", {}).get("context", 1))
+    if n_seq > 1:
+        if stages > 1 or n_expert > 1 or n_model > 1:
+            raise ValueError("FATAL: parallel.context is its own CLI path "
+                             "— not composed with pipeline/expert/tensor "
+                             "here (data-axis composition lives in "
+                             "parallel/context.py)")
+        block = int(config["model"].get("block_size", 1024))
+        if block % n_seq != 0:
+            raise ValueError(f"FATAL: model.block_size={block} must divide "
+                             f"by parallel.context={n_seq}")
+        if float(config["model"].get("dropout", 0.0)) > 0.0:
+            raise ValueError("FATAL: parallel.context trains "
+                             "deterministically — set model.dropout: 0")
+        if int(config["model"].get("n_experts", 0)) > 0:
+            raise ValueError("FATAL: parallel.context with an MoE FFN is "
+                             "not a CLI path")
 
 
 def _lm_loss_fn(model, aux_weight: float):
@@ -217,6 +237,24 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                   "(dropout is not threaded through the pipeline)")
         loss_fn = _pp_loss_fn(tconfig, stages, n_micro, mesh)
         print(f"Pipeline-parallel: {stages} stages x {n_micro} microbatches")
+    elif int(config.get("parallel", {}).get("context", 1)) > 1:
+        # sequence sharded over a 'seq' mesh axis: ring attention inside a
+        # shard_map (K/V rotate via ppermute), pinned equal to unsharded in
+        # tests/test_context.py. jit resharding moves the host batch onto
+        # the seq shards via the shard_map in_specs — no explicit placement.
+        from tempo_tpu.parallel.context import (cp_loss_fn, create_cp_mesh,
+                                                make_cp_model)
+
+        n_seq = int(config["parallel"]["context"])
+        mesh = create_cp_mesh(n_seq)
+        inner = cp_loss_fn(make_cp_model(tconfig, mesh), mesh)
+
+        def loss_fn(params, batch, rng, _inner=inner):
+            loss = _inner(params, batch[:, :-1], batch[:, 1:])
+            return loss, {"loss": loss}
+
+        print(f"Context-parallel: sequence over {n_seq} devices "
+              f"(ring attention)")
     else:
         loss_fn = _lm_loss_fn(model, aux_weight)
         n_expert = int(config.get("parallel", {}).get("expert", 1))

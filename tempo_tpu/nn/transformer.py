@@ -81,6 +81,13 @@ class TransformerConfig:
     # [8,12,1024,64] fwd+bwd: flash 4.30 ms vs XLA 5.91 ms per layer
     # (block_q=1024, block_k=512 — tools/profile_gpt.py attribution).
     attn_impl: str = "auto"
+    # context parallelism: name of the mesh axis the SEQUENCE dimension is
+    # sharded over. When set, __call__ must run INSIDE a shard_map over
+    # that axis on [B, T_local, ...] shards with input_pos giving the
+    # shard's global origin; attention becomes exact ring attention
+    # (parallel/context.py). Use make_cp_model/cp_loss_fn, not this field
+    # directly.
+    seq_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -262,7 +269,23 @@ class SelfAttention(nn.Module):
             v = tap(v.transpose(0, 2, 1, 3), "v").transpose(0, 2, 1, 3)
 
         new_cache = None
-        if cache is not None:
+        if cfg.seq_axis is not None:
+            # ring attention over sequence shards (parallel/context.py).
+            # Decode caches, activation taps and attention-weight dropout
+            # all want the full score matrix on one device — they belong to
+            # the unsharded model (params are interchangeable).
+            assert cache is None, (
+                "KV-cache decode is not sequence-sharded; restore the "
+                "params into a seq_axis=None model to serve")
+            assert not (capture or taps), (
+                "activation capture/patching is not sequence-sharded")
+            assert cfg.dropout == 0.0 or deterministic, (
+                "attention-weight dropout is not sequence-sharded")
+            from tempo_tpu.parallel.context import ring_attention
+
+            y = ring_attention(q, k, v, axis_name=cfg.seq_axis,
+                               causal=cfg.causal).astype(cfg.dtype)
+        elif cache is not None:
             # static-shape KV cache: write this call's keys/values at
             # input_pos, attend over the valid prefix only.
             ck, cv = cache

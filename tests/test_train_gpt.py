@@ -223,3 +223,32 @@ def test_train_gpt_resume_auto(tmp_path):
     steps = [m["step"] for m in metrics["train"]]
     assert steps == sorted(steps) and max(steps) == 45
     assert 30 in steps and 35 in steps  # both phases in one history
+
+
+def test_train_gpt_context_parallel(tmp_path):
+    """parallel.context: 4 shards the sequence over a 'seq' mesh axis (ring
+    attention) and still trains + generates end-to-end; the decode path is
+    the ordinary unsharded model on the same params."""
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run_cp"
+    cfg = _base_cfg(out, rope=True, pos_embed=False, attn_impl="xla")
+    cfg["parallel"] = {"context": 4}
+    cfg["training"]["n_steps"] = 15
+    main(_write(tmp_path / "cfg_cp.yaml", cfg))
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["train"][-1]["loss"] < metrics["train"][0]["loss"]
+    assert np.load(out / "generation_final.npy").shape == (1, 16)
+
+    # context is its own CLI path: no pipeline/tensor/expert composition
+    cfg = _base_cfg(tmp_path / "bad_cp")
+    cfg["parallel"] = {"context": 2, "tensor": 2}
+    with pytest.raises(ValueError, match="parallel.context"):
+        main(_write(tmp_path / "cfg_bad_cp.yaml", cfg))
+
+    # block size must divide by the seq axis
+    cfg = _base_cfg(tmp_path / "bad_cp2")
+    cfg["parallel"] = {"context": 3}
+    with pytest.raises(ValueError, match="divide"):
+        main(_write(tmp_path / "cfg_bad_cp2.yaml", cfg))
