@@ -37,6 +37,9 @@ Config:
     context: 1                      # >1 = sequence sharded over a 'seq'
                                     #      axis (ring attention,
                                     #      parallel/context.py)
+    fsdp: false                     # true = ZeRO-3: params + AdamW moments
+                                    #      sharded over the 'data' axis
+                                    #      (parallel/fsdp.py)
     n_micro: 4                      # microbatches per step (pipeline)
   training: {n_steps, log_every, save_every, val_every, plot_every,
              resume_from, moe_aux_weight: 0.01}
@@ -118,6 +121,11 @@ def validate_config(config) -> None:
         if int(config["model"].get("n_experts", 0)) > 0:
             raise ValueError("FATAL: parallel.context with an MoE FFN is "
                              "not a CLI path")
+    if bool(config.get("parallel", {}).get("fsdp", False)):
+        if stages > 1 or n_expert > 1 or n_model > 1 or n_seq > 1:
+            raise ValueError("FATAL: parallel.fsdp shards state over the "
+                             "'data' axis — it does not compose with "
+                             "pipeline/expert/tensor/context in this CLI")
 
 
 def _lm_loss_fn(model, aux_weight: float):
@@ -281,6 +289,20 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                             betas=tuple(opt_cfg.get("betas", (0.9, 0.95))))
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 3))
 
+    place_fn = None
+    if bool(config.get("parallel", {}).get("fsdp", False)):
+        # ZeRO-3: the whole train state (params + both AdamW moments)
+        # sharded over the 'data' axis; the batch shards the same axis, so
+        # XLA emits the all-gather/reduce-scatter schedule automatically.
+        from tempo_tpu.parallel.fsdp import shard_state_fsdp
+        from tempo_tpu.parallel.mesh import create_mesh, make_place_fn
+
+        fsdp_mesh = create_mesh()
+        state = shard_state_fsdp(state, fsdp_mesh)
+        place_fn = make_place_fn(fsdp_mesh)
+        print(f"FSDP (ZeRO-3): state sharded over {jax.device_count()} "
+              f"devices")
+
     train_cfg = config["training"]
     trainer = Trainer(
         loss_fn=loss_fn,
@@ -292,6 +314,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         log_every=train_cfg.get("log_every", 10),
         plot_every=train_cfg.get("plot_every", 50),
         checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+        place_fn=place_fn,
     )
     from tempo_tpu.train.checkpoint import resolve_resume_from
 

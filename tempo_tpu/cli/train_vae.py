@@ -100,6 +100,10 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     # is reshaped, and shard_state_tp assembles global arrays from each
     # process's host copy).
     n_model = int(config.get("parallel", {}).get("tensor", 1))
+    if n_model > 1 and bool(config.get("parallel", {}).get("fsdp", False)):
+        raise ValueError("FATAL: parallel.fsdp shards state over the 'data' "
+                         "axis — it does not compose with parallel.tensor "
+                         "in this CLI")
     if n_model > 1:
         from tempo_tpu.parallel.tensor import create_tp_mesh
 
@@ -182,9 +186,19 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         print(f"Tensor-parallel over {n_model} chips x data-parallel over "
               f"{n_chips // n_model} ({jax.process_count()} process(es))")
     elif mesh is not None:
-        state = shard_state(state, mesh)
-        print(f"Data-parallel over {n_chips} chips "
-              f"({jax.process_count()} process(es))")
+        if bool(config.get("parallel", {}).get("fsdp", False)):
+            # ZeRO-3: params + AdamW moments sharded over the same 'data'
+            # axis as the batch; XLA all-gathers weights just-in-time and
+            # reduce-scatters grads (parallel/fsdp.py).
+            from tempo_tpu.parallel.fsdp import shard_state_fsdp
+
+            state = shard_state_fsdp(state, mesh)
+            print(f"FSDP (ZeRO-3) data-parallel over {n_chips} chips "
+                  f"({jax.process_count()} process(es))")
+        else:
+            state = shard_state(state, mesh)
+            print(f"Data-parallel over {n_chips} chips "
+                  f"({jax.process_count()} process(es))")
     place_fn = make_place_fn(mesh)
 
     def recon_fn(params, x, rng):

@@ -252,3 +252,24 @@ def test_train_gpt_context_parallel(tmp_path):
     cfg["parallel"] = {"context": 3}
     with pytest.raises(ValueError, match="divide"):
         main(_write(tmp_path / "cfg_bad_cp2.yaml", cfg))
+
+
+def test_train_gpt_fsdp(tmp_path):
+    """parallel.fsdp: true shards the GPT train state (params + AdamW
+    moments) over the 'data' axis and still trains + generates."""
+    from tempo_tpu.cli.train_gpt import main
+
+    out = tmp_path / "run_fsdp"
+    cfg = _base_cfg(out)
+    cfg["parallel"] = {"fsdp": True}
+    cfg["training"]["n_steps"] = 15
+    main(_write(tmp_path / "cfg_fsdp.yaml", cfg))
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["train"][-1]["loss"] < metrics["train"][0]["loss"]
+    assert np.load(out / "generation_final.npy").shape == (1, 16)
+
+    cfg = _base_cfg(tmp_path / "bad_fsdp")
+    cfg["parallel"] = {"fsdp": True, "tensor": 2}
+    with pytest.raises(ValueError, match="parallel.fsdp"):
+        main(_write(tmp_path / "cfg_bad_fsdp.yaml", cfg))
