@@ -40,6 +40,10 @@ Config:
   slots: 8                          # continuous scheduler: batch rows
   draft_artifacts: <exported draft lm dir>  # speculative scheduler
   k_draft: 4                        # speculative scheduler: block size
+  prefill_chunk: 0                  # >0: prefill long prompts in chunks of
+                                    #   this size via the `extend` artifact
+                                    #   (exact; bounds peak prefill memory;
+                                    #   bucketed + continuous schedulers)
   requests: <jsonl path>            # batch mode
   host: 127.0.0.1                   # http mode
   port: 8900                        # http mode
@@ -172,10 +176,15 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                                          SpeculativeLMServer)
 
     scheduler = str(config.get("scheduler", "bucketed"))
+    chunk = int(config.get("prefill_chunk", 0)) or None
     if scheduler == "continuous":
         server = ContinuousLMServer(artifacts,
-                                    n_slots=int(config.get("slots", 8)))
+                                    n_slots=int(config.get("slots", 8)),
+                                    prefill_chunk=chunk)
     elif scheduler == "speculative":
+        if chunk:
+            raise ValueError("FATAL: prefill_chunk applies to the bucketed "
+                             "and continuous schedulers")
         require_keys(config, ["draft_artifacts"])
         draft = Path(config["draft_artifacts"])
         if not (draft / "meta.json").exists():
@@ -183,7 +192,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         server = SpeculativeLMServer(artifacts, draft,
                                      k_draft=int(config.get("k_draft", 4)))
     elif scheduler == "bucketed":
-        server = LMServer(artifacts)
+        server = LMServer(artifacts, prefill_chunk=chunk)
     else:
         raise ValueError(f"FATAL: unknown scheduler {scheduler!r} "
                          "(bucketed | continuous | speculative)")

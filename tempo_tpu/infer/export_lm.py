@@ -152,6 +152,17 @@ def export_lm(params, config: TransformerConfig,
     return out_dir
 
 
+def zero_cache(meta: dict, batch: int):
+    """Host-side empty serving cache matching an exported artifact set —
+    the starting point for chunked prefill via `extend` (extending a zero
+    cache from position 0 IS prefill: the absolute-position mask hides the
+    never-written slots, so the equality is exact, not approximate)."""
+    shape = (batch, int(meta["max_seq"]), int(meta["n_head"]),
+             int(meta["n_embd"]) // int(meta["n_head"]))
+    z = jnp.zeros(shape, jnp.dtype(meta["compute_dtype"]))
+    return tuple((z, z) for _ in range(int(meta["n_layer"])))
+
+
 def load_exported_lm(out_dir: Union[str, Path]):
     """(prefill_fn, decode_step_fn, meta) — callable at any batch/prompt
     size, no model code needed."""

@@ -26,7 +26,34 @@ import numpy as np
 
 from tempo_tpu.infer.export_lm import (load_exported_continuous,
                                         load_exported_lm,
-                                        load_exported_speculative)
+                                        load_exported_speculative,
+                                        zero_cache)
+
+
+def chunked_prefill(extend_fn, meta: Dict[str, Any], prompts,
+                    chunk: int):
+    """Exact prefill in fixed-size chunks through the `extend` artifact.
+
+    One-shot prefill materializes [b, n_head, t, max_seq] float32
+    attention scores per layer; at serving windows that peak is the
+    host-visible OOM for long prompts. Extending a ZERO cache from
+    position 0 computes the identical cache and final-position logits —
+    the absolute-position mask hides never-written slots — while bounding
+    the score tensor to [b, n_head, chunk, max_seq] per call. Returns
+    (logits_of_last_chunk, cache); callers only consume logits[:, -1].
+    At most two distinct chunk widths are dispatched (the ragged tail),
+    and the `extend` artifact's k dimension is symbolic, so no re-export
+    is needed for any chunk size."""
+    prompts = jnp.asarray(prompts, jnp.int32)
+    b, t = prompts.shape
+    assert chunk >= 1, chunk
+    cache = zero_cache(meta, b)
+    logits = None
+    for i in range(0, t, chunk):
+        blk = prompts[:, i:i + chunk]
+        logits, cache = extend_fn(blk, cache, jnp.int32(i))
+    assert logits is not None, "empty prompt"
+    return logits, cache
 
 
 def sample_next(logits_last: np.ndarray, temperature: float,
@@ -97,11 +124,22 @@ def speculative_accept(p: np.ndarray, q: np.ndarray, draft_tok: int,
 class LMServer:
     """Loads the exported artifacts once; serves batched generate calls."""
 
-    def __init__(self, artifacts_dir: Union[str, Path]):
+    def __init__(self, artifacts_dir: Union[str, Path],
+                 prefill_chunk: Optional[int] = None):
         self.prefill, self.decode_step, self.meta = load_exported_lm(
             artifacts_dir)
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            # chunked prefill rides the `extend` artifact (symbolic k)
+            _, self.extend, _ = load_exported_speculative(artifacts_dir)
+
+    def _prefill(self, prompts: jnp.ndarray):
+        c = self.prefill_chunk
+        if c is not None and prompts.shape[1] > c:
+            return chunked_prefill(self.extend, self.meta, prompts, c)
+        return self.prefill(prompts)
 
     def generate_batch(self, prompts: np.ndarray, max_new_tokens: int,
                        temperature: float = 0.0,
@@ -121,7 +159,7 @@ class LMServer:
         if prompts.size and (prompts.min() < 0 or prompts.max() >= self.vocab):
             raise ValueError(f"token ids outside [0, {self.vocab})")
         rng = np.random.default_rng(seed)
-        logits, cache = self.prefill(jnp.asarray(prompts))
+        logits, cache = self._prefill(jnp.asarray(prompts))
         tok = sample_next(np.asarray(logits[:, -1]), temperature, top_k, rng)
         out = [tok]
         pos = jnp.int32(t)
@@ -194,7 +232,8 @@ class ContinuousLMServer:
     per-request numpy Generator seeded by their own `seed`.
     """
 
-    def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8):
+    def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
+                 prefill_chunk: Optional[int] = None):
         (self.prefill, self.decode_rows, self.admit,
          self.meta) = load_exported_continuous(artifacts_dir)
         assert n_slots >= 1, n_slots
@@ -202,6 +241,15 @@ class ContinuousLMServer:
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
         self.last_stats: Dict[str, Any] = {}
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            _, self.extend, _ = load_exported_speculative(artifacts_dir)
+
+    def _prefill(self, prompts: jnp.ndarray):
+        c = self.prefill_chunk
+        if c is not None and prompts.shape[1] > c:
+            return chunked_prefill(self.extend, self.meta, prompts, c)
+        return self.prefill(prompts)
 
     def _validate(self, requests: Sequence[Dict[str, Any]],
                   default_new_tokens: int) -> None:
@@ -280,7 +328,7 @@ class ContinuousLMServer:
                         continue
                     prompt = np.asarray(req["tokens"],
                                         np.int32).reshape(1, -1)
-                    logits, row_cache = self.prefill(jnp.asarray(prompt))
+                    logits, row_cache = self._prefill(jnp.asarray(prompt))
                     cache = self.admit(cache, row_cache, jnp.int32(s))
                     prefills += 1
                     st = {

@@ -475,3 +475,51 @@ def test_serve_lm_cli_continuous(tmp_path):
     info = load_config(str(tmp_path / "served" / "serving_info.yaml"))
     assert info["scheduler_stats"]["n_slots"] == 2
     assert info["scheduler_stats"]["prefills"] == 3
+
+
+def test_chunked_prefill_matches_one_shot(tmp_path):
+    """chunked_prefill (extend into a zero cache from position 0) must be
+    EXACTLY prefill — same cache, same final-position logits — for any
+    chunk size, including ragged tails; and a chunked LMServer decodes
+    bit-equal to the unchunked one."""
+    from tempo_tpu.infer.export_lm import load_exported_speculative
+    from tempo_tpu.infer.serving import LMServer, chunked_prefill
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    prefill, extend, meta = load_exported_speculative(out)
+
+    prompt = np.asarray([[3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],
+                         [9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3]], np.int32)
+    ref_logits, ref_cache = prefill(jnp.asarray(prompt))
+    for chunk in (1, 3, 4, 11, 16):
+        logits, cache = chunked_prefill(extend, meta, prompt, chunk)
+        np.testing.assert_allclose(np.asarray(logits[:, -1]),
+                                   np.asarray(ref_logits[:, -1]),
+                                   rtol=1e-6, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(cache),
+                        jax.tree_util.tree_leaves(ref_cache)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    # end-to-end: chunked server == unchunked server, greedy pinned
+    plain = LMServer(out).generate_batch(prompt, 6)
+    chunked = LMServer(out, prefill_chunk=4).generate_batch(prompt, 6)
+    np.testing.assert_array_equal(plain, chunked)
+
+
+def test_continuous_server_chunked_prefill(tmp_path):
+    """ContinuousLMServer with prefill_chunk admits requests through
+    chunked prefill and stays pinned to the unchunked scheduler."""
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5, 9, 2], "n_tokens": 5},
+        {"tokens": [9, 2, 6], "n_tokens": 4},
+        {"tokens": [1, 1, 2, 3, 5, 8, 13 % 7, 1, 2], "n_tokens": 6},
+    ]
+    plain = ContinuousLMServer(out, n_slots=2).serve(reqs)
+    chunked = ContinuousLMServer(out, n_slots=2,
+                                 prefill_chunk=4).serve(reqs)
+    for a, b in zip(plain, chunked):
+        assert a["tokens"] == b["tokens"]
