@@ -314,6 +314,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         place_fn=place_fn,
         recon_fn=recon_fn,
         checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+        grad_accum=int(train_cfg.get("grad_accum", 1)),
     )
 
     from tempo_tpu.train.checkpoint import resolve_resume_from

@@ -229,6 +229,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         # 'sharded' saves cooperatively from every process's shards —
         # required for tensor-parallel states too wide for one host.
         checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+        grad_accum=int(train_cfg.get("grad_accum", 1)),
         metric_sinks=_metric_sinks(train_cfg, output_dir),
     )
 

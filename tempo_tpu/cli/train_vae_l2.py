@@ -193,6 +193,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         recon_fn=recon_fn,
         l2_products=products,
         checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+        grad_accum=int(train_cfg.get("grad_accum", 1)),
         metric_sinks=_metric_sinks(train_cfg, output_dir),
     )
 

@@ -87,17 +87,64 @@ def flow_loss_fn(model, encode_fn=None) -> LossFn:
 
 
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
-                    donate: bool = True, ema_alpha: float = 0.99):
+                    donate: bool = True, ema_alpha: float = 0.99,
+                    grad_accum: int = 1):
     """Returns jitted (state, batch) -> (state, metrics).
 
     state.ema (when present) is updated on-device with EMA(ema_alpha); the
     first step seeds it with the raw metrics (alpha=0), matching the
-    reference's host-side running average exactly."""
+    reference's host-side running average exactly.
+
+    grad_accum > 1 splits the batch's leading axis into that many
+    microbatches and runs them through a `lax.scan` INSIDE the one jitted
+    step — peak activation memory is one microbatch's, the carry is a
+    single grads-tree accumulator, and the optimizer still updates once.
+    Grads and metrics are microbatch means, so for an rng-free loss the
+    update equals the unaccumulated step exactly (every loss here is a
+    per-sample mean; equal microbatches make mean-of-means the full-batch
+    mean). Each microbatch gets its own rng split (fresh posterior/noise
+    draws — for stochastic losses the draws differ from the one-shot step
+    but the estimator is the same)."""
+    assert grad_accum >= 1, grad_accum
+
+    def _grads_and_metrics(params, batch, step_rng):
+        if grad_accum == 1:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, step_rng)
+            return grads, metrics
+
+        def split(x):
+            b = x.shape[0]
+            assert b % grad_accum == 0, (
+                f"batch {b} not divisible by grad_accum {grad_accum}")
+            return x.reshape((grad_accum, b // grad_accum) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        rngs = jax.random.split(step_rng, grad_accum)
+        one = jax.tree_util.tree_map(lambda x: x[0], micro)
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda p, b, r: jax.value_and_grad(
+                loss_fn, has_aux=True)(p, b, r), params, one, rngs[0]))
+        ((_, m0), g0) = zeros
+
+        def body(carry, xs):
+            gsum, msum = carry
+            rng_i, mb = xs
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mb, rng_i)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            msum = jax.tree_util.tree_map(jnp.add, msum, metrics)
+            return (gsum, msum), None
+
+        (gsum, msum), _ = jax.lax.scan(body, (g0, m0), (rngs, micro))
+        inv = 1.0 / grad_accum
+        return (jax.tree_util.tree_map(lambda g: g * inv, gsum),
+                jax.tree_util.tree_map(lambda m: m * inv, msum))
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         step_rng = jax.random.fold_in(state.rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, step_rng)
+        grads, metrics = _grads_and_metrics(state.params, batch, step_rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -57,6 +57,7 @@ class Trainer:
         save_steps: Optional[Sequence[int]] = None,  # explicit schedule
         checkpoint_format: str = "msgpack",  # or "sharded" (no host gather)
         metric_sinks: Optional[Sequence[Callable]] = None,
+        grad_accum: int = 1,  # microbatches per optimizer update (step.py)
     ):
         self.tx = tx
         self.state = state
@@ -96,7 +97,7 @@ class Trainer:
                 d.mkdir(parents=True, exist_ok=True)
 
         self.loss_fn = loss_fn
-        self.train_step = make_train_step(loss_fn, tx)
+        self.train_step = make_train_step(loss_fn, tx, grad_accum=grad_accum)
         self.eval_step = make_eval_step(loss_fn)
         self.eval_rng = jax.random.PRNGKey(0)
 

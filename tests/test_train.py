@@ -54,6 +54,63 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 30
 
 
+def test_grad_accum_matches_full_batch():
+    """grad_accum=4 inside the jitted step must produce the SAME update as
+    the one-shot step for an rng-free loss: every loss is a per-sample
+    mean, so the mean of equal-microbatch grads equals the full-batch
+    grad. Uses a deterministic quadratic loss (the VAE loss draws a
+    posterior sample per call, which accumulation legitimately re-draws
+    per microbatch)."""
+    import optax
+
+    def loss_fn(params, batch, rng):
+        pred = batch @ params["w"] + params["b"]
+        loss = jnp.mean((pred - jnp.sin(batch.sum(axis=1, keepdims=True)))
+                        ** 2)
+        return loss, {"loss": loss}
+
+    rng = np.random.default_rng(3)
+    params = {"w": jnp.asarray(rng.standard_normal((8, 1)), jnp.float32),
+              "b": jnp.zeros((1,), jnp.float32)}
+    tx = optax.adamw(1e-2)
+    batch = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+
+    outs = {}
+    for accum in (1, 4):
+        state = create_train_state(params, tx, jax.random.PRNGKey(0))
+        step = make_train_step(loss_fn, tx, donate=False, grad_accum=accum)
+        new_state, metrics = step(state, batch)
+        outs[accum] = (new_state.params, metrics)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][0]),
+                    jax.tree_util.tree_leaves(outs[4][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    np.testing.assert_allclose(float(outs[1][1]["loss"]),
+                               float(outs[4][1]["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(outs[1][1]["grad_norm"]),
+                               float(outs[4][1]["grad_norm"]), rtol=1e-5)
+
+    # indivisible batch fails loudly at trace time
+    with pytest.raises(AssertionError, match="divisible"):
+        make_train_step(loss_fn, tx, donate=False, grad_accum=3)(
+            create_train_state(params, tx, jax.random.PRNGKey(0)), batch)
+
+
+def test_grad_accum_vae_step_trains():
+    """The stochastic VAE loss trains through the accumulated step (fresh
+    posterior draw per microbatch) and the EMA slot still updates."""
+    from tempo_tpu.train.step import init_ema
+
+    model, tx, state = _tiny_setup(lr=3e-3)
+    state = init_ema(state, ["loss"])
+    step = make_train_step(vae_loss_fn(model), tx, grad_accum=2)
+    losses = []
+    for batch in _batches(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(float(state.ema["loss"]))
+
+
 def test_grad_clipping_matches_torch_semantics():
     """optax.clip_by_global_norm + adamw == torch clip_grad_norm_ + AdamW:
     verified against a hand-rolled AdamW on a quadratic."""
