@@ -37,12 +37,18 @@ Config:
     context: 1                      # >1 = sequence sharded over a 'seq'
                                     #      axis (ring attention,
                                     #      parallel/context.py)
+    context_zigzag: false           # true = load-balanced causal schedule
+                                    #      (~half the attention FLOPs;
+                                    #      block_size % 2*context == 0)
     fsdp: false                     # true = ZeRO-3: params + AdamW moments
                                     #      sharded over the 'data' axis
                                     #      (parallel/fsdp.py)
     n_micro: 4                      # microbatches per step (pipeline)
   training: {n_steps, log_every, save_every, val_every, plot_every,
-             resume_from, moe_aux_weight: 0.01}
+             resume_from, moe_aux_weight: 0.01,
+             grad_accum: 1}           # >1 = microbatches per update
+                                      # (lax.scan inside the jitted step;
+                                      # train/step.py)
   generation: {n_tokens: 64}        # end-of-run greedy continuation
 """
 
@@ -115,6 +121,10 @@ def validate_config(config) -> None:
         if block % n_seq != 0:
             raise ValueError(f"FATAL: model.block_size={block} must divide "
                              f"by parallel.context={n_seq}")
+        if (bool(config["parallel"].get("context_zigzag", False))
+                and block % (2 * n_seq) != 0):
+            raise ValueError(f"FATAL: context_zigzag needs model.block_size="
+                             f"{block} divisible by 2*context={2 * n_seq}")
         if float(config["model"].get("dropout", 0.0)) > 0.0:
             raise ValueError("FATAL: parallel.context trains "
                              "deterministically — set model.dropout: 0")
@@ -251,18 +261,29 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         # tests/test_context.py. jit resharding moves the host batch onto
         # the seq shards via the shard_map in_specs — no explicit placement.
         from tempo_tpu.parallel.context import (cp_loss_fn, create_cp_mesh,
-                                                make_cp_model)
+                                                make_cp_model,
+                                                zigzag_permutation)
 
         n_seq = int(config["parallel"]["context"])
+        zigzag = bool(config["parallel"].get("context_zigzag", False))
         mesh = create_cp_mesh(n_seq)
-        inner = cp_loss_fn(make_cp_model(tconfig, mesh), mesh)
+        inner = cp_loss_fn(make_cp_model(tconfig, mesh, zigzag=zigzag), mesh)
+        # zigzag: permute the (already next-token-shifted) tokens/targets so
+        # shard d receives chunks (d, 2S-1-d) — a static gather inside jit;
+        # the shard_map in_specs then split the permuted axis contiguously
+        perm = (jnp.asarray(zigzag_permutation(tconfig.block_size, n_seq))
+                if zigzag else None)
 
-        def loss_fn(params, batch, rng, _inner=inner):
-            loss = _inner(params, batch[:, :-1], batch[:, 1:])
+        def loss_fn(params, batch, rng, _inner=inner, _perm=perm):
+            tokens, targets = batch[:, :-1], batch[:, 1:]
+            if _perm is not None:
+                tokens = jnp.take(tokens, _perm, axis=1)
+                targets = jnp.take(targets, _perm, axis=1)
+            loss = _inner(params, tokens, targets)
             return loss, {"loss": loss}
 
         print(f"Context-parallel: sequence over {n_seq} devices "
-              f"(ring attention)")
+              f"({'zigzag ' if zigzag else ''}ring attention)")
     else:
         loss_fn = _lm_loss_fn(model, aux_weight)
         n_expert = int(config.get("parallel", {}).get("expert", 1))
@@ -314,6 +335,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         log_every=train_cfg.get("log_every", 10),
         plot_every=train_cfg.get("plot_every", 50),
         checkpoint_format=train_cfg.get("checkpoint_format", "msgpack"),
+        grad_accum=int(train_cfg.get("grad_accum", 1)),
         place_fn=place_fn,
     )
     from tempo_tpu.train.checkpoint import resolve_resume_from

@@ -88,6 +88,11 @@ class TransformerConfig:
     # (parallel/context.py). Use make_cp_model/cp_loss_fn, not this field
     # directly.
     seq_axis: Optional[str] = None
+    # with seq_axis: zigzag chunk layout — each shard holds chunks
+    # (d, 2S-1-d), input_pos is the explicit [1, t] position vector, and
+    # attention computes only the causally-needed chunk pairs (~half the
+    # FLOPs of the plain rotation; see ring_attention_zigzag)
+    seq_zigzag: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -255,6 +260,10 @@ class SelfAttention(nn.Module):
                 # per-row positions [b] (continuous-batching decode):
                 # gather each row's own rotation angles -> [b, t, hd//2, 2]
                 rc = full[input_pos[:, None] + jnp.arange(t)[None]]
+            elif jnp.ndim(input_pos) == 2:
+                # explicit per-token positions [b|1, t] (non-contiguous
+                # layouts, e.g. the zigzag context-parallel sharding)
+                rc = full[input_pos]
             else:
                 rc = jax.lax.dynamic_slice_in_dim(full, input_pos, t, axis=0)
             q = apply_rope(q, rc)
@@ -281,15 +290,25 @@ class SelfAttention(nn.Module):
                 "activation capture/patching is not sequence-sharded")
             assert cfg.dropout == 0.0 or deterministic, (
                 "attention-weight dropout is not sequence-sharded")
-            from tempo_tpu.parallel.context import ring_attention
+            if cfg.seq_zigzag:
+                from tempo_tpu.parallel.context import ring_attention_zigzag
 
-            y = ring_attention(q, k, v, axis_name=cfg.seq_axis,
-                               causal=cfg.causal).astype(cfg.dtype)
+                assert cfg.causal, "zigzag balances the CAUSAL schedule"
+                y = ring_attention_zigzag(
+                    q, k, v, axis_name=cfg.seq_axis).astype(cfg.dtype)
+            else:
+                from tempo_tpu.parallel.context import ring_attention
+
+                y = ring_attention(q, k, v, axis_name=cfg.seq_axis,
+                                   causal=cfg.causal).astype(cfg.dtype)
         elif cache is not None:
             # static-shape KV cache: write this call's keys/values at
             # input_pos, attend over the valid prefix only.
             ck, cv = cache
             pos = input_pos if input_pos is not None else jnp.int32(0)
+            assert jnp.ndim(pos) <= 1, (
+                "per-token [b, t] positions are a training-layout feature "
+                "(zigzag cp); decode caches take scalar or per-row [b] pos")
             if jnp.ndim(pos) == 1:
                 # per-row positions: each batch row writes its own slice
                 # (vmapped dynamic_update_slice lowers to one scatter)
@@ -521,6 +540,12 @@ class Transformer(nn.Module):
                     # per-row positions [b]: gather a [b, t, c] table slice
                     pos = input_pos[:, None] + jnp.arange(t)[None]
                     pos_emb = tap(jnp.take(wpe, pos,
+                                           axis=0).astype(cfg.dtype),
+                                  "pos_emb")
+                    tok_emb = tok_emb + pos_emb
+                elif input_pos is not None and jnp.ndim(input_pos) == 2:
+                    # explicit per-token positions [b|1, t] (zigzag cp)
+                    pos_emb = tap(jnp.take(wpe, input_pos,
                                            axis=0).astype(cfg.dtype),
                                   "pos_emb")
                     tok_emb = tok_emb + pos_emb

@@ -19,7 +19,9 @@ from tempo_tpu.parallel.context import (
     create_cp_mesh,
     make_cp_model,
     ring_attention,
+    ring_attention_zigzag,
     shard_tokens_cp,
+    zigzag_permutation,
 )
 from tempo_tpu.parallel.pipeline import shard_map
 from jax.sharding import PartitionSpec as P
@@ -72,6 +74,52 @@ def test_ring_attention_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
 
+def _ring_zigzag():
+    mesh = create_cp_mesh(S)
+    return shard_map(
+        ring_attention_zigzag,
+        mesh=mesh, in_specs=(P(None, "seq"),) * 3,
+        out_specs=P(None, "seq"), check_rep=False)
+
+
+def test_zigzag_permutation_is_a_permutation():
+    perm = zigzag_permutation(T, S)
+    assert sorted(perm.tolist()) == list(range(T))
+    # shard d's slice is chunks (d, 2S-1-d): first local chunk ascending
+    # early positions, second local chunk the mirrored late ones
+    c = T // (2 * S)
+    for d in range(S):
+        local = perm[d * 2 * c:(d + 1) * 2 * c]
+        assert local[0] == d * c and local[c] == (2 * S - 1 - d) * c
+
+
+def test_ring_attention_zigzag_matches_full():
+    # zigzag-permute on the host, run the balanced schedule, un-permute:
+    # must equal full causal attention exactly
+    q, k, v = _qkv()
+    perm = zigzag_permutation(T, S)
+    inv = np.argsort(perm)
+    out_z = jax.jit(_ring_zigzag())(q[:, perm], k[:, perm], v[:, perm])
+    expect = _full_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out_z)[:, inv],
+                               np.asarray(expect), atol=2e-6)
+
+
+def test_ring_attention_zigzag_grads_match():
+    q, k, v = _qkv()
+    perm = zigzag_permutation(T, S)
+    ring = _ring_zigzag()
+    g_zig = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(
+            ring(q[:, perm], k[:, perm], v[:, perm]))),
+        argnums=(0, 1, 2))(q, k, v)
+    g_full = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(_full_attention(q, k, v, True))),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_zig, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
 def _tiny_gpt(rope: bool):
     cfg = TransformerConfig(in_size=64, block_size=32, n_layer=2, n_head=2,
                             n_embd=16, rope=rope, pos_embed=not rope,
@@ -114,6 +162,28 @@ def test_cp_wpe_positions_are_global():
     loss = jax.jit(loss_fn)(params, shard_tokens_cp(tokens, mesh),
                             shard_tokens_cp(targets, mesh))
     assert abs(float(loss) - float(ref_loss)) < 5e-6
+
+
+@pytest.mark.parametrize("rope", [True, False])
+def test_cp_zigzag_transformer_matches_unsharded(rope):
+    # the balanced layout must be invisible end-to-end: zigzag-permuted
+    # tokens + per-token global positions (RoPE gather / wpe gather) give
+    # the same loss AND grads as the unsharded model
+    cfg, model, params, tokens, targets = _tiny_gpt(rope=rope)
+    ref_loss = lm_cross_entropy(model.apply({"params": params}, tokens),
+                                targets)
+    mesh = create_cp_mesh(S)
+    loss_fn = cp_loss_fn(make_cp_model(cfg, mesh, zigzag=True), mesh)
+    tok_s = shard_tokens_cp(tokens, mesh, zigzag=True)
+    tgt_s = shard_tokens_cp(targets, mesh, zigzag=True)
+    loss = jax.jit(loss_fn)(params, tok_s, tgt_s)
+    assert abs(float(loss) - float(ref_loss)) < 5e-6
+    ref_grad = jax.grad(lambda p: lm_cross_entropy(
+        model.apply({"params": p}, tokens), targets))(params)
+    grad = jax.jit(jax.grad(loss_fn))(params, tok_s, tgt_s)
+    for a, b in zip(jax.tree_util.tree_leaves(grad),
+                    jax.tree_util.tree_leaves(ref_grad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_cp_composes_with_data_axis():

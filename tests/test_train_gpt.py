@@ -241,6 +241,15 @@ def test_train_gpt_context_parallel(tmp_path):
     assert metrics["train"][-1]["loss"] < metrics["train"][0]["loss"]
     assert np.load(out / "generation_final.npy").shape == (1, 16)
 
+    # zigzag (load-balanced causal schedule) trains through the same path
+    out_z = tmp_path / "run_cp_zigzag"
+    cfg = _base_cfg(out_z, rope=True, pos_embed=False, attn_impl="xla")
+    cfg["parallel"] = {"context": 4, "context_zigzag": True}
+    cfg["training"]["n_steps"] = 15
+    main(_write(tmp_path / "cfg_cp_z.yaml", cfg))
+    metrics = json.loads((out_z / "metrics.json").read_text())
+    assert metrics["train"][-1]["loss"] < metrics["train"][0]["loss"]
+
     # context is its own CLI path: no pipeline/tensor/expert composition
     cfg = _base_cfg(tmp_path / "bad_cp")
     cfg["parallel"] = {"context": 2, "tensor": 2}
