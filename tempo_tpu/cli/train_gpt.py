@@ -27,6 +27,8 @@ Config:
     n_embd: 128
     block_size: 128
     in_size: 256                    # vocab (defaults to data vocab)
+    n_kv_head: 0                    # 0 = MHA; < n_head = grouped-query
+                                    #     attention (KV cache / group)
     n_experts: 0                    # >0 = MoE FFN
   optimizer: {lr: 3.0e-4, betas: [0.9, 0.95], weight_decay: 0.1}
   parallel:

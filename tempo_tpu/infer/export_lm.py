@@ -140,6 +140,7 @@ def export_lm(params, config: TransformerConfig,
         "max_seq": max_seq,
         "n_layer": config.n_layer,
         "n_head": config.n_head,
+        "n_kv_head": config.kv_heads,
         "n_embd": config.n_embd,
         "n_experts": config.n_experts,
         "quantize": config.quantize,
@@ -157,7 +158,9 @@ def zero_cache(meta: dict, batch: int):
     the starting point for chunked prefill via `extend` (extending a zero
     cache from position 0 IS prefill: the absolute-position mask hides the
     never-written slots, so the equality is exact, not approximate)."""
-    shape = (batch, int(meta["max_seq"]), int(meta["n_head"]),
+    # n_kv_head < n_head under GQA (older artifacts omit the key = MHA)
+    shape = (batch, int(meta["max_seq"]),
+             int(meta.get("n_kv_head") or meta["n_head"]),
              int(meta["n_embd"]) // int(meta["n_head"]))
     z = jnp.zeros(shape, jnp.dtype(meta["compute_dtype"]))
     return tuple((z, z) for _ in range(int(meta["n_layer"])))

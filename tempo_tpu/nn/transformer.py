@@ -94,10 +94,24 @@ class TransformerConfig:
     # FLOPs of the plain rotation; see ring_attention_zigzag)
     seq_zigzag: bool = False
 
+    # grouped-query attention: number of K/V heads (0 = n_head, plain MHA).
+    # Each group of n_head/n_kv_head query heads shares one K/V head — the
+    # KV cache and its per-token decode HBM stream shrink by that factor
+    # (the first-order serving-decode cost at batch size; see
+    # docs/DESIGN.md "Serving-decode roofline"). Beyond the reference
+    # toolkit's MHA-only GPT (src/mltools/networks/blocks.py:219-410).
+    n_kv_head: int = 0
+
     @property
     def head_dim(self) -> int:
         assert self.n_embd % self.n_head == 0
         return self.n_embd // self.n_head
+
+    @property
+    def kv_heads(self) -> int:
+        kv = self.n_kv_head or self.n_head
+        assert self.n_head % kv == 0, (self.n_head, kv)
+        return kv
 
     @property
     def dtype(self):
@@ -234,12 +248,12 @@ class SelfAttention(nn.Module):
         cfg = self.config
         b, t, c = x.shape
         n, hd = cfg.n_head, cfg.head_dim
+        kv = cfg.kv_heads  # < n = grouped-query attention
 
-        qkv = _dense(cfg, 3 * c, _linear_init(), "c_attn")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, n, hd)
-        k = k.reshape(b, t, n, hd)
-        v = v.reshape(b, t, n, hd)
+        qkv = _dense(cfg, c + 2 * kv * hd, _linear_init(), "c_attn")(x)
+        q = qkv[..., :c].reshape(b, t, n, hd)
+        k = qkv[..., c:c + kv * hd].reshape(b, t, kv, hd)
+        v = qkv[..., c + kv * hd:].reshape(b, t, kv, hd)
 
         def tap(val, name):
             name = name + suffix
@@ -290,6 +304,13 @@ class SelfAttention(nn.Module):
                 "activation capture/patching is not sequence-sharded")
             assert cfg.dropout == 0.0 or deterministic, (
                 "attention-weight dropout is not sequence-sharded")
+            if kv < n:
+                # the ring kernels take matched head counts; broadcasting
+                # the KV groups here keeps GQA training correct (the ICI
+                # ring then carries MHA-sized K/V shards — GQA's win is
+                # the decode cache, not this training path)
+                k = jnp.repeat(k, n // kv, axis=2)
+                v = jnp.repeat(v, n // kv, axis=2)
             if cfg.seq_zigzag:
                 from tempo_tpu.parallel.context import ring_attention_zigzag
 
@@ -329,14 +350,35 @@ class SelfAttention(nn.Module):
             kv_idx = jnp.arange(s)
             # causal over absolute positions; never attend beyond pos+t
             mask = kv_idx[None, None, :] <= q_idx[:, :, None]  # [b|1, t, s]
-            scores = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
-                                ck.astype(jnp.float32)) / math.sqrt(hd)
-            scores = jnp.where(mask[:, None], scores, -jnp.inf)
-            weights = jax.nn.softmax(scores, axis=-1)
-            y = jnp.einsum("bnqk,bknh->bqnh", weights,
-                           cv.astype(jnp.float32)).astype(cfg.dtype)
+            if kv < n:
+                # grouped-query decode: the cache holds kv heads and is
+                # streamed as-is (the whole point — n/kv fewer HBM bytes
+                # per token); the group dim rides inside the einsum, no
+                # repeated K/V is ever materialized
+                g = n // kv
+                qg = q.reshape(b, t, kv, g, hd)
+                scores = jnp.einsum(
+                    "bqkgh,bskh->bkgqs", qg.astype(jnp.float32),
+                    ck.astype(jnp.float32)) / math.sqrt(hd)
+                scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+                weights = jax.nn.softmax(scores, axis=-1)
+                y = jnp.einsum("bkgqs,bskh->bqkgh", weights,
+                               cv.astype(jnp.float32))
+                y = y.reshape(b, t, n, hd).astype(cfg.dtype)
+            else:
+                scores = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
+                                    ck.astype(jnp.float32)) / math.sqrt(hd)
+                scores = jnp.where(mask[:, None], scores, -jnp.inf)
+                weights = jax.nn.softmax(scores, axis=-1)
+                y = jnp.einsum("bnqk,bknh->bqnh", weights,
+                               cv.astype(jnp.float32)).astype(cfg.dtype)
         elif capture or taps:
-            # manual path exposing the score matrix (blocks.py:352-363)
+            # manual path exposing the score matrix (blocks.py:352-363);
+            # GQA broadcasts the KV groups so the tapped score/weight
+            # tensors keep the reference's [b, n_head, t, t] layout
+            if kv < n:
+                k = jnp.repeat(k, n // kv, axis=2)
+                v = jnp.repeat(v, n // kv, axis=2)
             scores = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
                                 k.astype(jnp.float32)) / math.sqrt(hd)
             scores = tap(scores, "attn_um")
@@ -353,6 +395,9 @@ class SelfAttention(nn.Module):
         else:
             if cfg.dropout > 0.0 and not deterministic:
                 # attention-weight dropout needs the materialized weights
+                if kv < n:
+                    k = jnp.repeat(k, n // kv, axis=2)
+                    v = jnp.repeat(v, n // kv, axis=2)
                 scores = jnp.einsum("bqnh,bknh->bnqk",
                                     q.astype(jnp.float32),
                                     k.astype(jnp.float32)) / math.sqrt(hd)
@@ -364,10 +409,19 @@ class SelfAttention(nn.Module):
                 y = jnp.einsum("bnqk,bknh->bqnh", weights,
                                v.astype(jnp.float32)).astype(cfg.dtype)
             elif _flash_ok(cfg, t):
+                if kv < n:
+                    # GQA trains at MHA FLOPs regardless (its win is the
+                    # decode cache); broadcasting K/V here keeps the hot
+                    # training path on the Pallas flash kernel instead of
+                    # the score-materializing XLA fallback
+                    k = jnp.repeat(k, n // kv, axis=2)
+                    v = jnp.repeat(v, n // kv, axis=2)
                 y = _flash_attention(q, k, v, causal=cfg.causal,
                                      sm_scale=1.0 / math.sqrt(hd))
                 y = y.astype(cfg.dtype)
             else:
+                # handles GQA natively (K/V with kv < n heads broadcast
+                # per group inside the fused kernel)
                 y = jax.nn.dot_product_attention(
                     q, k, v, is_causal=cfg.causal)
 
@@ -622,7 +676,9 @@ def cached_forward(model: "Transformer", params, x, **kwargs):
 
 def init_cache(config: TransformerConfig, batch_size: int,
                dtype=jnp.float32, cache_len: Optional[int] = None) -> Tuple:
-    """Preallocated per-layer (k, v) buffers [B, cache_len, n_head, hd].
+    """Preallocated per-layer (k, v) buffers [B, cache_len, kv_heads, hd]
+    (kv_heads < n_head under grouped-query attention — the cache shrinks
+    by the group factor, and so does its per-token decode stream).
 
     `cache_len` defaults to block_size, but a shorter buffer is EXACT for
     requests that fit it: decode attends over the buffer with an absolute-
@@ -632,7 +688,7 @@ def init_cache(config: TransformerConfig, batch_size: int,
     the serving window, not the model's maximum."""
     s = config.block_size if cache_len is None else cache_len
     assert s <= config.block_size, (s, config.block_size)
-    shape = (batch_size, s, config.n_head, config.head_dim)
+    shape = (batch_size, s, config.kv_heads, config.head_dim)
     return tuple((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                  for _ in range(config.n_layer))
 

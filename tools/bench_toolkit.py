@@ -180,18 +180,19 @@ def bench_diffusion(batch_size: int = 64, iters: int = 10,
 
 def bench_decode(batch_size: int = 8, new_tokens: int = 128,
                  iters: int = 5, compute_dtype: str = "bfloat16",
-                 quantize: bool = False) -> dict:
+                 quantize: bool = False, n_kv_head: int = 0) -> dict:
     """Autoregressive serving throughput: KV-cache scan decode on the
     GPT-2-small shape (the inference side of the GPT family). With
-    quantize=True the block matmuls run from int8 weights (nn/quant.py) —
-    decode is HBM-bound, so bytes-per-token is the metric this moves."""
+    quantize=True the block matmuls run from int8 weights (nn/quant.py);
+    with n_kv_head < 12 the cache shrinks by the GQA group factor —
+    decode is HBM-bound, so bytes-per-token is the metric both move."""
     import dataclasses
 
     from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
                                           generate, num_params)
 
     cfg = TransformerConfig(in_size=50304, block_size=1024, n_layer=12,
-                            n_head=12, n_embd=768,
+                            n_head=12, n_embd=768, n_kv_head=n_kv_head,
                             compute_dtype=compute_dtype)
     model = Transformer(cfg)
     prompt = jnp.asarray(np.random.default_rng(0).integers(
@@ -220,8 +221,11 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
         out = run(jax.random.PRNGKey(2 + i))
     int(np.asarray(out)[0, -1])
     dt = (time.perf_counter() - t0) / iters
+    family = "gpt_decode_int8" if quantize else "gpt_decode"
+    if n_kv_head:
+        family += f"_gqa{n_kv_head}"
     return {
-        "family": "gpt_decode_int8" if quantize else "gpt_decode",
+        "family": family,
         "n_params": num_params(params),
         "batch": batch_size,
         "prompt_len": 64,
@@ -320,6 +324,9 @@ def main():
         print(json.dumps(results[-1]), flush=True)
         results.append(bench_decode(iters=max(2, args.iters // 2),
                                     quantize=True))
+        print(json.dumps(results[-1]), flush=True)
+        results.append(bench_decode(iters=max(2, args.iters // 2),
+                                    n_kv_head=2))
         print(json.dumps(results[-1]), flush=True)
     if args.family in ("serve", "all"):
         results.append(bench_serve(iters=max(2, args.iters // 2)))
