@@ -147,6 +147,35 @@ def test_gqa_trains_and_loss_drops():
     assert losses[-1] < 0.35 * losses[0], (losses[0], losses[-1])
 
 
+def test_gqa_composes_with_int8_quant():
+    # the two serving levers — group-shrunk KV cache and int8 weights —
+    # must compose: quantized GQA logits stay close to float GQA, and the
+    # quantized cache decode path still matches the full forward greedily
+    import dataclasses
+
+    from tempo_tpu.nn.quant import quantize_lm_params
+
+    model, params, tokens = _setup()
+    qcfg = dataclasses.replace(CFG, quantize="int8")
+    qm = Transformer(qcfg)
+    qparams = quantize_lm_params(params)
+
+    ref = np.asarray(model.apply({"params": params}, tokens), np.float64)
+    got = np.asarray(qm.apply({"params": qparams}, tokens), np.float64)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+
+    prompt = tokens[:, :5]
+    dec = generate(qm, qparams, prompt, 6, jax.random.PRNGKey(0),
+                   temperature=0.0)
+    seq = prompt
+    for _ in range(6):
+        logits = qm.apply({"params": qparams}, seq)
+        nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(seq))
+
+
 def test_gqa_export_roundtrip(tmp_path):
     from tempo_tpu.infer.export_lm import (export_lm, greedy_decode_exported,
                                            load_exported_lm)
