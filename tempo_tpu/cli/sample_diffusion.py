@@ -14,6 +14,9 @@ Config:
   checkpoint: <optional explicit ckpt path; default latest in run_dir>
   n_samples: 16
   n_steps: 250
+  method: <optional; vdm: ancestral|ddim, sfm: euler|lm;
+           default = the train config's sampling.method>
+  eta: 0.0   # DDIM noise knob (0 deterministic, 1 == ancestral)
   seed: 0
 """
 
@@ -85,11 +88,14 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     params = load_params(ckpt, template)
 
-    print(f"Sampling {n_samples} tiles over {n_steps} steps ({family})...")
+    train_samp = dict(train_config.get("sampling", {}))
+    method = str(config.get("method", train_samp.get("method", "euler")))
+    eta = float(config.get("eta", train_samp.get("eta", 0.0)))
+    print(f"Sampling {n_samples} tiles over {n_steps} steps "
+          f"({family}, method={method})...")
     _sample = _make_sampler(
         model, family, model_shape, n_samples, n_steps,
-        decode_fn=decode_fn,
-        method=dict(train_config.get("sampling", {})).get("method", "euler"))
+        decode_fn=decode_fn, method=method, eta=eta)
 
     samples = np.asarray(jax.device_get(
         _sample(params, jax.random.PRNGKey(seed))))
@@ -97,6 +103,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     _save_sample_panel(output_dir / "samples.png", samples[:8])
     save_yaml({"checkpoint": str(ckpt), "family": family,
                "n_samples": n_samples, "n_steps": n_steps, "seed": seed,
+               "method": method, "eta": eta,
                "sample_shape": list(samples.shape)},
               output_dir / "sampling_info.yaml")
     print(f"Wrote {samples.shape} -> {output_dir / 'samples.npy'}")

@@ -18,7 +18,7 @@ Two schedulers (infer/serving.py):
 Two modes over either scheduler:
 
 - `mode: batch` — read a JSONL request file ({"tokens": [...],
-  "n_tokens": N, "temperature": T, "top_k": K, "seed": S per line,
+  "n_tokens": N, "temperature": T, "top_k": K, "top_p": P, "seed": S per line,
   plus "eos" under the continuous scheduler), write
   `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
 - `mode: http` — a stdlib single-threaded HTTP endpoint:

@@ -35,6 +35,8 @@ Config sections (beyond the train_vae.py schema):
     n_samples: 8
     n_steps: 250
     method: euler | lm        # family: sfm integrator (default euler)
+                              # family: vdm -> ancestral | ddim
+    eta: 0.0                  # ddim noise (0 deterministic, 1 ancestral)
 """
 
 from __future__ import annotations
@@ -119,10 +121,14 @@ def _init_generative(model, family, model_shape, seed: int):
 
 
 def _make_sampler(model, family, model_shape, n_samples: int, n_steps: int,
-                  decode_fn=None, method: str = "euler"):
+                  decode_fn=None, method: str = "euler", eta: float = 0.0):
     """Jitted (params, rng) -> pixel/latent samples for either family:
-    scanned ancestral sampling (VDM) or scanned SDE integration from a
-    standard-normal source (SFM)."""
+    scanned ancestral/DDIM sampling (VDM) or scanned SDE integration from
+    a standard-normal source (SFM).
+
+    `method` is family-scoped: euler|lm for sfm, ancestral|ddim for vdm
+    (the shared default 'euler' means 'ancestral' there); `eta` is the
+    DDIM noise knob (0 deterministic, 1 ancestral-equivalent)."""
     if family == "sfm":
         from tempo_tpu.models.flow import predict as flow_predict
 
@@ -139,11 +145,14 @@ def _make_sampler(model, family, model_shape, n_samples: int, n_steps: int,
 
     from tempo_tpu.models.diffusion import sample as vdm_sample
 
+    vdm_method = "ancestral" if method == "euler" else method
+
     @jax.jit
     def _sample(p, rng):
         z = vdm_sample(model, p, rng, batch_size=n_samples,
                        n_sampling_steps=n_steps,
-                       sample_shape=tuple(model_shape))
+                       sample_shape=tuple(model_shape),
+                       method=vdm_method, eta=eta)
         return decode_fn(z) if decode_fn is not None else z
 
     return _sample
@@ -345,7 +354,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     print(f"\nSampling {n_samples} tiles ({n_samp_steps} steps)...")
     _sample = _make_sampler(model, family, model_shape, n_samples,
                             n_samp_steps, decode_fn=decode_fn,
-                            method=samp_cfg.get("method", "euler"))
+                            method=samp_cfg.get("method", "euler"),
+                            eta=float(samp_cfg.get("eta", 0.0)))
 
     samples = np.asarray(jax.device_get(
         _sample(trainer.state.params, jax.random.PRNGKey(seed + 3))))

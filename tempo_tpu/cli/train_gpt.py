@@ -52,6 +52,12 @@ Config:
                                       # (lax.scan inside the jitted step;
                                       # train/step.py)
   generation: {n_tokens: 64}        # end-of-run greedy continuation
+  finetune:                         # optional: LoRA fine-tuning (nn/lora.py)
+    lora_rank: 8                    # >0 = freeze the base, train adapters
+    lora_scale: 1.0
+    base_run: <train_gpt output dir>   # or base_checkpoint: <ckpt path>
+                                    # writes checkpoints/merged_final.msgpack
+                                    # (plain tree for export/serving)
 """
 
 from __future__ import annotations
@@ -138,6 +144,17 @@ def validate_config(config) -> None:
             raise ValueError("FATAL: parallel.fsdp shards state over the "
                              "'data' axis — it does not compose with "
                              "pipeline/expert/tensor/context in this CLI")
+    ft = dict(config.get("finetune", {}))
+    if int(ft.get("lora_rank", 0)) > 0:
+        if "base_checkpoint" not in ft and "base_run" not in ft:
+            raise ValueError("FATAL: finetune.lora_rank needs "
+                             "finetune.base_checkpoint (ckpt path) or "
+                             "finetune.base_run (train_gpt output dir)")
+        if (stages > 1 or n_expert > 1 or n_model > 1 or n_seq > 1
+                or bool(config.get("parallel", {}).get("fsdp", False))):
+            raise ValueError("FATAL: finetune.lora_rank is the dense "
+                             "data-parallel path — adapters are tiny, "
+                             "model-sharding them buys nothing")
 
 
 def _lm_loss_fn(model, aux_weight: float):
@@ -306,6 +323,39 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             params = shard_params_tp(params, create_tp_mesh(n_model))
             print(f"Tensor-parallel: channels over {n_model} devices")
 
+    # LoRA fine-tuning: freeze a trained base checkpoint, train rank-r
+    # adapters only (nn/lora.py). The train state (params + AdamW moments)
+    # becomes the adapter tree — optimizer memory scales with rank.
+    ft_cfg = dict(config.get("finetune", {}))
+    lora_rank = int(ft_cfg.get("lora_rank", 0))
+    lora_base = None
+    if lora_rank > 0:
+        from tempo_tpu.nn.lora import apply_lora, init_lora
+        from tempo_tpu.train.checkpoint import latest_checkpoint, load_params
+
+        base_ckpt = ft_cfg.get("base_checkpoint")
+        if base_ckpt is None:
+            base_ckpt = latest_checkpoint(
+                Path(ft_cfg["base_run"]) / "checkpoints")
+            if base_ckpt is None:
+                raise ValueError(f"FATAL: no checkpoints in "
+                                 f"{ft_cfg['base_run']}")
+        print(f"LoRA base: {base_ckpt}")
+        base_params = jax.device_put(load_params(base_ckpt, params))
+        lora_scale = float(ft_cfg.get("lora_scale", 1.0))
+        inner_loss = loss_fn
+
+        def loss_fn(lora, batch, rng, _base=base_params, _s=lora_scale,
+                    _inner=inner_loss):
+            return _inner(apply_lora(_base, lora, _s), batch, rng)
+
+        params = init_lora(base_params, lora_rank,
+                           jax.random.PRNGKey(seed + 7))
+        lora_base = (base_params, lora_scale)
+        n_adapter = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        print(f"LoRA fine-tune: rank {lora_rank}, scale {lora_scale}, "
+              f"{n_adapter:,} trainable adapter params")
+
     tx = make_gpt_optimizer(params,
                             weight_decay=float(opt_cfg.get("weight_decay", 0.1)),
                             learning_rate=float(opt_cfg.get("lr", 3e-4)),
@@ -378,10 +428,31 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
               f"(prompt {prompt_len} + new tokens must fit the "
               f"block size {tconfig.block_size})")
         n_tokens = room
+    if lora_base is not None:
+        # merged plain-tree checkpoint: zero-overhead serving artifact the
+        # export/serve CLIs consume like any base checkpoint
+        from flax import serialization
+
+        from tempo_tpu.nn.lora import merge_lora
+
+        merged = jax.device_get(merge_lora(lora_base[0],
+                                           trainer.state.params,
+                                           scale=lora_base[1]))
+        merged_path = output_dir / "checkpoints" / "merged_final.msgpack"
+        merged_path.write_bytes(serialization.msgpack_serialize({
+            "step": int(jax.device_get(trainer.state.step)),
+            "params": serialization.to_state_dict(merged)}))
+        print(f"Merged LoRA checkpoint: {merged_path}")
+
     if n_tokens > 0:
         from tempo_tpu.nn.transformer import generate
 
         gen_params = trainer.state.params
+        if lora_base is not None:
+            from tempo_tpu.nn.lora import merge_lora
+
+            gen_params = merge_lora(lora_base[0], trainer.state.params,
+                                    scale=lora_base[1])
         if stages > 1:
             from tempo_tpu.parallel.pipeline import merge_pipeline_params
 

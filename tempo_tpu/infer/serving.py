@@ -3,7 +3,8 @@
 The exported pair — `prefill(tokens[b,t])` and
 `decode_step(tok[b,1], cache, pos)` — fixes the device-side compute; this
 module is the host-side serving policy around it: sampling (greedy /
-temperature / top-k), request batching, and the serving window guard.
+temperature / top-k / top-p), request batching, and the serving window
+guard.
 Everything here runs from the StableHLO artifacts alone (no model code,
 no checkpoint importer), which is the point of the AOT export.
 
@@ -21,6 +22,7 @@ import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,17 +58,38 @@ def chunked_prefill(extend_fn, meta: Dict[str, Any], prompts,
     return logits, cache
 
 
+def _truncate_support(logits: np.ndarray, top_k: Optional[int],
+                      top_p: Optional[float]) -> np.ndarray:
+    """Support truncation shared by every sampling path: top-k (keep the
+    k largest logits) then top-p / nucleus (keep the smallest prefix of
+    the sorted distribution whose mass reaches p, INCLUDING the token
+    that crosses the boundary — same semantics as nn.transformer's
+    nucleus_mask). Works on [..., V]."""
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        kth = np.partition(logits, -top_k, axis=-1)[..., -top_k:][..., :1]
+        logits = np.where(logits < kth, -np.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        x = logits - logits.max(axis=-1, keepdims=True)
+        probs = np.exp(x)
+        probs /= probs.sum(axis=-1, keepdims=True)
+        sp = np.sort(probs, axis=-1)[..., ::-1]
+        cum = np.cumsum(sp, axis=-1)
+        keep = (cum - sp) < top_p  # exclusive cumsum: index 0 always kept
+        thr = np.where(keep, sp, np.inf).min(axis=-1, keepdims=True)
+        logits = np.where(probs < thr, -np.inf, logits)
+    return logits
+
+
 def sample_next(logits_last: np.ndarray, temperature: float,
-                top_k: Optional[int], rng: np.random.Generator) -> np.ndarray:
+                top_k: Optional[int], rng: np.random.Generator,
+                top_p: Optional[float] = None) -> np.ndarray:
     """Host-side sampling policy on the last-position logits [b, V] ->
-    next token [b, 1]. temperature 0 = greedy; top_k limits the support."""
+    next token [b, 1]. temperature 0 = greedy; top_k / top_p limit the
+    support."""
     logits = np.asarray(logits_last, np.float32)
     if temperature <= 0.0:
         return np.argmax(logits, axis=-1, keepdims=True)
-    logits = logits / float(temperature)
-    if top_k is not None and 0 < top_k < logits.shape[-1]:
-        kth = np.partition(logits, -top_k, axis=-1)[:, -top_k][:, None]
-        logits = np.where(logits < kth, -np.inf, logits)
+    logits = _truncate_support(logits / float(temperature), top_k, top_p)
     logits -= logits.max(axis=-1, keepdims=True)
     probs = np.exp(logits)
     probs /= probs.sum(axis=-1, keepdims=True)
@@ -77,17 +100,15 @@ def sample_next(logits_last: np.ndarray, temperature: float,
 
 
 def policy_probs(logits_row: np.ndarray, temperature: float,
-                 top_k: Optional[int]) -> np.ndarray:
+                 top_k: Optional[int],
+                 top_p: Optional[float] = None) -> np.ndarray:
     """The sampling policy of `sample_next` as an explicit probability
-    vector [V] (temperature scaling + top-k support truncation). This is
-    the distribution speculative decoding must preserve, so the verify
-    math (`speculative_accept`) runs on exactly this."""
+    vector [V] (temperature scaling + top-k/top-p support truncation).
+    This is the distribution speculative decoding must preserve, so the
+    verify math (`speculative_accept`) runs on exactly this."""
     logits = np.asarray(logits_row, np.float64).reshape(-1)
     assert temperature > 0.0, "policy_probs is the sampled path"
-    logits = logits / float(temperature)
-    if top_k is not None and 0 < top_k < logits.shape[-1]:
-        kth = np.partition(logits, -top_k)[-top_k]
-        logits = np.where(logits < kth, -np.inf, logits)
+    logits = _truncate_support(logits / float(temperature), top_k, top_p)
     logits -= logits.max()
     probs = np.exp(logits)
     return probs / probs.sum()
@@ -131,9 +152,13 @@ class LMServer:
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
         self.prefill_chunk = prefill_chunk
+        self.extend = None
         if prefill_chunk is not None:
             # chunked prefill rides the `extend` artifact (symbolic k)
             _, self.extend, _ = load_exported_speculative(artifacts_dir)
+        self._artifacts_dir = artifacts_dir
+        # prefix cache: tuple(prefix tokens) -> batch-1 KV cache pytree
+        self._prefix_caches: Dict[tuple, Any] = {}
 
     def _prefill(self, prompts: jnp.ndarray):
         c = self.prefill_chunk
@@ -141,33 +166,73 @@ class LMServer:
             return chunked_prefill(self.extend, self.meta, prompts, c)
         return self.prefill(prompts)
 
+    def _need_extend(self):
+        if self.extend is None:
+            _, self.extend, _ = load_exported_speculative(
+                self._artifacts_dir)
+        return self.extend
+
+    def _prefix_cache(self, prefix: tuple):
+        """Batch-1 KV cache for a shared prompt prefix, computed ONCE per
+        distinct prefix and memoized. Built by extending a zero cache so
+        the cache layout is exactly the prefill path's, and the
+        absolute-position mask makes reuse exact (positions beyond the
+        prefix are never-written and invisible)."""
+        cached = self._prefix_caches.get(prefix)
+        if cached is None:
+            extend = self._need_extend()
+            arr = jnp.asarray(np.asarray(prefix, np.int32).reshape(1, -1))
+            _, cached = extend(arr, zero_cache(self.meta, 1), jnp.int32(0))
+            self._prefix_caches[prefix] = cached
+        return cached
+
     def generate_batch(self, prompts: np.ndarray, max_new_tokens: int,
                        temperature: float = 0.0,
                        top_k: Optional[int] = None,
-                       seed: int = 0) -> np.ndarray:
+                       seed: int = 0,
+                       top_p: Optional[float] = None,
+                       prefix: Optional[Sequence[int]] = None) -> np.ndarray:
         """prompts: int array [b, t] (same length per row — the artifact
-        shares one position counter). Returns [b, max_new_tokens]."""
+        shares one position counter). Returns [b, max_new_tokens].
+
+        `prefix`: a shared prompt prefix (system prompt) whose KV cache is
+        computed once per distinct prefix and reused across calls and
+        batch rows — each call then prefills only the [b, t] suffixes
+        through the `extend` artifact at position len(prefix). Pinned
+        bit-equal (greedy) to prefilling the concatenated prompts."""
         prompts = np.asarray(prompts, np.int32)
         assert prompts.ndim == 2, prompts.shape
         b, t = prompts.shape
+        n_prefix = len(prefix) if prefix else 0
         if max_new_tokens <= 0:
             return np.zeros((b, 0), np.int32)
-        if t + max_new_tokens > self.window:
+        if n_prefix + t + max_new_tokens > self.window:
             raise ValueError(
-                f"prompt {t} + {max_new_tokens} new tokens exceeds the "
-                f"exported serving window {self.window}")
+                f"prefix {n_prefix} + prompt {t} + {max_new_tokens} new "
+                f"tokens exceeds the exported serving window {self.window}")
         if prompts.size and (prompts.min() < 0 or prompts.max() >= self.vocab):
             raise ValueError(f"token ids outside [0, {self.vocab})")
         rng = np.random.default_rng(seed)
-        logits, cache = self._prefill(jnp.asarray(prompts))
-        tok = sample_next(np.asarray(logits[:, -1]), temperature, top_k, rng)
+        if n_prefix:
+            assert t >= 1, "prefix mode needs at least one suffix token"
+            pfx_cache = self._prefix_cache(tuple(int(x) for x in prefix))
+            cache = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (b,) + x.shape[1:]),
+                pfx_cache)
+            logits, cache = self._need_extend()(
+                jnp.asarray(prompts), cache, jnp.int32(n_prefix))
+            t = n_prefix + t  # decode continues from the absolute position
+        else:
+            logits, cache = self._prefill(jnp.asarray(prompts))
+        tok = sample_next(np.asarray(logits[:, -1]), temperature, top_k,
+                          rng, top_p=top_p)
         out = [tok]
         pos = jnp.int32(t)
         for _ in range(max_new_tokens - 1):
             logits, cache = self.decode_step(
                 jnp.asarray(tok, jnp.int32), cache, pos)
             tok = sample_next(np.asarray(logits[:, -1]), temperature,
-                              top_k, rng)
+                              top_k, rng, top_p=top_p)
             out.append(tok)
             pos = pos + 1
         return np.concatenate(out, axis=1).astype(np.int32)
@@ -175,9 +240,11 @@ class LMServer:
     def serve_requests(self, requests: Sequence[Dict[str, Any]],
                        default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """requests: dicts with 'tokens' (list[int]) and optional
-        'n_tokens', 'temperature', 'top_k', 'seed'. Buckets by (prompt
-        length, sampling params) so each bucket is one batched
-        prefill+decode chain; responses keep request order."""
+        'n_tokens', 'temperature', 'top_k', 'top_p', 'seed', 'prefix'
+        (shared system-prompt tokens — KV-cached once per distinct
+        prefix). Buckets by (prompt length, sampling params, prefix) so
+        each bucket is one batched prefill+decode chain; responses keep
+        request order."""
         buckets: Dict[tuple, List[int]] = {}
         for i, req in enumerate(requests):
             if "tokens" not in req:
@@ -185,17 +252,21 @@ class LMServer:
             key = (len(req["tokens"]),
                    int(req.get("n_tokens", default_new_tokens)),
                    float(req.get("temperature", 0.0)),
-                   req.get("top_k"), int(req.get("seed", 0)))
+                   req.get("top_k"), req.get("top_p"),
+                   int(req.get("seed", 0)),
+                   tuple(req["prefix"]) if req.get("prefix") else None)
             buckets.setdefault(key, []).append(i)
 
         responses: List[Optional[Dict[str, Any]]] = [None] * len(requests)
-        for (t, n_tokens, temperature, top_k, seed), idxs in buckets.items():
+        for (t, n_tokens, temperature, top_k, top_p, seed,
+             prefix), idxs in buckets.items():
             prompts = np.asarray([requests[i]["tokens"] for i in idxs],
                                  np.int32).reshape(len(idxs), t)
             t0 = time.perf_counter()
             toks = self.generate_batch(prompts, n_tokens,
                                        temperature=temperature,
-                                       top_k=top_k, seed=seed)
+                                       top_k=top_k, top_p=top_p, seed=seed,
+                                       prefix=prefix)
             dt = time.perf_counter() - t0
             per_req = dt / len(idxs)
             for row, i in enumerate(idxs):
@@ -270,7 +341,7 @@ class ContinuousLMServer:
     def serve(self, requests: Sequence[Dict[str, Any]],
               default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """requests: dicts with 'tokens' and optional 'n_tokens',
-        'temperature', 'top_k', 'seed', 'eos' (early stop on this token
+        'temperature', 'top_k', 'top_p', 'seed', 'eos' (early stop on this token
         id, which is kept in the output). Responses keep request order."""
         self._validate(requests, default_new_tokens)
         n_req = len(requests)
@@ -338,6 +409,7 @@ class ContinuousLMServer:
                         "remaining": n_tokens,
                         "temperature": float(req.get("temperature", 0.0)),
                         "top_k": req.get("top_k"),
+                        "top_p": req.get("top_p"),
                         "eos": req.get("eos"),
                         "eos_hit": False,
                         "rng": np.random.default_rng(
@@ -347,7 +419,7 @@ class ContinuousLMServer:
                     pos[s] = prompt.shape[1]
                     tok = sample_next(np.asarray(logits[:, -1]),
                                       st["temperature"], st["top_k"],
-                                      st["rng"])
+                                      st["rng"], top_p=st["top_p"])
                     push(s, st, tok)
 
             if not any(st is not None for st in slots):
@@ -361,7 +433,8 @@ class ContinuousLMServer:
                 if st is None:
                     continue
                 tok = sample_next(logits_np[s:s + 1], st["temperature"],
-                                  st["top_k"], st["rng"])
+                                  st["top_k"], st["rng"],
+                                  top_p=st["top_p"])
                 pos[s] += 1
                 push(s, st, tok)
 
@@ -437,13 +510,14 @@ class SpeculativeLMServer:
 
     def _generate(self, prompt: Sequence[int], n_tokens: int,
                   temperature: float, top_k: Optional[int],
-                  rng: np.random.Generator) -> tuple:
+                  rng: np.random.Generator,
+                  top_p: Optional[float] = None) -> tuple:
         t = len(prompt)
         prompt_arr = jnp.asarray(np.asarray(prompt, np.int32).reshape(1, -1))
         tg_logits, tg_cache = self.t_prefill(prompt_arr)
         dr_logits, dr_cache = self.d_prefill(prompt_arr)
         first = sample_next(np.asarray(tg_logits[:, -1]), temperature,
-                            top_k, rng)
+                            top_k, rng, top_p=top_p)
         all_toks = list(map(int, prompt)) + [int(first[0, 0])]
         out = [int(first[0, 0])]
         dr_done = t  # draft cache is correct through position dr_done-1
@@ -469,7 +543,7 @@ class SpeculativeLMServer:
                     d = int(np.argmax(row.astype(np.float32)))
                     q = None
                 else:
-                    q = policy_probs(row, temperature, top_k)
+                    q = policy_probs(row, temperature, top_k, top_p=top_p)
                     d = int(rng.choice(q.shape[0], p=q))
                 drafts.append(d)
                 qdists.append(q)
@@ -496,7 +570,8 @@ class SpeculativeLMServer:
                         continue
                     next_tok = argmax
                     break
-                p = policy_probs(logits_np[i], temperature, top_k)
+                p = policy_probs(logits_np[i], temperature, top_k,
+                                 top_p=top_p)
                 ok, residual = speculative_accept(
                     p, qdists[i], drafts[i], float(rng.uniform()))
                 if ok:
@@ -509,7 +584,8 @@ class SpeculativeLMServer:
                     next_tok = int(np.argmax(
                         logits_np[k].astype(np.float32)))
                 else:
-                    p = policy_probs(logits_np[k], temperature, top_k)
+                    p = policy_probs(logits_np[k], temperature, top_k,
+                                     top_p=top_p)
                     next_tok = int(rng.choice(p.shape[0], p=p))
             accepted += j
             commit = drafts[:j] + [next_tok]
@@ -526,7 +602,8 @@ class SpeculativeLMServer:
     def serve_requests(self, requests: Sequence[Dict[str, Any]],
                        default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """requests: dicts with 'tokens' and optional 'n_tokens',
-        'temperature', 'top_k', 'seed'. Served one request at a time
+        'temperature', 'top_k', 'top_p', 'seed'. Served one request at
+        a time
         (speculation de-syncs a shared batch); responses in order."""
         responses: List[Dict[str, Any]] = []
         totals = {"rounds": 0, "drafted": 0, "accepted": 0,
@@ -553,7 +630,7 @@ class SpeculativeLMServer:
             rng = np.random.default_rng(int(req.get("seed", 0)))
             out, stats = self._generate(
                 req["tokens"], n, float(req.get("temperature", 0.0)),
-                req.get("top_k"), rng)
+                req.get("top_k"), rng, top_p=req.get("top_p"))
             responses.append({
                 "tokens": out,
                 "n_prompt": len(req["tokens"]),

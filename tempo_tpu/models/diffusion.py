@@ -318,13 +318,52 @@ class VDM(nn.Module):
         scale = jnp.sqrt(sigma_ts_sq * (sigma_s / sigma_t) ** 2)
         return w_z, w_x_0t, x_0t, scale
 
+    def sample_zs_given_zt_ddim(self, zt: jax.Array, t: jax.Array,
+                                s: jax.Array, eta: float = 0.0,
+                                rng: Optional[jax.Array] = None,
+                                noise: Optional[jax.Array] = None,
+                                **kwargs) -> jax.Array:
+        """One DDIM step (Song et al. 2020, eq. 12) in VDM gamma
+        parameterization — a fast-sampling capability the reference's
+        ancestral-only sampler (vdm_model.py:346-446) lacks.
+
+        z_s = alpha_s * x0_pred + sqrt(sigma_s^2 - var) * eps_pred
+              + sqrt(var) * xi,      var = eta^2 * sigma_s^2 * c,
+        with c = -expm1(gamma_s - gamma_t). In the variance-preserving
+        process (alpha^2 + sigma^2 = 1) eta=1 reproduces the ancestral
+        posterior EXACTLY (test-pinned against sample_zs_given_zt); eta=0
+        is the deterministic probability-flow corner, which stays accurate
+        at step counts where ancestral sampling falls apart.
+        """
+        gamma_t, gamma_s = self.gamma(t), self.gamma(s)
+        c = -jnp.expm1(gamma_s - gamma_t)
+        alpha_t, alpha_s = self.alpha(gamma_t), self.alpha(gamma_s)
+        sigma_t, sigma_s = self.sigma(gamma_t), self.sigma(gamma_s)
+        pred_noise = self.get_pred_noise(zt, gamma_t, guided=True, **kwargs)
+        x0_pred = (zt - sigma_t * pred_noise) / alpha_t
+        var = (eta ** 2) * (sigma_s ** 2) * c
+        mean = alpha_s * x0_pred + jnp.sqrt(
+            jnp.maximum(sigma_s ** 2 - var, 0.0)) * pred_noise
+        if eta == 0.0:  # static python branch: fully deterministic
+            return mean
+        if noise is None:
+            noise = jax.random.normal(rng, zt.shape, jnp.float32)
+        return mean + jnp.sqrt(var) * noise
+
 
 def sample(model: VDM, params, rng: jax.Array, batch_size: int,
            n_sampling_steps: int, sample_shape: Sequence[int],
            z: Optional[jax.Array] = None, return_all: bool = False,
+           method: str = "ancestral", eta: float = 0.0,
            **kwargs) -> jax.Array:
-    """Generate samples by scanning the compiled ancestral step from t=1 to
-    t=0 (reference python loop: vdm_model.py:395-446)."""
+    """Generate samples by scanning the compiled reverse step from t=1 to
+    t=0 (reference python loop: vdm_model.py:395-446).
+
+    method='ancestral' is the reference's sampler; method='ddim' runs the
+    eta-parameterized DDIM step (eta=0 deterministic fast sampling, eta=1
+    equivalent to ancestral) — usable at ~10x fewer steps."""
+    if method not in ("ancestral", "ddim"):
+        raise ValueError(f"unknown sampling method {method!r}")
     if z is None:
         rng, key = jax.random.split(rng)
         z = jax.random.normal(key, (batch_size, *sample_shape), jnp.float32)
@@ -334,8 +373,12 @@ def sample(model: VDM, params, rng: jax.Array, batch_size: int,
         z, rng = carry
         t, s = inp
         rng, key = jax.random.split(rng)
-        z = model.apply({"params": params}, z, t, s, rng=key,
-                        method=VDM.sample_zs_given_zt, **kwargs)
+        if method == "ddim":
+            z = model.apply({"params": params}, z, t, s, eta=eta, rng=key,
+                            method=VDM.sample_zs_given_zt_ddim, **kwargs)
+        else:
+            z = model.apply({"params": params}, z, t, s, rng=key,
+                            method=VDM.sample_zs_given_zt, **kwargs)
         return (z, rng), z if return_all else None
 
     (z, _), zs = jax.lax.scan(step, (z, rng),

@@ -693,16 +693,38 @@ def init_cache(config: TransformerConfig, batch_size: int,
                  for _ in range(config.n_layer))
 
 
+def nucleus_mask(logits: jax.Array, top_p: float) -> jax.Array:
+    """Mask logits outside the top-p (nucleus) probability mass to -inf.
+
+    Keeps the smallest set of tokens whose probabilities sum to >= top_p
+    (the token that crosses the boundary is included, so the nucleus is
+    never empty). Implemented as one sort + cumsum on [b, V] — a single
+    fused XLA reduction chain, no gather/scatter of the vocabulary.
+    """
+    logits = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cumulative = jnp.cumsum(sorted_probs, axis=-1)
+    # exclusive cumsum < top_p: index 0 is always kept, and the first token
+    # whose inclusion pushes the mass past top_p is kept too
+    keep_sorted = (cumulative - sorted_probs) < top_p
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(probs < threshold, -jnp.inf, logits)
+
+
 def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
              rng: jax.Array, temperature: float = 1.0,
-             top_k: Optional[int] = None,
+             top_k: Optional[int] = None, top_p: Optional[float] = None,
              cache_dtype=None) -> jax.Array:
     """Sample continuations with a KV cache: prefill once, then one
     compiled single-token step per new token under `lax.scan`.
 
     Functional upgrade of the reference's `generate`
     (networks.py:727-754): same sampling semantics (temperature scaling,
-    optional top-k truncation, categorical sampling), but O(T) per token.
+    optional top-k truncation, categorical sampling), but O(T) per token,
+    plus nucleus (top-p) truncation the reference lacks; top_k and top_p
+    compose (top_p is applied to the already-top-k-truncated logits).
     Requires len(idx) + max_new_tokens <= block_size (the reference
     instead crops context — at serving scale, plan the cache).
 
@@ -735,6 +757,8 @@ def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
             kth = jax.lax.top_k(logits_last,
                                 min(top_k, cfg.in_size))[0][..., -1:]
             logits_last = jnp.where(logits_last < kth, -jnp.inf, logits_last)
+        if top_p is not None and top_p < 1.0:
+            logits_last = nucleus_mask(logits_last, top_p)
         return jax.random.categorical(key, logits_last, axis=-1)
 
     rng, key = jax.random.split(rng)

@@ -446,3 +446,40 @@ def test_sfm_predict_runs():
                   n_sampling_steps=4)
     assert out.shape == x0.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_eta1_matches_ancestral_step():
+    """In the variance-preserving process, the eta=1 DDIM step IS the
+    ancestral posterior step — pinned exactly with shared explicit noise
+    (the identity the fast sampler's correctness rests on)."""
+    _, jm, params = _vdm_pair()
+    rng = np.random.default_rng(5)
+    zt = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    t, s = jnp.float32(0.8), jnp.float32(0.55)
+    anc = jm.apply({"params": params}, zt, t, s, noise=noise,
+                   method=VDM.sample_zs_given_zt)
+    ddim = jm.apply({"params": params}, zt, t, s, eta=1.0, noise=noise,
+                    method=VDM.sample_zs_given_zt_ddim)
+    np.testing.assert_allclose(np.asarray(ddim), np.asarray(anc),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_deterministic_sampling():
+    """eta=0 DDIM is the deterministic probability-flow corner: from the
+    same initial z, different scan rngs must give the SAME samples; and
+    the scanned driver composes with return_all like the ancestral one."""
+    _, jm, params = _vdm_pair()
+    z0 = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (2, 8, 8, 3)), jnp.float32)
+    a = sample(jm, params, jax.random.PRNGKey(0), batch_size=2,
+               n_sampling_steps=5, sample_shape=(8, 8, 3), z=z0,
+               method="ddim", eta=0.0)
+    b = sample(jm, params, jax.random.PRNGKey(99), batch_size=2,
+               n_sampling_steps=5, sample_shape=(8, 8, 3), z=z0,
+               method="ddim", eta=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(a)))
+    with pytest.raises(ValueError):
+        sample(jm, params, jax.random.PRNGKey(0), batch_size=2,
+               n_sampling_steps=5, sample_shape=(8, 8, 3), method="dpm")

@@ -514,6 +514,24 @@ def test_train_and_sample_diffusion_pixel_space(pipeline_dir, tiles_dir):
     assert s.shape == (2, TILE, TILE, N_SPECTRAL)
     assert np.isfinite(s).all()
 
+    # DDIM fast sampling through the same CLI (method override + eta)
+    dcfg = _write(pipeline_dir / "sample_diff_ddim.yaml", {
+        "run_dir": str(out),
+        "output_dir": str(pipeline_dir / "diff_samples_ddim"),
+        "n_samples": 2, "n_steps": 4, "seed": 3,
+        "method": "ddim", "eta": 0.0,
+    })
+    sample_main(dcfg)
+    import yaml as _yaml
+    d = np.load(pipeline_dir / "diff_samples_ddim" / "samples.npy")
+    assert d.shape == (2, TILE, TILE, N_SPECTRAL)
+    assert np.isfinite(d).all()
+    info = _yaml.safe_load((pipeline_dir / "diff_samples_ddim"
+                            / "sampling_info.yaml").read_text())
+    assert info["method"] == "ddim" and info["eta"] == 0.0
+    # a different reverse path than ancestral from the same seed
+    assert np.abs(d - s).max() > 1e-6
+
 
 def test_train_and_sample_flow_matching(pipeline_dir, tiles_dir, run_dir):
     """family: sfm — stochastic flow matching trained in the latent space

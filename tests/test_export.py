@@ -523,3 +523,66 @@ def test_continuous_server_chunked_prefill(tmp_path):
                                  prefill_chunk=4).serve(reqs)
     for a, b in zip(plain, chunked):
         assert a["tokens"] == b["tokens"]
+
+
+def test_serving_top_p_policy():
+    """top-p (nucleus) truncation in the host sampling policy: exact
+    support on a crafted distribution, same semantics as the live
+    nucleus_mask, and a tiny top_p reduces to greedy."""
+    from tempo_tpu.infer.serving import policy_probs, sample_next
+
+    logits = np.log(np.array([0.4, 0.05, 0.35, 0.2], np.float64))
+    # sorted probs 0.4, 0.35, 0.2, 0.05; top_p=0.5 keeps {0.4, 0.35}
+    p = policy_probs(logits, 1.0, None, top_p=0.5)
+    np.testing.assert_allclose(
+        p, [0.4 / 0.75, 0.0, 0.35 / 0.75, 0.0], atol=1e-12)
+    # composes with top_k: top_k=2 already restricts to {0.4, 0.35};
+    # top_p=0.9 then keeps both
+    p2 = policy_probs(logits, 1.0, 2, top_p=0.9)
+    np.testing.assert_allclose(
+        p2, [0.4 / 0.75, 0.0, 0.35 / 0.75, 0.0], atol=1e-12)
+    # top_p=1.0 is a no-op (identical rng stream => identical samples)
+    batch = np.tile(logits, (5, 1))
+    a = sample_next(batch, 1.0, None, np.random.default_rng(0))
+    b = sample_next(batch, 1.0, None, np.random.default_rng(0), top_p=1.0)
+    np.testing.assert_array_equal(a, b)
+    # a tiny nucleus is the argmax
+    g = sample_next(batch, 1.0, None, np.random.default_rng(1), top_p=1e-9)
+    np.testing.assert_array_equal(g, np.zeros((5, 1), np.int64))
+
+
+def test_prefix_cache_matches_full_prefill(tmp_path):
+    """Shared-prefix (system prompt) KV caching: the prefix cache is
+    computed once, tiled across the batch, and the suffix-only prefill
+    through `extend` must reproduce full-prompt greedy decode bit-equal."""
+    from tempo_tpu.infer.serving import LMServer
+
+    out, _, _, _ = _tiny_lm_export(tmp_path)
+    server = LMServer(out)
+    prefix = [3, 1, 4, 1, 5, 9]
+    suffixes = np.asarray([[6, 7], [8, 9], [2, 6]], np.int32)
+    full_prompts = np.asarray([prefix + list(s) for s in suffixes],
+                              np.int32)
+
+    want = server.generate_batch(full_prompts, 6)
+    got = server.generate_batch(suffixes, 6, prefix=prefix)
+    np.testing.assert_array_equal(got, want)
+
+    # the cache is memoized: a second call with the same prefix reuses it
+    assert len(server._prefix_caches) == 1
+    got2 = server.generate_batch(suffixes[:1], 4, prefix=prefix)
+    assert len(server._prefix_caches) == 1
+    want2 = server.generate_batch(full_prompts[:1], 4)
+    np.testing.assert_array_equal(got2, want2)
+
+    # the window guard counts the prefix
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prefix"):
+        server.generate_batch(suffixes, 32, prefix=prefix)
+
+    # request-level routing through serve_requests ('prefix' field)
+    reqs = [{"tokens": [6, 7], "prefix": prefix, "n_tokens": 5},
+            {"tokens": list(map(int, full_prompts[0])), "n_tokens": 5}]
+    resp = server.serve_requests(reqs)
+    np.testing.assert_array_equal(resp[0]["tokens"][:5],
+                                  resp[1]["tokens"][:5])

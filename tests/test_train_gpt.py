@@ -282,3 +282,64 @@ def test_train_gpt_fsdp(tmp_path):
     cfg["parallel"] = {"fsdp": True, "tensor": 2}
     with pytest.raises(ValueError, match="parallel.fsdp"):
         main(_write(tmp_path / "cfg_bad_fsdp.yaml", cfg))
+
+
+def test_train_gpt_lora_finetune(tmp_path):
+    """finetune.lora_rank: a short base run, then a LoRA run on top of its
+    checkpoint — adapters-only state, loss keeps dropping from the base
+    model's level, merged_final.msgpack loads as a plain param tree."""
+    from tempo_tpu.cli.train_gpt import main
+
+    base_out = tmp_path / "base"
+    cfg = _base_cfg(base_out)
+    cfg["training"]["n_steps"] = 40
+    main(_write(tmp_path / "cfg_base.yaml", cfg))
+
+    ft_out = tmp_path / "lora"
+    ft_cfg = _base_cfg(ft_out)
+    ft_cfg["training"]["n_steps"] = 40
+    ft_cfg["finetune"] = {"lora_rank": 4, "base_run": str(base_out)}
+    main(_write(tmp_path / "cfg_lora.yaml", ft_cfg))
+
+    base_metrics = json.loads((base_out / "metrics.json").read_text())
+    ft_metrics = json.loads((ft_out / "metrics.json").read_text())
+    base_final = base_metrics["train"][-1]["loss"]
+    ft_losses = [m["loss"] for m in ft_metrics["train"]]
+    # step 0 of the fine-tune IS the frozen base (b=0 init), and the
+    # adapters then improve on it
+    assert ft_losses[0] < 1.3 * base_final, (ft_losses[0], base_final)
+    assert ft_losses[-1] < ft_losses[0]
+
+    # the adapter checkpoint is tiny next to the base one
+    import os
+    base_ckpt = base_out / "checkpoints" / "ckpt_step=000040.msgpack"
+    lora_ckpt = ft_out / "checkpoints" / "ckpt_step=000040.msgpack"
+    assert os.path.getsize(lora_ckpt) < 0.5 * os.path.getsize(base_ckpt)
+
+    # merged artifact round-trips through the standard params loader and
+    # reproduces the adapted generation path
+    merged_path = ft_out / "checkpoints" / "merged_final.msgpack"
+    assert merged_path.exists()
+    import jax
+    import jax.numpy as jnp
+
+    from tempo_tpu.cli.train_gpt import build_transformer_config
+    from tempo_tpu.nn.transformer import Transformer, generate
+    from tempo_tpu.train.checkpoint import load_params
+
+    tcfg = build_transformer_config({**BASE_MODEL, "in_size": 17})
+    model = Transformer(tcfg)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 4), jnp.int32))["params"]
+    merged = load_params(merged_path, template)
+    toks = generate(model, merged,
+                    jnp.zeros((1, 4), jnp.int32), 4,
+                    jax.random.PRNGKey(0), temperature=0.0)
+    assert toks.shape == (1, 8)
+
+    # config validation: lora + model sharding is rejected
+    bad = _base_cfg(tmp_path / "bad")
+    bad["finetune"] = {"lora_rank": 4, "base_run": str(base_out)}
+    bad["parallel"] = {"tensor": 2}
+    with pytest.raises(ValueError, match="dense"):
+        main(_write(tmp_path / "cfg_bad.yaml", bad))

@@ -28,6 +28,7 @@ from tempo_tpu.nn.transformer import (
     estimate_mfu,
     generate,
     make_gpt_optimizer,
+    nucleus_mask,
     num_params,
 )
 
@@ -357,3 +358,36 @@ def test_lm_cross_entropy_gradient_matches_autodiff():
     g_got = jax.grad(lambda lg: lm_cross_entropy(lg, targets))(logits)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_nucleus_mask_keeps_exact_nucleus():
+    """top-p keeps the smallest prefix of the sorted distribution whose
+    mass reaches p, INCLUDING the token that crosses the boundary."""
+    probs = np.array([[0.4, 0.05, 0.35, 0.2]], np.float32)
+    logits = jnp.log(jnp.asarray(probs))
+    # sorted: 0.4, 0.35, 0.2, 0.05; exclusive cumsum 0, .4, .75, .95
+    # top_p=0.5 -> keep {0.4, 0.35} (0.35 crosses the boundary)
+    masked = np.asarray(nucleus_mask(logits, 0.5))
+    assert np.isfinite(masked[0, 0]) and np.isfinite(masked[0, 2])
+    assert masked[0, 1] == -np.inf and masked[0, 3] == -np.inf
+    # kept logits are untouched (renormalization happens in categorical)
+    np.testing.assert_allclose(masked[0, [0, 2]],
+                               np.log(probs[0, [0, 2]]), rtol=1e-6)
+    # top_p ~ 1 keeps everything
+    assert np.isfinite(np.asarray(nucleus_mask(logits, 0.999))).all()
+
+
+def test_generate_top_p():
+    """top_p=1.0 is a no-op (bit-equal to unrestricted sampling); a tiny
+    top_p collapses the nucleus to the argmax and must reproduce greedy
+    decode through the whole KV-cache scan."""
+    _, jm, params = _pair()
+    idx = jnp.asarray(_tokens(b=2, t=4))
+    rng = jax.random.PRNGKey(3)
+    plain = generate(jm, params, idx, 6, rng)
+    full = generate(jm, params, idx, 6, rng, top_p=1.0)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(full))
+
+    nucleus1 = generate(jm, params, idx, 6, rng, top_p=1e-6)
+    greedy = generate(jm, params, idx, 6, rng, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(nucleus1), np.asarray(greedy))
