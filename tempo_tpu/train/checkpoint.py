@@ -30,15 +30,16 @@ def checkpoint_path(ckpt_dir: Union[str, Path], step: int) -> Path:
     return Path(ckpt_dir) / f"{CKPT_PREFIX}{step:06d}{CKPT_SUFFIX}"
 
 
-def save_checkpoint(ckpt_dir: Union[str, Path], state: TrainState,
-                    train_metrics: Optional[List[Dict]] = None,
-                    val_metrics: Optional[List[Dict]] = None) -> Path:
-    ckpt_dir = Path(ckpt_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
+def _host_payload(state: TrainState,
+                  train_metrics: Optional[List[Dict]],
+                  val_metrics: Optional[List[Dict]]) -> Dict[str, Any]:
+    """Device->host snapshot of everything a checkpoint stores. Must run
+    BEFORE the next train step is dispatched: the step donates the state
+    buffers, so device arrays referenced here are invalidated by the next
+    dispatch — the returned payload holds fresh host numpy only."""
     host_state = jax.device_get(state)
-    step = int(host_state.step)
-    payload = {
-        "step": step,
+    return {
+        "step": int(host_state.step),
         # to_state_dict flattens tuple-based pytrees (optax states) into
         # nested dicts that msgpack can encode.
         "params": serialization.to_state_dict(host_state.params),
@@ -48,11 +49,72 @@ def save_checkpoint(ckpt_dir: Union[str, Path], state: TrainState,
         "train_metrics": json.dumps(train_metrics or []),
         "val_metrics": json.dumps(val_metrics or []),
     }
-    path = checkpoint_path(ckpt_dir, step)
+
+
+def _write_payload(ckpt_dir: Path, payload: Dict[str, Any]) -> Path:
+    path = checkpoint_path(ckpt_dir, payload["step"])
     tmp = path.with_suffix(".tmp")
     tmp.write_bytes(serialization.msgpack_serialize(payload))
     tmp.replace(path)  # atomic: no torn checkpoints on preemption
     return path
+
+
+def save_checkpoint(ckpt_dir: Union[str, Path], state: TrainState,
+                    train_metrics: Optional[List[Dict]] = None,
+                    val_metrics: Optional[List[Dict]] = None) -> Path:
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    return _write_payload(ckpt_dir,
+                          _host_payload(state, train_metrics, val_metrics))
+
+
+class AsyncCheckpointer:
+    """Checkpoint writes that overlap with training.
+
+    `save()` takes the device->host snapshot synchronously (required: the
+    jitted step donates the state buffers, so the snapshot must complete
+    before the next step dispatch) and hands msgpack serialization + the
+    atomic tmp+rename write to a single background worker — at flagship
+    scale the serialize+write is the dominant cost on this 1-core host,
+    and it needs nothing from the device. One write in flight at a time:
+    a new save first joins the previous one, and any failure re-raises on
+    the NEXT save()/wait() so disk errors cannot pass silently (matching
+    the fail-loud policy of the sync path). Call `wait()` after the train
+    loop (the trainer does) before reading the final checkpoint back.
+
+    The reference has no analogue (its torch.save blocks the step loop,
+    src/train_utils.py:122-147); artifact layout is identical to
+    save_checkpoint, so sweeps/resume see no difference.
+    """
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer")
+        self._pending: Optional["concurrent.futures.Future"] = None
+
+    def wait(self) -> Optional[Path]:
+        """Join the in-flight write; re-raises its exception, if any."""
+        if self._pending is None:
+            return None
+        fut, self._pending = self._pending, None
+        return fut.result()
+
+    def save(self, ckpt_dir: Union[str, Path], state: TrainState,
+             train_metrics: Optional[List[Dict]] = None,
+             val_metrics: Optional[List[Dict]] = None) -> Path:
+        self.wait()  # one in flight; surfaces the previous write's error
+        ckpt_dir = Path(ckpt_dir)
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        payload = _host_payload(state, train_metrics, val_metrics)
+        path = checkpoint_path(ckpt_dir, payload["step"])
+        self._pending = self._pool.submit(_write_payload, ckpt_dir, payload)
+        return path
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown(wait=True)
 
 
 def load_checkpoint(path: Union[str, Path], state_template: TrainState

@@ -55,7 +55,8 @@ class Trainer:
         verbose: bool = True,
         profile_steps: Optional[tuple] = None,  # (start, end) step window
         save_steps: Optional[Sequence[int]] = None,  # explicit schedule
-        checkpoint_format: str = "msgpack",  # or "sharded" (no host gather)
+        checkpoint_format: str = "msgpack",  # 'sharded' (no host gather)
+        #   or 'async' (msgpack artifacts, write overlaps training)
         metric_sinks: Optional[Sequence[Callable]] = None,
         grad_accum: int = 1,  # microbatches per optimizer update (step.py)
     ):
@@ -74,11 +75,15 @@ class Trainer:
         self.verbose = verbose
         self.profile_steps = profile_steps
         self.save_steps = set(save_steps) if save_steps is not None else None
-        if checkpoint_format not in ("msgpack", "sharded"):
+        if checkpoint_format not in ("msgpack", "sharded", "async"):
             raise ValueError(
-                f"FATAL: checkpoint_format must be 'msgpack' or 'sharded', "
-                f"got {checkpoint_format!r}")
+                f"FATAL: checkpoint_format must be 'msgpack', 'sharded' or "
+                f"'async', got {checkpoint_format!r}")
         self.checkpoint_format = checkpoint_format
+        # 'async': identical msgpack artifacts, but serialization + disk
+        # write overlap the next train steps (checkpoint.AsyncCheckpointer)
+        self._async_ckpt = (ckpt_lib.AsyncCheckpointer()
+                            if checkpoint_format == "async" else None)
         # Pluggable metric sinks (the reference's latent wandb capability,
         # src/mltools/ml_utils.py:30-31): each is called as
         # sink(step, metrics_dict, kind) with kind in {'train','val'}.
@@ -122,13 +127,21 @@ class Trainer:
             return path
         if not self.is_primary:
             return None  # state is replicated; process 0's copy suffices
-        path = ckpt_lib.save_checkpoint(self.ckpt_dir, self.state,
-                                        self.train_metrics, self.val_metrics)
+        if self._async_ckpt is not None:
+            path = self._async_ckpt.save(self.ckpt_dir, self.state,
+                                         self.train_metrics,
+                                         self.val_metrics)
+        else:
+            path = ckpt_lib.save_checkpoint(self.ckpt_dir, self.state,
+                                            self.train_metrics,
+                                            self.val_metrics)
         if self.verbose:
             print(f"Saved checkpoint: {path}")
         return path
 
     def load_checkpoint(self, path: Union[str, Path]) -> None:
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()  # never read a half-written file
         template = self.state
         self.state, self.train_metrics, self.val_metrics = ckpt_lib.load_checkpoint(
             path, template)
@@ -315,6 +328,10 @@ class Trainer:
                 self._save_recon_figure(last_batch)
 
         elapsed = time.perf_counter() - t_start
+        if self._async_ckpt is not None:
+            # join the final in-flight write (and surface its error) before
+            # reporting completion — resume/sweep may read it immediately
+            self._async_ckpt.wait()
         # the loop always checkpoints at n_steps; nothing left to flush here
         if self.is_primary:
             save_metrics(self.output_dir, self.train_metrics, self.val_metrics)

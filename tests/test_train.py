@@ -172,6 +172,74 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
 
 
+def test_async_checkpointer_matches_sync(tmp_path):
+    """AsyncCheckpointer writes byte-identical artifacts to the sync path,
+    the file only becomes visible once complete, and worker errors
+    re-raise on the next wait() instead of vanishing."""
+    from tempo_tpu.train import checkpoint as ckpt_lib
+
+    model, tx, state = _tiny_setup()
+    step = make_train_step(vae_loss_fn(model), tx)
+    for batch in _batches(2):
+        state, _ = step(state, batch)
+
+    sync_path = save_checkpoint(tmp_path / "sync", state,
+                                [{"step": 2, "loss": 1.0}], [])
+    ac = ckpt_lib.AsyncCheckpointer()
+    async_path = ac.save(tmp_path / "async", state,
+                         [{"step": 2, "loss": 1.0}], [])
+    assert ac.wait() == async_path and async_path.exists()
+    assert async_path.name == sync_path.name
+    assert async_path.read_bytes() == sync_path.read_bytes()
+
+    # loadable through the ordinary restore path
+    _, _, fresh = _tiny_setup()
+    restored, hist, _ = load_checkpoint(async_path, fresh)
+    assert int(restored.step) == 2 and hist == [{"step": 2, "loss": 1.0}]
+
+    # a failed background write surfaces on the next save()/wait()
+    boom = ckpt_lib.AsyncCheckpointer()
+    orig = ckpt_lib._write_payload
+
+    def exploding(ckpt_dir, payload):
+        raise OSError("disk on fire")
+
+    ckpt_lib._write_payload = exploding
+    try:
+        boom.save(tmp_path / "boom", state, [], [])
+        with pytest.raises(OSError, match="disk on fire"):
+            boom.wait()
+    finally:
+        ckpt_lib._write_payload = orig
+    ac.close()
+    boom.close()
+
+
+def test_trainer_async_checkpoint_format(tmp_path):
+    """checkpoint_format: async through the Trainer — same artifact tree,
+    final write joined before train() returns, resume works."""
+    model, tx, state = _tiny_setup()
+    trainer = Trainer(loss_fn=vae_loss_fn(model), tx=tx, state=state,
+                      output_dir=tmp_path, save_every=3, val_every=100,
+                      log_every=2, plot_every=100, verbose=False,
+                      checkpoint_format="async")
+    stats = trainer.train(iter(_batches(20)), n_steps=6)
+    assert stats["steps"] == 6
+    assert {p.name for p in (tmp_path / "checkpoints").iterdir()} == {
+        "ckpt_step=000003.msgpack", "ckpt_step=000006.msgpack"}
+
+    _, tx2, state2 = _tiny_setup()
+    trainer2 = Trainer(loss_fn=vae_loss_fn(model), tx=tx2, state=state2,
+                       output_dir=tmp_path, verbose=False,
+                       checkpoint_format="async")
+    trainer2.load_checkpoint(tmp_path / "checkpoints" /
+                             "ckpt_step=000006.msgpack")
+    assert trainer2.step == 6
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_running_metrics_ema():
     rm = RunningMetrics(alpha=0.99)
     first = rm.update({"loss": 10.0})
