@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -159,6 +159,10 @@ class LMServer:
         self._artifacts_dir = artifacts_dir
         # prefix cache: tuple(prefix tokens) -> batch-1 KV cache pytree
         self._prefix_caches: Dict[tuple, Any] = {}
+        # beam decode: jitted cache expand (per beam width) / reorder —
+        # one device dispatch per step instead of 2*n_layer tree gathers
+        self._beam_expand_jits: Dict[int, Any] = {}
+        self._beam_reorder_jit = None
 
     def _prefill(self, prompts: jnp.ndarray):
         c = self.prefill_chunk
@@ -237,36 +241,158 @@ class LMServer:
             pos = pos + 1
         return np.concatenate(out, axis=1).astype(np.int32)
 
+    # ----------------------------------------------- beam decode (serving)
+
+    def _beam_expand(self, cache, k: int):
+        fn = self._beam_expand_jits.get(k)
+        if fn is None:
+            fn = jax.jit(lambda c: jax.tree_util.tree_map(
+                lambda l: jnp.repeat(l, k, axis=0), c))
+            self._beam_expand_jits[k] = fn
+        return fn(cache)
+
+    def _beam_reorder(self, cache, flat_parent):
+        if self._beam_reorder_jit is None:
+            self._beam_reorder_jit = jax.jit(
+                lambda c, i: jax.tree_util.tree_map(
+                    lambda l: jnp.take(l, i, axis=0), c))
+        return self._beam_reorder_jit(cache, flat_parent)
+
+    def beam_batch(self, prompts: np.ndarray, max_new_tokens: int,
+                   beam_width: int, eos_id: Optional[int] = None,
+                   length_penalty: float = 0.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Deterministic beam decode over the exported artifacts.
+
+        Serving twin of nn.beam.beam_search (same scoring, frozen-eos and
+        GNMT length-penalty semantics; pinned equal in test_export.py):
+        the device runs the unmodified prefill/decode_step StableHLO on a
+        [b*k] flattened beam batch, the host scores candidates, and the
+        per-step beam reorder is ONE jitted cache gather. Returns
+        (continuations [b, k, max_new_tokens] best-first, scores [b, k]);
+        unlike the live-model API the prompt is not repeated in the
+        output, matching generate_batch.
+        """
+        prompts = np.asarray(prompts, np.int32)
+        assert prompts.ndim == 2, prompts.shape
+        b, t = prompts.shape
+        k = int(beam_width)
+        assert 1 <= k <= self.vocab, (k, self.vocab)
+        assert max_new_tokens >= 1
+        if t + max_new_tokens > self.window:
+            raise ValueError(
+                f"prompt {t} + {max_new_tokens} new tokens exceeds the "
+                f"exported serving window {self.window}")
+        if prompts.min() < 0 or prompts.max() >= self.vocab:
+            raise ValueError(f"token ids outside [0, {self.vocab})")
+
+        def log_softmax(x):
+            x = np.asarray(x, np.float32)
+            x = x - x.max(axis=-1, keepdims=True)
+            return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+        def top_k_rows(cand):
+            # lax.top_k tie order (lowest index wins) via stable argsort
+            idx = np.argsort(-cand, axis=-1, kind="stable")[:, :k]
+            return np.take_along_axis(cand, idx, axis=-1), idx
+
+        logits, cache = self._prefill(jnp.asarray(prompts))
+        scores, tok = top_k_rows(log_softmax(np.asarray(logits[:, -1])))
+        cache = self._beam_expand(cache, k)
+
+        toks = np.zeros((b, k, max_new_tokens), np.int32)
+        toks[:, :, 0] = tok
+        finished = (tok == eos_id) if eos_id is not None \
+            else np.zeros((b, k), bool)
+        lengths = np.ones((b, k), np.int64)
+        if eos_id is not None:
+            frozen_row = np.full((self.vocab,), -np.inf, np.float32)
+            frozen_row[eos_id] = 0.0
+        rows = np.arange(b)[:, None] * k
+
+        for i in range(1, max_new_tokens):
+            logits, cache = self.decode_step(
+                jnp.asarray(tok.reshape(b * k, 1), jnp.int32), cache,
+                jnp.int32(t + i - 1))
+            logp = log_softmax(
+                np.asarray(logits[:, -1])).reshape(b, k, self.vocab)
+            if eos_id is not None:
+                logp = np.where(finished[:, :, None], frozen_row, logp)
+            cand = (scores[:, :, None] + logp).reshape(b, k * self.vocab)
+            scores, flat = top_k_rows(cand)
+            parent = flat // self.vocab
+            tok = (flat % self.vocab).astype(np.int32)
+            toks = np.take_along_axis(toks, parent[:, :, None], axis=1)
+            finished = np.take_along_axis(finished, parent, axis=1)
+            lengths = np.take_along_axis(lengths, parent, axis=1)
+            cache = self._beam_reorder(
+                cache, jnp.asarray((rows + parent).reshape(b * k)))
+            toks[:, :, i] = tok
+            lengths = lengths + (~finished)
+            if eos_id is not None:
+                finished = finished | (tok == eos_id)
+
+        if length_penalty != 0.0:
+            scores = scores / ((5.0 + lengths.astype(np.float32)) / 6.0
+                               ) ** length_penalty
+            order = np.argsort(-scores, axis=-1, kind="stable")
+            scores = np.take_along_axis(scores, order, axis=1)
+            toks = np.take_along_axis(toks, order[:, :, None], axis=1)
+        if eos_id is not None:
+            past_eos = np.cumsum(toks == eos_id, axis=-1) > 1
+            toks = np.where(past_eos, eos_id, toks)
+        return toks, scores.astype(np.float32)
+
     def serve_requests(self, requests: Sequence[Dict[str, Any]],
                        default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """requests: dicts with 'tokens' (list[int]) and optional
         'n_tokens', 'temperature', 'top_k', 'top_p', 'seed', 'prefix'
         (shared system-prompt tokens — KV-cached once per distinct
-        prefix). Buckets by (prompt length, sampling params, prefix) so
-        each bucket is one batched prefill+decode chain; responses keep
+        prefix), and 'beam_width' (+ 'eos', 'length_penalty'): beam
+        requests decode via beam_batch and their responses carry all k
+        hypotheses under 'beams'/'scores' with the best one as 'tokens'.
+        Buckets by (prompt length, sampling params, prefix, beam) so each
+        bucket is one batched prefill+decode chain; responses keep
         request order."""
         buckets: Dict[tuple, List[int]] = {}
         for i, req in enumerate(requests):
             if "tokens" not in req:
                 raise ValueError(f"request {i}: missing 'tokens'")
+            if req.get("beam_width") and req.get("prefix"):
+                raise ValueError(
+                    f"request {i}: beam_width does not compose with "
+                    f"prefix caching yet")
+            beam = None
+            if req.get("beam_width"):
+                beam = (int(req["beam_width"]), req.get("eos"),
+                        float(req.get("length_penalty", 0.0)))
             key = (len(req["tokens"]),
                    int(req.get("n_tokens", default_new_tokens)),
                    float(req.get("temperature", 0.0)),
                    req.get("top_k"), req.get("top_p"),
                    int(req.get("seed", 0)),
-                   tuple(req["prefix"]) if req.get("prefix") else None)
+                   tuple(req["prefix"]) if req.get("prefix") else None,
+                   beam)
             buckets.setdefault(key, []).append(i)
 
         responses: List[Optional[Dict[str, Any]]] = [None] * len(requests)
         for (t, n_tokens, temperature, top_k, top_p, seed,
-             prefix), idxs in buckets.items():
+             prefix, beam), idxs in buckets.items():
             prompts = np.asarray([requests[i]["tokens"] for i in idxs],
                                  np.int32).reshape(len(idxs), t)
             t0 = time.perf_counter()
-            toks = self.generate_batch(prompts, n_tokens,
-                                       temperature=temperature,
-                                       top_k=top_k, top_p=top_p, seed=seed,
-                                       prefix=prefix)
+            beams = scores = None
+            if beam is not None:
+                k, eos, alpha = beam
+                beams, scores = self.beam_batch(prompts, n_tokens, k,
+                                                eos_id=eos,
+                                                length_penalty=alpha)
+                toks = beams[:, 0]  # best hypothesis as the response tokens
+            else:
+                toks = self.generate_batch(prompts, n_tokens,
+                                           temperature=temperature,
+                                           top_k=top_k, top_p=top_p,
+                                           seed=seed, prefix=prefix)
             dt = time.perf_counter() - t0
             per_req = dt / len(idxs)
             for row, i in enumerate(idxs):
@@ -277,6 +403,9 @@ class LMServer:
                     "batch": len(idxs),
                     "seconds": round(per_req, 4),
                 }
+                if beams is not None:
+                    responses[i]["beams"] = beams[row].tolist()
+                    responses[i]["scores"] = scores[row].tolist()
         assert all(r is not None for r in responses)
         return responses  # type: ignore[return-value]
 

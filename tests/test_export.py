@@ -170,6 +170,58 @@ def test_lm_server_policies_and_bucketing(tmp_path):
         np.testing.assert_array_equal(np.asarray([resp[i]["tokens"]]), solo)
 
 
+def test_lm_server_beam_matches_live(tmp_path):
+    """Serving beam decode (LMServer.beam_batch over the StableHLO
+    artifacts + host scoring + jitted cache gather) pinned token-for-token
+    against the live-model nn.beam.beam_search, with and without eos, and
+    exposed through serve_requests ('beam_width')."""
+    from tempo_tpu.infer.serving import LMServer
+    from tempo_tpu.nn.beam import beam_search
+
+    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    server = LMServer(out)
+    prompt = np.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], np.int32)
+    k, n_new = 3, 6
+
+    live_seqs, live_scores = beam_search(model, params,
+                                         jnp.asarray(prompt), n_new, k)
+    got_toks, got_scores = server.beam_batch(prompt, n_new, k)
+    np.testing.assert_array_equal(got_toks,
+                                  np.asarray(live_seqs)[:, :, 5:])
+    np.testing.assert_allclose(got_scores, np.asarray(live_scores),
+                               atol=1e-4)
+
+    # width 1 == greedy serving decode
+    g1, _ = server.beam_batch(prompt, n_new, 1)
+    np.testing.assert_array_equal(g1[:, 0],
+                                  server.generate_batch(prompt, n_new))
+
+    # eos semantics match the live path too (greedy first token as eos
+    # guarantees at least one beam finishes immediately)
+    eos = int(server.generate_batch(prompt[:1], 1)[0, 0])
+    live_e, live_es = beam_search(model, params, jnp.asarray(prompt[:1]),
+                                  n_new, k, eos_id=eos)
+    got_e, got_es = server.beam_batch(prompt[:1], n_new, k, eos_id=eos)
+    np.testing.assert_array_equal(got_e, np.asarray(live_e)[:, :, 5:])
+    np.testing.assert_allclose(got_es, np.asarray(live_es), atol=1e-4)
+
+    # request-level surface: best hypothesis is 'tokens', all k under
+    # 'beams'/'scores'; non-beam requests in the same list are unaffected
+    resp = server.serve_requests([
+        {"tokens": prompt[0].tolist(), "n_tokens": n_new, "beam_width": k},
+        {"tokens": prompt[1].tolist(), "n_tokens": n_new},
+    ])
+    np.testing.assert_array_equal(np.asarray(resp[0]["tokens"]),
+                                  got_toks[0, 0])
+    assert len(resp[0]["beams"]) == k and len(resp[0]["scores"]) == k
+    assert "beams" not in resp[1]
+    import pytest
+
+    with pytest.raises(ValueError, match="compose with"):
+        server.serve_requests([{"tokens": [1, 2], "beam_width": 2,
+                                "prefix": [5]}])
+
+
 def test_serve_lm_cli_batch(tmp_path):
     import json
 
