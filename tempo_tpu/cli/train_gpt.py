@@ -356,9 +356,14 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         print(f"LoRA fine-tune: rank {lora_rank}, scale {lora_scale}, "
               f"{n_adapter:,} trainable adapter params")
 
+    # optimizer.schedule: constant (reference default) | cosine | linear —
+    # warmup/decay via train/schedules.py lr_schedule
+    from tempo_tpu.train.schedules import lr_schedule
+
+    lr = lr_schedule(opt_cfg, int(train_cfg.get("n_steps", 10_000)))
     tx = make_gpt_optimizer(params,
                             weight_decay=float(opt_cfg.get("weight_decay", 0.1)),
-                            learning_rate=float(opt_cfg.get("lr", 3e-4)),
+                            learning_rate=lr,
                             betas=tuple(opt_cfg.get("betas", (0.9, 0.95))))
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 3))
 

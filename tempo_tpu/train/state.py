@@ -43,12 +43,28 @@ def make_optimizer(lr: float = 1e-4, betas=(0.9, 0.95), eps: float = 1e-8,
 
 
 def make_optimizer_from_config(optimizer_config: Dict[str, Any],
-                               max_grad_norm: Optional[float] = 1.0
+                               max_grad_norm: Optional[float] = 1.0,
+                               n_steps: Optional[int] = None
                                ) -> optax.GradientTransformation:
-    """Build from a training-config 'optimizer' section (reference schema)."""
+    """Build from a training-config 'optimizer' section (reference schema).
+
+    `schedule: cosine|linear` (+ warmup_steps/min_lr/decay_steps) selects a
+    learning-rate schedule (train/schedules.py lr_schedule); the default
+    stays the reference's constant lr. Pass n_steps when the config may
+    carry a schedule — it is the decay horizon default."""
     cfg = optimizer_config or {}
+    if cfg.get("schedule", "constant") != "constant":
+        from tempo_tpu.train.schedules import lr_schedule
+
+        if n_steps is None and "decay_steps" not in cfg:
+            raise ValueError(
+                "FATAL: optimizer.schedule needs n_steps (or an explicit "
+                "optimizer.decay_steps) for the decay horizon")
+        lr = lr_schedule(cfg, n_steps if n_steps is not None else 0)
+    else:
+        lr = cfg.get("lr", 1e-4)
     return make_optimizer(
-        lr=cfg.get("lr", 1e-4),
+        lr=lr,
         betas=tuple(cfg.get("betas", (0.9, 0.95))),
         eps=cfg.get("eps", 1e-8),
         weight_decay=cfg.get("weight_decay", 0.05),
