@@ -276,7 +276,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                    for p in jax.tree_util.tree_leaves(params))
     print(f"Score-model + schedule parameters: {n_params:,}")
 
-    tx = make_optimizer_from_config(config.get("optimizer", {}))
+    tx = make_optimizer_from_config(
+        config.get("optimizer", {}),
+        n_steps=int(config["training"].get("n_steps", 10_000)))
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
     if mesh is not None:
         state = shard_state(state, mesh)

@@ -157,7 +157,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         params["vae"] = vae_params
         print("Initialized VAE weights from checkpoint")
 
-    tx = make_optimizer_from_config(config.get("optimizer", {}))
+    tx = make_optimizer_from_config(
+        config.get("optimizer", {}),
+        n_steps=int(config["training"].get("n_steps", 10_000)))
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 2))
 
     if n_model > 1:

@@ -295,6 +295,64 @@ def test_sqrt_save_schedule():
     assert steps[2] - steps[1] > steps[-1] - steps[-2]
 
 
+def test_lr_schedule():
+    """optimizer.schedule: constant | cosine | linear (+ warmup) — the
+    reference trains at a constant lr (no scheduler object anywhere in
+    src/train_utils.py); cosine/linear are framework capabilities."""
+    import pytest
+
+    from tempo_tpu.train.schedules import lr_schedule
+
+    # constant: returns the bare float so jitted step programs are
+    # unchanged from configs that never mention a schedule
+    assert lr_schedule({"lr": 3e-4}, 1000) == 3e-4
+    assert lr_schedule({}, 1000) == 1e-4
+
+    cos = lr_schedule({"lr": 1e-3, "schedule": "cosine",
+                       "warmup_steps": 10, "min_lr": 1e-5}, 100)
+    assert float(cos(0)) == 0.0            # warmup starts at 0
+    assert abs(float(cos(10)) - 1e-3) < 1e-9   # peak at end of warmup
+    assert abs(float(cos(100)) - 1e-5) < 1e-7  # decays to min_lr
+    assert float(cos(55)) < 1e-3           # strictly below peak mid-decay
+
+    lin = lr_schedule({"lr": 1e-3, "schedule": "linear",
+                       "warmup_steps": 0, "min_lr": 0.0}, 100)
+    assert abs(float(lin(0)) - 1e-3) < 1e-9    # no warmup: starts at lr
+    assert abs(float(lin(50)) - 5e-4) < 1e-6   # linear midpoint
+    assert float(lin(100)) < 1e-5
+
+    with pytest.raises(ValueError, match="schedule"):
+        lr_schedule({"schedule": "exponential"}, 100)
+    with pytest.raises(ValueError, match="warmup"):
+        lr_schedule({"schedule": "cosine", "warmup_steps": 200}, 100)
+
+
+def test_optimizer_from_config_with_schedule():
+    """make_optimizer_from_config threads n_steps into the schedule; a
+    scheduled optimizer still takes valid AdamW steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import pytest
+
+    from tempo_tpu.train.state import make_optimizer_from_config
+
+    tx = make_optimizer_from_config(
+        {"lr": 1e-2, "schedule": "cosine", "warmup_steps": 2}, n_steps=10)
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.full((4,), 0.5, jnp.float32)}
+    # step 0 lr is 0 (warmup from zero): update must be exactly zero
+    upd, opt_state = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(upd["w"]).max()) == 0.0
+    params = optax.apply_updates(params, upd)
+    upd, opt_state = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(upd["w"]).max()) > 0.0  # lr ramped off zero
+
+    with pytest.raises(ValueError, match="n_steps"):
+        make_optimizer_from_config({"schedule": "cosine"})
+
+
 def test_no2_probe_head():
     """Vestigial in-model NO2 probe (reference src/model.py:619-632,
     671-679): enabled via no2_weight>0 + no2_mlp_hidden."""
