@@ -27,6 +27,23 @@ import numpy as np
 BASELINE_PATCHES_PER_SEC = 43.0
 
 
+def _median_window(step_once, sync, iters: int, n_windows: int):
+    """Robust timing: N independent windows of `iters` steps, each closed by
+    a scalar-value sync (on the axon relay, block_until_ready can return
+    before remote execution completes). Returns (median_dt_per_window,
+    [all window dts]). A single contended window (host/relay interference —
+    the round-3 BENCH capture regressed 20% on one bad window) then shifts
+    one sample, not the round's official number."""
+    dts = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step_once()
+        sync(out)
+        dts.append(time.perf_counter() - t0)
+    return float(np.median(dts)), dts
+
+
 def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
                 compute_dtype: str = "bfloat16", pad_boundary: bool = True,
                 remat: bool = False,
@@ -75,17 +92,22 @@ def bench_train(batch_size: int = 64, warmup: int = 3, iters: int = 10,
         state, metrics = step(state, batch)
     float(metrics["loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-    loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    holder = {"state": state, "metrics": metrics}
+
+    def step_once():
+        holder["state"], holder["metrics"] = step(holder["state"], batch)
+        return holder["metrics"]
+
+    dt, dts = _median_window(step_once, lambda m: float(m["loss"]),
+                             iters, n_windows=5)
+    loss = float(holder["metrics"]["loss"])
 
     patches_per_sec = global_batch * iters / dt
     return {
         "patches_per_sec": patches_per_sec,
         "patches_per_sec_per_chip": patches_per_sec / n_chips,
         "step_ms": 1000 * dt / iters,
+        "window_step_ms": [round(1000 * d / iters, 2) for d in dts],
         "n_chips": n_chips,
         "global_batch": global_batch,
         "loss": loss,
@@ -138,11 +160,15 @@ def bench_train_l2(batch_size: int = 64, warmup: int = 3, iters: int = 10,
         state, metrics = step(state, batch)
     float(metrics["loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-    loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    holder = {"state": state, "metrics": metrics}
+
+    def step_once():
+        holder["state"], holder["metrics"] = step(holder["state"], batch)
+        return holder["metrics"]
+
+    dt, _ = _median_window(step_once, lambda m: float(m["loss"]),
+                           iters, n_windows=3)
+    loss = float(holder["metrics"]["loss"])
 
     patches_per_sec = global_batch * iters / dt
     return {
@@ -177,11 +203,8 @@ def bench_encode(batch_size: int = 64, warmup: int = 2, iters: int = 10,
         out = encode_sum(params, x)
     float(out)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = encode_sum(params, x)
-    float(out)
-    dt = time.perf_counter() - t0
+    dt, _ = _median_window(lambda: encode_sum(params, x), float,
+                           iters, n_windows=3)
     return {"encode_patches_per_sec": batch_size * iters / dt}
 
 
@@ -300,6 +323,8 @@ def _main(args, metric):
             "compute_dtype": "bfloat16",
         },
     }
+    if "window_step_ms" in train:
+        result["detail"]["window_step_ms"] = train["window_step_ms"]
     if sweep_detail:
         result["detail"]["batch_sweep"] = sweep_detail
     if not args.l2 and not args.no_encode:

@@ -360,6 +360,7 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     # warmup/decay via train/schedules.py lr_schedule
     from tempo_tpu.train.schedules import lr_schedule
 
+    train_cfg = config["training"]
     lr = lr_schedule(opt_cfg, int(train_cfg.get("n_steps", 10_000)))
     tx = make_gpt_optimizer(params,
                             weight_decay=float(opt_cfg.get("weight_decay", 0.1)),
@@ -381,7 +382,6 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         print(f"FSDP (ZeRO-3): state sharded over {jax.device_count()} "
               f"devices")
 
-    train_cfg = config["training"]
     trainer = Trainer(
         loss_fn=loss_fn,
         tx=tx,

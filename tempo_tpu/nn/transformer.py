@@ -102,6 +102,15 @@ class TransformerConfig:
     # toolkit's MHA-only GPT (src/mltools/networks/blocks.py:219-410).
     n_kv_head: int = 0
 
+    # rematerialize each block in the backward pass (jax.checkpoint via
+    # nn.remat): activation residuals per block drop from O(t * rmlp *
+    # n_embd) to the block boundary only, traded for one extra forward.
+    # The lever for the batch-16/32 HBM wall documented in docs/DESIGN.md
+    # "Toolkit throughput" — same trade the VAE exposes (models/vae.py).
+    # Ignored on the capture/taps/cache paths (remat would recompute and
+    # double-sow).
+    remat: bool = False
+
     @property
     def head_dim(self) -> int:
         assert self.n_embd % self.n_head == 0
@@ -615,13 +624,20 @@ class Transformer(nn.Module):
             h = nn.Dropout(cfg.dropout)(h, deterministic=False)
 
         h = tap(h, "x_0")
+        block_cls = TransformerBlock
+        if cfg.remat and cache is None and taps is None and not capture:
+            # static_argnums count self as 0: deterministic(2), taps(3),
+            # capture(4), suffix(5) are Python values the block branches on
+            block_cls = nn.remat(TransformerBlock,
+                                 static_argnums=(2, 3, 4, 5),
+                                 prevent_cse=False)
         new_caches = []
         for i in range(cfg.n_layer):
             layer_cache = None if cache is None else cache[i]
-            h, layer_new = TransformerBlock(cfg, name=f"h_{i}")(
+            h, layer_new = block_cls(cfg, name=f"h_{i}")(
                 h, deterministic, taps, capture,
-                suffix=suffix + "^" + str(i + 1),
-                cache=layer_cache, input_pos=input_pos)
+                suffix + "^" + str(i + 1),
+                layer_cache, input_pos)
             h = tap(h, f"x_{i + 1}")
             new_caches.append(layer_new)
 

@@ -307,6 +307,38 @@ def test_gpt_trains_end_to_end():
     np.testing.assert_array_equal(np.asarray(out[:, 4:7]), seq[:, 4:7])
 
 
+def test_remat_matches_plain_fwd_and_grads():
+    """cfg.remat must change memory only: logits and parameter gradients
+    stay numerically identical to the unrematerialized blocks (same trade
+    the VAE pins in test_vae.py for models/vae.py remat)."""
+    import dataclasses as _dc
+
+    cfg = TransformerConfig(in_size=17, block_size=8, n_layer=2, n_head=2,
+                            n_embd=16, dropout=0.0, bias=True)
+    m_plain = Transformer(cfg)
+    m_remat = Transformer(_dc.replace(cfg, remat=True))
+    seq = np.asarray([[3, 1, 4, 1, 5, 9, 2, 6],
+                      [2, 7, 1, 8, 2, 8, 1, 8]], np.int32)
+    x, y = jnp.asarray(seq[:, :-1]), jnp.asarray(seq[:, 1:])
+    params = m_plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss_of(model):
+        def f(p):
+            logits = model.apply({"params": p}, x)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return -jnp.mean(jnp.take_along_axis(logp, y[..., None], -1))
+        return f
+
+    # remat-wrapped blocks must accept the same param tree (no extra scope)
+    lp, gp = jax.value_and_grad(loss_of(m_plain))(params)
+    lr_, gr = jax.value_and_grad(loss_of(m_remat))(params)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lr_), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        gp, gr)
+
+
 def test_lm_cross_entropy_matches_log_softmax_gather():
     """The fused (logsumexp - label logit) LM loss used by every training
     path must equal the reference log_softmax + gather formulation."""
