@@ -29,25 +29,28 @@ import numpy as np
 
 
 def _conv_kernel(w: np.ndarray) -> np.ndarray:
-    """OIHW -> HWIO."""
-    return np.transpose(w, (2, 3, 1, 0))
+    """OIHW -> HWIO (Conv3d OIDHW -> DHWIO for the volumetric CUNet)."""
+    spatial = tuple(range(2, w.ndim))
+    return np.transpose(w, spatial + (1, 0))
 
 
 def _dense_kernel(w: np.ndarray) -> np.ndarray:
-    """1x1 conv OIHW [out,in,1,1] -> [in, out]."""
-    return np.transpose(w[:, :, 0, 0], (1, 0))
+    """1x1[x1] conv OI11[1] -> [in, out]."""
+    return np.transpose(w.reshape(w.shape[0], w.shape[1]), (1, 0))
 
 
 def _down_kernel(w: np.ndarray) -> np.ndarray:
-    """k2 s2 conv OIHW [out,in,2,2] -> [(kh,kw,cin), cout]."""
-    hwio = np.transpose(w, (2, 3, 1, 0))  # [2,2,in,out]
+    """k2 s2 conv OI22[2] -> [((kd,)kh,kw,cin), cout]."""
+    hwio = _conv_kernel(w)  # [2,2,(2,)in,out]
     return hwio.reshape(-1, hwio.shape[-1])
 
 
 def _up_kernel(w: np.ndarray) -> np.ndarray:
-    """ConvTranspose2d [cin,cout,2,2] -> [cin, (di,dj,cout)]."""
+    """ConvTranspose2d/3d [cin,cout,2,2(,2)] -> [cin, ((dd,)di,dj,cout)]."""
     cin, cout = w.shape[0], w.shape[1]
-    return np.transpose(w, (0, 2, 3, 1)).reshape(cin, 4 * cout)
+    spatial = tuple(range(2, w.ndim))
+    blk = 2 ** len(spatial)
+    return np.transpose(w, (0,) + spatial + (1,)).reshape(cin, blk * cout)
 
 
 def _set(tree: Dict, path: str, value: np.ndarray) -> None:

@@ -29,7 +29,15 @@ from tempo_tpu.nn.init import (
     torch_dense_kernel_init,
     zeros_init,
 )
-from tempo_tpu.ops.convs import conv2d_nhwc, dense, depth_to_space_2x, space_to_depth_2x
+from tempo_tpu.ops.convs import (
+    conv2d_nhwc,
+    conv3d_ndhwc,
+    dense,
+    depth_to_space_2x,
+    depth_to_space_2x3d,
+    space_to_depth_2x,
+    space_to_depth_2x3d,
+)
 from tempo_tpu.ops.norms import gelu_exact
 
 Dtype = Any
@@ -69,28 +77,32 @@ class Conv(nn.Module):
     zero: bool = False
     logical_in: Optional[int] = None
     pad_out_to: Optional[int] = None
+    dim: int = 2  # 2 = NHWC conv2d; 3 = NDHWC conv3d (volumetric CUNet)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cin = self.logical_in if self.logical_in is not None else x.shape[-1]
         k = self.kernel_size
-        fan_in = cin * k * k
+        fan_in = cin * k ** self.dim
         k_init = zeros_init() if self.zero else torch_conv_kernel_init()
         b_init = zeros_init() if self.zero else torch_bias_init(fan_in)
-        kernel = self.param("kernel", k_init, (k, k, cin, self.features))
+        kernel = self.param("kernel", k_init,
+                            (k,) * self.dim + (cin, self.features))
         bias = self.param("bias", b_init, (self.features,))
         kern, b = kernel, bias
+        spatial_pad = ((0, 0),) * self.dim
         if x.shape[-1] != cin:
             assert x.shape[-1] > cin, (
                 f"input width {x.shape[-1]} < logical_in {cin}")
-            kern = jnp.pad(kern, ((0, 0), (0, 0),
-                                  (0, x.shape[-1] - cin), (0, 0)))
+            kern = jnp.pad(kern, spatial_pad
+                           + ((0, x.shape[-1] - cin), (0, 0)))
         if self.pad_out_to is not None and self.pad_out_to > self.features:
-            kern = jnp.pad(kern, ((0, 0), (0, 0), (0, 0),
-                                  (0, self.pad_out_to - self.features)))
+            kern = jnp.pad(kern, spatial_pad
+                           + ((0, 0), (0, self.pad_out_to - self.features)))
             b = jnp.pad(b, (0, self.pad_out_to - self.features))
-        out = conv2d_nhwc(x.astype(self.dtype), kern, b, padding=k // 2)
+        conv = conv2d_nhwc if self.dim == 2 else conv3d_ndhwc
+        out = conv(x.astype(self.dtype), kern, b, padding=k // 2)
         return out.astype(self.dtype)
 
 
@@ -112,42 +124,51 @@ class Dense(nn.Module):
 
 
 class Downsample2x(nn.Module):
-    """Kernel-2 stride-2 conv as space-to-depth + matmul."""
+    """Kernel-2 stride-2 conv as space-to-depth + matmul (dim=3: the
+    kernel-2 stride-2 Conv3d as an 8x voxel-to-depth + matmul)."""
 
     features: int
+    dim: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cin = x.shape[-1]
-        fan_in = cin * 4
+        blk = 2 ** self.dim
+        fan_in = cin * blk
         kernel = self.param(
-            "kernel", torch_conv_kernel_init(fan_in=fan_in), (4 * cin, self.features)
+            "kernel", torch_conv_kernel_init(fan_in=fan_in),
+            (blk * cin, self.features)
         )
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-        h = space_to_depth_2x(x.astype(self.dtype))
+        s2d = space_to_depth_2x if self.dim == 2 else space_to_depth_2x3d
+        h = s2d(x.astype(self.dtype))
         return dense(h, kernel, bias).astype(self.dtype)
 
 
 class Upsample2x(nn.Module):
     """Kernel-2 stride-2 transposed conv as matmul + depth-to-space.
 
-    Matches torch ConvTranspose2d(k=2, s=2) init: fan_in = cout * 4
+    Matches torch ConvTranspose2d/3d(k=2, s=2) init: fan_in = cout * 2**dim
     (torch computes fan-in from weight dim 1 = out channels)."""
 
     features: int
+    dim: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cin = x.shape[-1]
-        fan_in = self.features * 4
+        blk = 2 ** self.dim
+        fan_in = self.features * blk
         kernel = self.param(
-            "kernel", torch_conv_kernel_init(fan_in=fan_in), (cin, 4 * self.features)
+            "kernel", torch_conv_kernel_init(fan_in=fan_in),
+            (cin, blk * self.features)
         )
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-        h = dense(x.astype(self.dtype), kernel)  # [B,H,W,(di,dj,cout)]
-        h = depth_to_space_2x(h)
+        h = dense(x.astype(self.dtype), kernel)  # [B,*S,(d...,cout)]
+        d2s = depth_to_space_2x if self.dim == 2 else depth_to_space_2x3d
+        h = d2s(h)
         return (h + bias.astype(h.dtype)).astype(self.dtype)
 
 

@@ -20,8 +20,9 @@ identical math on the 2-D path:
 Differences by design: NHWC layout, kernel-2 resamples as
 space-to-depth/depth-to-space matmuls (tempo_tpu.ops.convs), conditioning
 projections as channel-last matmuls that XLA fuses into the conv epilogues.
-The reference's rarely-used 3-D variant is not carried (its own mid-attn
-asserts against 3-D, networks.py:64-66); spatial scaling here is the
+The reference's volumetric dim=3 path (networks.py:43; mid-attn refused per
+its own networks.py:65-66) is carried: pass a 4-tuple shape (D, H, W, C) —
+NDHWC convs, 8x voxel-to-depth resample matmuls. Spatial scaling is the
 halo-sharded spatial parallelism in tempo_tpu.parallel.spatial.
 
 The reference multiplies EVERY parameter by `init_scale` (default 0.02)
@@ -104,6 +105,7 @@ class CondResNetBlock(nn.Module):
     norm_eps: float = 1e-6
     act: str = "gelu"
     dropout_prob: float = 0.0
+    dim: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -113,7 +115,8 @@ class CondResNetBlock(nn.Module):
         cin = x.shape[-1]
         h = GroupNorm(self.num_groups, self.norm_eps, act=self.act,
                       dtype=self.dtype, name="norm1")(x)
-        h = Conv(self.features, dtype=self.dtype, name="conv1")(h)
+        h = Conv(self.features, dim=self.dim, dtype=self.dtype,
+                 name="conv1")(h)
         if conditionings is not None:
             assert self.conditioning_dims is not None
             assert len(conditionings) == len(self.conditioning_dims)
@@ -130,12 +133,16 @@ class CondResNetBlock(nn.Module):
                 else:
                     raise ValueError(
                         f"unknown cond_proj_type {self.cond_proj_type!r}")
-                h = h + proj[:, None, None, :]
+                # broadcast [B, C] over the dim spatial axes (channel-last
+                # mirror of blocks.py:141-144's [:, :, None*dim])
+                h = h + proj.reshape(proj.shape[0],
+                                     *((1,) * self.dim), -1)
         h = GroupNorm(self.num_groups, self.norm_eps, act=self.act,
                       dtype=self.dtype, name="norm2")(h)
         if self.dropout_prob > 0.0:
             h = nn.Dropout(self.dropout_prob)(h, deterministic=deterministic)
-        h = Conv(self.features, zero=True, dtype=self.dtype, name="conv2")(h)
+        h = Conv(self.features, zero=True, dim=self.dim, dtype=self.dtype,
+                 name="conv2")(h)
         if cin != self.features:
             x = Dense(self.features, dtype=self.dtype, name="skip")(x)
         return x + h
@@ -145,12 +152,19 @@ class CUNet(nn.Module):
     """Conditional UNet over NHWC tiles (reference: networks.py:13-294).
 
     __call__(x, t=None, s_conditioning=None, v_conditionings=None):
-      x [B, H, W, C]; t scalar or [B] diffusion time in [0, 1];
-      s_conditioning [B, H, W, Cs] concatenated onto the input;
+      x [B, H, W, C] (or [B, D, H, W, C] volumetric); t scalar or [B]
+      diffusion time in [0, 1];
+      s_conditioning [B, *spatial, Cs] concatenated onto the input;
       v_conditionings: list of [B, dim_i] vectors.
+
+    A 4-tuple `shape` (D, H, W, C) selects the reference's volumetric
+    dim=3 path (networks.py:43 `self.dim = len(shape)-1`): 3x3x3 convs,
+    kernel-2-stride-2 resamples over all three spatial axes (as 8x
+    voxel-to-depth matmuls), and `mid_attn` refused exactly like the
+    reference's "3D attention very highly discouraged" (networks.py:65-66).
     """
 
-    shape: Tuple[int, int, int]                  # (H, W, C) of one sample
+    shape: Tuple[int, ...]           # (H, W, C) or (D, H, W, C) per sample
     out_channels: Optional[int] = None
     chs: Tuple[int, ...] = (48, 96, 192, 384)
     s_conditioning_channels: int = 0
@@ -172,6 +186,12 @@ class CUNet(nn.Module):
     def dtype(self):
         return jnp.dtype(self.compute_dtype)
 
+    @property
+    def dim(self) -> int:
+        d = len(self.shape) - 1
+        assert d in (2, 3), f"shape must be (H,W,C) or (D,H,W,C), got {self.shape}"
+        return d
+
     def _conditioning_dims(self) -> Optional[Tuple[int, ...]]:
         dims = []
         common, _ = self.v_conditioning_type.split("_")
@@ -190,6 +210,9 @@ class CUNet(nn.Module):
         common = common == "common"
         if self.v_augment:
             assert common, "v_augment requires a common_* conditioning type"
+        if self.mid_attn and self.dim == 3:
+            # reference networks.py:65-66
+            raise ValueError("3D attention very highly discouraged.")
         out_ch = (self.out_channels if self.out_channels is not None
                   else self.shape[-1])
 
@@ -233,10 +256,12 @@ class CUNet(nn.Module):
         block = dict(conditioning_dims=self._conditioning_dims(),
                      cond_proj_type=cond_proj_type,
                      num_groups=self.norm_groups,
-                     dropout_prob=self.dropout_prob, dtype=self.dtype)
+                     dropout_prob=self.dropout_prob, dim=self.dim,
+                     dtype=self.dtype)
         n = len(self.chs)
 
-        h = Conv(self.chs[0], dtype=self.dtype, name="conv_in")(h)
+        h = Conv(self.chs[0], dim=self.dim, dtype=self.dtype,
+                 name="conv_in")(h)
         skips = []
         for i, ch in enumerate(self.chs):
             for j in range(self.num_res_blocks):
@@ -244,7 +269,7 @@ class CUNet(nn.Module):
                     h, conds, deterministic)
             if i != n - 1:
                 skips.append(h)
-                h = Downsample2x(ch, dtype=self.dtype,
+                h = Downsample2x(ch, dim=self.dim, dtype=self.dtype,
                                  name=f"down{i}_down")(h)
 
         h = CondResNetBlock(self.chs[-1], name="mid1", **block)(
@@ -262,16 +287,17 @@ class CUNet(nn.Module):
                     h, conds, deterministic)
             if idx != n - 1:
                 ch_out = self.chs[0] if i == 0 else self.chs[i - 1]
-                h = Upsample2x(ch_out, dtype=self.dtype,
+                h = Upsample2x(ch_out, dim=self.dim, dtype=self.dtype,
                                name=f"up{idx}_up")(h)
                 h = jnp.concatenate([h, skips.pop().astype(h.dtype)],
                                     axis=-1)
 
         h = GroupNorm(self.norm_groups, act="gelu", dtype=self.dtype,
                       name="norm_out")(h)
-        h = Conv(out_ch, zero=True, dtype=self.dtype, name="conv_out")(h)
+        h = Conv(out_ch, zero=True, dim=self.dim, dtype=self.dtype,
+                 name="conv_out")(h)
         if self.shape[-1] != out_ch:
-            x = Conv(out_ch, zero=True, dtype=self.dtype,
+            x = Conv(out_ch, zero=True, dim=self.dim, dtype=self.dtype,
                      name="conv_residual_out")(x)
         return h + x
 

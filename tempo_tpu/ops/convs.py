@@ -147,6 +147,56 @@ def _conv_lane_split(x: jax.Array, kernel: jax.Array, raw_conv) -> jax.Array | N
     return None
 
 
+def conv3d_ndhwc(x: jax.Array, kernel: jax.Array,
+                 bias: jax.Array | None = None, stride: int = 1,
+                 padding: str | int = "SAME") -> jax.Array:
+    """3D convolution, NDHWC activations / DHWIO kernel, fp32-accumulated.
+
+    The volumetric path of the reference CUNet (dim=3,
+    /root/reference/src/mltools/networks/networks.py:43 via
+    network_tools.py get_conv). The channel axis stays minor (lane axis);
+    XLA lowers the 3-D conv onto the MXU the same way as 2-D. The
+    lane-split machinery above is 2-D-only — volumetric channel counts in
+    the toolkit are 8/16-sized, never ragged at the 1028 scale."""
+    if isinstance(padding, int):
+        pad = [(padding, padding)] * 3
+    else:
+        pad = padding
+    kernel = kernel.astype(x.dtype)
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,) * 3,
+        padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=_precision_for(x.dtype),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def space_to_depth_2x3d(x: jax.Array) -> jax.Array:
+    """[B,D,H,W,C] -> [B,D/2,H/2,W/2,8C]; the 8 block voxels are ordered
+    (dd,di,dj) row-major so a following matmul reproduces a kernel-2
+    stride-2 Conv3d whose DHWIO kernel was flattened over (kd,kh,kw,cin)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B,D/2,H/2,W/2,dd,di,dj,C]
+    return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def depth_to_space_2x3d(x: jax.Array) -> jax.Array:
+    """[B,D,H,W,8C] -> [B,2D,2H,2W,C]; inverse of space_to_depth_2x3d, so a
+    preceding matmul producing (dd,di,dj,cout)-ordered channels reproduces
+    a kernel-2 stride-2 ConvTranspose3d."""
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, d, h, w, 2, 2, 2, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # [B,D,dd,H,di,W,dj,C]
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
 def space_to_depth_2x(x: jax.Array) -> jax.Array:
     """[B,H,W,C] -> [B,H/2,W/2,4C]; the 4 block pixels are ordered (di,dj)
     row-major so a following matmul reproduces a kernel-2 stride-2 conv whose

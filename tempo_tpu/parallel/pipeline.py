@@ -50,32 +50,55 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # jax >= 0.8: keyword-only, check_rep renamed to check_vma
     from jax import shard_map as _shard_map_new
 
-    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True,
+                  manual_axes=None):
+        kw = {}
+        if manual_axes is not None:
+            # axes NOT listed stay automatic: GSPMD keeps partitioning
+            # over them inside the manual region (tensor-parallel compose)
+            kw["axis_names"] = frozenset(manual_axes)
         return _shard_map_new(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs, check_vma=check_rep)
+                              out_specs=out_specs, check_vma=check_rep,
+                              **kw)
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True,
+                  manual_axes=None):
+        kw = {}
+        if manual_axes is not None:
+            kw["auto"] = frozenset(mesh.axis_names) - frozenset(manual_axes)
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=check_rep,
+                              **kw)
 
 from tempo_tpu.nn.transformer import (LayerNorm, Transformer,
                                       TransformerBlock, TransformerConfig)
 from tempo_tpu.parallel.mesh import DATA_AXIS
+from tempo_tpu.parallel.tensor import MODEL_AXIS
 
 PIPE_AXIS = "pipe"
 
 
 def create_pp_mesh(n_pipe: int,
                    devices: Optional[Sequence[jax.Device]] = None,
-                   n_data: int = 1) -> Mesh:
-    """('pipe',) mesh over the first n_pipe devices, or — with n_data > 1 —
-    a 2-D ('data','pipe') mesh composing data parallelism with the
-    pipeline. 'pipe' is the FAST (innermost) axis so neighboring stages sit
-    on neighboring devices and the ppermute handoff is one ICI hop; the
-    gradient all-reduce over 'data' spans the remaining factor."""
+                   n_data: int = 1, n_model: int = 1) -> Mesh:
+    """('pipe',) mesh over the first n_pipe devices; with n_data > 1 a 2-D
+    ('data','pipe') mesh composing data parallelism with the pipeline; with
+    n_model > 1 additionally a 3-D ('data','pipe','model') mesh — the
+    dp x pp x tp layout a real multi-pod run uses. Faster-varying axes are
+    chattier: 'model' (per-layer TP collectives) is innermost so they ride
+    neighboring ICI links, 'pipe' (one ppermute hop per microbatch tick)
+    next, 'data' (one gradient all-reduce per step) outermost."""
     devices = list(devices) if devices is not None else jax.devices()
-    need = n_pipe * n_data
+    need = n_pipe * n_data * n_model
     assert len(devices) >= need, (
-        f"need {need} devices for {n_data}x{n_pipe} (data,pipe), "
-        f"have {len(devices)}")
+        f"need {need} devices for {n_data}x{n_pipe}x{n_model} "
+        f"(data,pipe,model), have {len(devices)}")
+    if n_model > 1:
+        return Mesh(
+            np.asarray(devices[:need]).reshape(n_data, n_pipe, n_model),
+            (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     if n_data == 1:
         return Mesh(np.asarray(devices[:n_pipe]), (PIPE_AXIS,))
     return Mesh(np.asarray(devices[:need]).reshape(n_data, n_pipe),
@@ -134,19 +157,39 @@ def pp_shardings(mesh: Mesh, rest: Dict, stage_stack: Any,
     axis over 'pipe', everything else replicated. With `fsdp_experts` (and
     a 'data' axis in the mesh), stacked MoE expert weights additionally
     shard their expert axis over 'data' — ZeRO-style storage sharding,
-    gathered on use inside the pipeline."""
-    rep = NamedSharding(mesh, P())
-    staged = NamedSharding(mesh, P(PIPE_AXIS))
+    gathered on use inside the pipeline. On a 3-D ('data','pipe','model')
+    mesh every float leaf additionally shards its LAST (output-channel)
+    axis over 'model' when divisible — the same uniform rule as
+    parallel/tensor.py; 'model' stays a GSPMD auto axis inside the
+    pipeline's shard_map, so XLA inserts the per-layer TP collectives."""
+    n_model = (mesh.shape[MODEL_AXIS]
+               if MODEL_AXIS in mesh.axis_names else 1)
+
+    def _tp_tail(leaf) -> bool:
+        shape = getattr(leaf, "shape", ())
+        dtype = getattr(leaf, "dtype", None)
+        return (n_model > 1 and dtype is not None
+                and jnp.issubdtype(dtype, jnp.floating) and len(shape) >= 1
+                and shape[-1] >= n_model and shape[-1] % n_model == 0)
+
+    def _with_tail(front, leaf):
+        """Sharding with `front` spec entries, padded with Nones, plus the
+        'model' tail on the last axis when the tensor rule applies."""
+        ndim = len(getattr(leaf, "shape", ()))
+        spec = list(front) + [None] * (ndim - len(front))
+        if _tp_tail(leaf) and spec[-1] is None:
+            spec[-1] = MODEL_AXIS
+        return NamedSharding(mesh, P(*spec))
+
     use_fsdp = fsdp_experts and DATA_AXIS in mesh.axis_names
-    # construct the FSDP sharding only when the mesh actually carries a
-    # 'data' axis — NamedSharding validates axes eagerly
-    fsdp = (NamedSharding(mesh, P(PIPE_AXIS, None, DATA_AXIS))
-            if use_fsdp else staged)
     stack_s = jax.tree_util.tree_map_with_path(
-        lambda path, _: fsdp if use_fsdp and _is_fsdp_expert_leaf(path)
-        else staged,
+        lambda path, leaf: _with_tail(
+            (PIPE_AXIS, None, DATA_AXIS)
+            if use_fsdp and _is_fsdp_expert_leaf(path) else (PIPE_AXIS,),
+            leaf),
         stage_stack)
-    return jax.tree.map(lambda _: rep, rest), stack_s
+    rest_s = jax.tree.map(lambda leaf: _with_tail((), leaf), rest)
+    return rest_s, stack_s
 
 
 def place_pipeline_params(mesh: Mesh, rest: Dict, stage_stack: Any,
@@ -269,13 +312,29 @@ def make_pipelined_apply(config: TransformerConfig, n_stages: int,
 
         rest_s, stack_s = pp_shardings(mesh, rest, stage_stack,
                                        fsdp_experts=use_fsdp)
+        # 3-D ('data','pipe','model') mesh: 'data' and 'pipe' are manual
+        # (the hand-written schedule above), 'model' stays an AUTO axis —
+        # in_specs may only name manual axes, and GSPMD keeps partitioning
+        # the channel-sharded params (pp_shardings' 'model' tails) inside
+        # the manual region, inserting the per-layer TP collectives.
+        has_model = MODEL_AXIS in mesh.axis_names
+        manual = ([a for a in mesh.axis_names if a != MODEL_AXIS]
+                  if has_model else None)
+
+        def _spec(s):
+            if not has_model:
+                return s.spec
+            return P(*(None if name == MODEL_AXIS else name
+                       for name in s.spec))
+
         logits = shard_map(
             spmd, mesh=mesh,
-            in_specs=(jax.tree.map(lambda s: s.spec, rest_s),
-                      jax.tree.map(lambda s: s.spec, stack_s),
+            in_specs=(jax.tree.map(_spec, rest_s),
+                      jax.tree.map(_spec, stack_s),
                       micro_spec),
             out_specs=micro_spec,
             check_rep=False,
+            manual_axes=manual,
         )(rest, stage_stack, micro)
         return logits.reshape((b,) + logits.shape[2:])
 

@@ -646,6 +646,53 @@ def test_pipeline_parallel_composes_with_data_axis():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_pipeline_composes_with_data_and_tensor_axes():
+    """3-D ('data','pipe','model') mesh (2x2x2 = 8 devices) — the dp x pp
+    x tp layout a real multi-pod run uses: stage stacks sharded over
+    'pipe', channel (last-axis) params over 'model' as a GSPMD auto axis
+    inside the pipeline's shard_map, batch over 'data'. Loss and grads
+    must equal the single-device model."""
+    from tempo_tpu.parallel.pipeline import (create_pp_mesh, make_pp_loss_fn,
+                                             merge_pipeline_params,
+                                             place_pipeline_params,
+                                             split_pipeline_params)
+    from tempo_tpu.parallel.tensor import MODEL_AXIS
+
+    cfg, model, params, tokens, targets = _pp_setup()
+
+    def ref_loss(p, tok, tgt):
+        logits = model.apply({"params": p}, tok)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0].mean()
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(
+        params, tokens, targets)
+
+    mesh = create_pp_mesh(2, n_data=2, n_model=2)
+    assert dict(mesh.shape) == {"data": 2, "pipe": 2, "model": 2}
+    rest, stack = place_pipeline_params(mesh,
+                                        *split_pipeline_params(params, 2))
+    # the channel tails really are tensor-sharded
+    wte_spec = rest["wte"].sharding.spec
+    assert wte_spec[-1] == MODEL_AXIS, wte_spec
+    stack_leaf = jax.tree_util.tree_leaves(stack)[0]
+    assert stack_leaf.sharding.spec[0] == "pipe"
+
+    loss_fn = make_pp_loss_fn(cfg, n_stages=2, n_micro=4, mesh=mesh)
+    l_pp, g_pp = jax.jit(jax.value_and_grad(loss_fn))(
+        (rest, stack), tokens, targets)
+
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-6)
+    merged = merge_pipeline_params(g_pp[0], g_pp[1])
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_pp, _ = jax.tree_util.tree_flatten_with_path(merged)
+    for (path_a, a), (path_b, b) in zip(flat_ref, flat_pp):
+        assert path_a == path_b
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=str(path_a))
+
+
 def test_sharded_checkpoint_pp_roundtrip(tmp_path):
     """The template-driven sharded checkpoint generalizes to the pipeline
     axis: a (rest, stage_stack) param tuple with stage-sharded [S, ...]

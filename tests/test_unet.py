@@ -31,7 +31,9 @@ if str(REF_SRC) not in sys.path:
 
 
 def _nhwc(x: np.ndarray) -> np.ndarray:
-    return np.transpose(x, (0, 2, 3, 1))
+    """Channel-first -> channel-last, any spatial rank (NCHW -> NHWC,
+    NCDHW -> NDHWC)."""
+    return np.moveaxis(x, 1, -1)
 
 
 BASE = dict(chs=[8, 12, 16], norm_groups=4, n_attention_heads=2,
@@ -44,8 +46,8 @@ def _cunet_pair(shape_chw=(3, 16, 16), **overrides):
     kw = dict(BASE, **overrides)
     torch.manual_seed(0)
     tm = TorchCUNet(shape=shape_chw, **kw).eval()
-    c, h, w = shape_chw
-    jm = CUNet(shape=(h, w, c),
+    c = shape_chw[0]
+    jm = CUNet(shape=(*shape_chw[1:], c),
                chs=tuple(kw["chs"]),
                out_channels=kw.get("out_channels"),
                s_conditioning_channels=kw.get("s_conditioning_channels", 0),
@@ -176,6 +178,39 @@ def test_cunet_v_augment_runs():
                     rngs={"v_augment": jax.random.PRNGKey(3)})
     assert out1.shape == (2, 8, 8, 3)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_cunet_3d_parity():
+    """The volumetric dim=3 path (networks.py:43 `self.dim=len(shape)-1`;
+    only mid-attn asserts against 3-D, :65-66): 3x3x3 convs, kernel-2
+    stride-2 volumetric resamples, conditioning broadcast over three
+    spatial axes (blocks.py:143-144)."""
+    shape = (3, 8, 8, 8)  # torch (C, D, H, W)
+    tm, jm, params = _cunet_pair(shape_chw=shape, chs=[8, 12],
+                                 mid_attn=False, t_conditioning=True,
+                                 v_conditioning_dims=[5],
+                                 v_embedding_dim=8, t_embedding_dim=8)
+    _compare(tm, jm, params, shape_chw=shape, t=0.4, v_dims=(5,))
+
+
+def test_cunet_3d_s_conditioning_and_residual_out_parity():
+    shape = (2, 8, 8, 8)
+    tm, jm, params = _cunet_pair(shape_chw=shape, chs=[8, 12],
+                                 mid_attn=False,
+                                 s_conditioning_channels=2, out_channels=4)
+    _compare(tm, jm, params, shape_chw=shape, s_ch=2)
+
+
+def test_cunet_3d_mid_attn_refused():
+    """Both implementations refuse 3-D mid-attention (networks.py:65-66)."""
+    from mltools.networks.networks import CUNet as TorchCUNet
+
+    with pytest.raises(ValueError, match="3D attention"):
+        TorchCUNet(shape=(3, 8, 8, 8), chs=[8, 12], mid_attn=True)
+    jm = CUNet(shape=(8, 8, 8, 3), chs=(8, 12), norm_groups=4,
+               mid_attn=True, dropout_prob=0.0)
+    with pytest.raises(ValueError, match="3D attention"):
+        jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 3)))
 
 
 def test_timestep_embedding_parity():
