@@ -8,7 +8,11 @@ Two schedulers (infer/serving.py):
 - `scheduler: continuous` — ContinuousLMServer: a fixed pool of `slots`
   batch rows, each at its own position (`decode_rows`/`admit` artifacts);
   finished rows are refilled mid-flight, so mixed prompt/generation
-  lengths share one device batch with no convoy effect.
+  lengths share one device batch with no convoy effect. Adding
+  `draft_artifacts` + `k_draft > 0` composes speculation in: every slot
+  drafts/verifies k-token blocks at its own position (`extend_rows`),
+  combining the throughput lever (continuous batch) with the latency
+  lever (speculation).
 - `scheduler: speculative` — SpeculativeLMServer: a small draft model
   (`draft_artifacts`, a second exported dir) proposes `k_draft` tokens,
   the target verifies the block in one `extend` pass. Greedy output is
@@ -178,9 +182,19 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     scheduler = str(config.get("scheduler", "bucketed"))
     chunk = int(config.get("prefill_chunk", 0)) or None
     if scheduler == "continuous":
+        # draft_artifacts + k_draft > 0 compose speculation into the
+        # continuous batch (per-slot draft/verify via `extend_rows`)
+        draft = None
+        k_draft = int(config.get("k_draft", 0))
+        if config.get("draft_artifacts") and k_draft > 0:
+            draft = Path(config["draft_artifacts"])
+            if not (draft / "meta.json").exists():
+                raise ValueError(
+                    f"FATAL: no exported draft artifacts at {draft}")
         server = ContinuousLMServer(artifacts,
                                     n_slots=int(config.get("slots", 8)),
-                                    prefill_chunk=chunk)
+                                    prefill_chunk=chunk,
+                                    draft_dir=draft, k_draft=k_draft)
     elif scheduler == "speculative":
         if chunk:
             raise ValueError("FATAL: prefill_chunk applies to the bucketed "

@@ -37,6 +37,17 @@ Rollback after a rejected draft is free: the absolute-position causal
 mask hides the stale KV rows and the next extend overwrites them. The
 host-side scheduler (draft/verify loop, rejection sampling) is
 infer/serving.py SpeculativeLMServer.
+
+A sixth composes speculation WITH continuous batching:
+
+  extend_rows(tokens[b, k], cache, pos[b]) -> (logits[b, k, V], cache)
+
+— the block extend at PER-ROW absolute positions: every serving slot
+verifies (target) or ingests+proposes (draft) a k-token block at its own
+position, so rows that accept different draft lengths stay in one device
+batch (the de-sync that forced SpeculativeLMServer to batch 1). Same
+rollback-by-mask argument per row. Scheduler: ContinuousLMServer with
+k_draft > 0.
 """
 
 from __future__ import annotations
@@ -119,6 +130,8 @@ def export_lm(params, config: TransformerConfig,
         lambda: init_cache(config, 1, config.dtype, cache_len=max_seq))
     slot_spec = jax.ShapeDtypeStruct((), jnp.int32)
 
+    pos_rows_k_spec = jax.ShapeDtypeStruct((b3,), jnp.int32)
+
     platforms = ("cpu", "tpu")
     pre = jexport.export(jax.jit(prefill), platforms=platforms)(tok_t)
     dec = jexport.export(jax.jit(decode_step), platforms=platforms)(
@@ -129,11 +142,17 @@ def export_lm(params, config: TransformerConfig,
         cache_spec, row_cache_spec, slot_spec)
     ext = jexport.export(jax.jit(extend), platforms=platforms)(
         tok_k, cache_spec_k, pos_spec)
+    # extend at per-row positions: same compute as `extend`, pos is [b] —
+    # the speculative x continuous composition (model code already routes
+    # [b] input_pos through per-row scatter + per-row absolute mask)
+    ext_rows = jexport.export(jax.jit(extend), platforms=platforms)(
+        tok_k, cache_spec_k, pos_rows_k_spec)
     (out_dir / "prefill.stablehlo").write_bytes(pre.serialize())
     (out_dir / "decode_step.stablehlo").write_bytes(dec.serialize())
     (out_dir / "decode_rows.stablehlo").write_bytes(rows.serialize())
     (out_dir / "admit.stablehlo").write_bytes(adm.serialize())
     (out_dir / "extend.stablehlo").write_bytes(ext.serialize())
+    (out_dir / "extend_rows.stablehlo").write_bytes(ext_rows.serialize())
     (out_dir / "meta.json").write_text(json.dumps({
         "vocab_size": config.in_size,
         "block_size": config.block_size,
@@ -191,6 +210,16 @@ def load_exported_continuous(out_dir: Union[str, Path]):
         (out_dir / "admit.stablehlo").read_bytes())
     meta = json.loads((out_dir / "meta.json").read_text())
     return jax.jit(pre.call), jax.jit(rows.call), jax.jit(adm.call), meta
+
+
+def load_exported_extend_rows(out_dir: Union[str, Path]):
+    """extend_rows(tokens[b,k], cache, pos[b]) — the per-row block extend
+    for speculative x continuous serving. Raises FileNotFoundError on
+    artifacts exported before it existed."""
+    out_dir = Path(out_dir)
+    ext = jexport.deserialize(
+        (out_dir / "extend_rows.stablehlo").read_bytes())
+    return jax.jit(ext.call)
 
 
 def load_exported_speculative(out_dir: Union[str, Path]):

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tempo_tpu.infer.export_lm import (load_exported_continuous,
+                                        load_exported_extend_rows,
                                         load_exported_lm,
                                         load_exported_speculative,
                                         zero_cache)
@@ -430,10 +431,20 @@ class ContinuousLMServer:
     decoding (per-row cache scatter + per-row absolute-position mask keep
     rows independent; pinned by test_export.py). Sampled requests get a
     per-request numpy Generator seeded by their own `seed`.
+
+    Speculation composes (`draft_dir` + `k_draft` > 0): every slot runs
+    the draft/verify loop of SpeculativeLMServer, but batched — the
+    `extend_rows` artifact verifies each row's k-token draft block at the
+    row's OWN absolute position, so rows that accept different lengths
+    stay in one device batch (the de-sync that forced SpeculativeLMServer
+    to batch 1). Greedy output stays exactly the target-only sequence;
+    sampled rows keep the Leviathan rejection-sampling guarantee per row.
     """
 
     def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 draft_dir: Optional[Union[str, Path]] = None,
+                 k_draft: int = 0):
         (self.prefill, self.decode_rows, self.admit,
          self.meta) = load_exported_continuous(artifacts_dir)
         assert n_slots >= 1, n_slots
@@ -444,6 +455,21 @@ class ContinuousLMServer:
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
             _, self.extend, _ = load_exported_speculative(artifacts_dir)
+        self.k_draft = int(k_draft)
+        self.draft = None
+        if draft_dir is not None and self.k_draft > 0:
+            self.t_extend_rows = load_exported_extend_rows(artifacts_dir)
+            (self.d_prefill, self.d_decode_rows, self.d_admit,
+             self.d_meta) = load_exported_continuous(draft_dir)
+            self.d_extend_rows = load_exported_extend_rows(draft_dir)
+            if int(self.d_meta["vocab_size"]) != self.vocab:
+                raise ValueError(
+                    f"draft vocab {self.d_meta['vocab_size']} != target "
+                    f"vocab {self.vocab} — speculative decoding needs a "
+                    "shared token space")
+            self.window = min(self.window, int(
+                self.d_meta.get("max_seq", self.d_meta["block_size"])))
+            self.draft = draft_dir
 
     def _prefill(self, prompts: jnp.ndarray):
         c = self.prefill_chunk
@@ -472,6 +498,8 @@ class ContinuousLMServer:
         """requests: dicts with 'tokens' and optional 'n_tokens',
         'temperature', 'top_k', 'top_p', 'seed', 'eos' (early stop on this token
         id, which is kept in the output). Responses keep request order."""
+        if self.draft is not None:
+            return self._serve_speculative(requests, default_new_tokens)
         self._validate(requests, default_new_tokens)
         n_req = len(requests)
         responses: List[Optional[Dict[str, Any]]] = [None] * n_req
@@ -576,6 +604,245 @@ class ContinuousLMServer:
             "n_requests": n_req,
             "n_slots": b,
             "n_generated": n_generated,
+            "seconds": round(dt, 4),
+            "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
+        }
+        assert all(r is not None for r in responses)
+        return responses  # type: ignore[return-value]
+
+    def _serve_speculative(self, requests: Sequence[Dict[str, Any]],
+                           default_new_tokens: int) -> List[Dict[str, Any]]:
+        """Per-slot draft/verify rounds over one shared device batch.
+
+        One round = draft `extend_rows` (width 2: each row ingests the
+        tokens committed since its draft cache last saw the sequence —
+        at most [d_k, correction] after a fully-accepted round — and the
+        logits at the row's last real token propose draft 1)
+        + (k_draft-1) draft `decode_rows` proposing the rest
+        + ONE target `extend_rows` verifying every row's
+        [last_committed, d_1..d_k] block at the row's own position.
+        Host-side accept/commit is per row: greedy rows commit exactly
+        the target-argmax prefix (output == target-only greedy), sampled
+        rows run `speculative_accept` against their own rng. Parked rows
+        ride along on token 0 / position 0; `admit` replaces their whole
+        cache row (target AND draft) on reuse, so the garbage never
+        survives into a request."""
+        self._validate(requests, default_new_tokens)
+        n_req = len(requests)
+        responses: List[Optional[Dict[str, Any]]] = [None] * n_req
+        pending = list(range(n_req))[::-1]
+        b, k = self.n_slots, self.k_draft
+
+        slots: List[Optional[Dict[str, Any]]] = [None] * b
+        _, cache = self.prefill(jnp.zeros((b, 1), jnp.int32))
+        _, d_cache = self.d_prefill(jnp.zeros((b, 1), jnp.int32))
+
+        t_start = time.perf_counter()
+        rounds = prefills = drafted = accepted = 0
+        n_generated = 0
+
+        def finalize(s: int) -> None:
+            st = slots[s]
+            assert st is not None
+            responses[st["req"]] = {
+                "tokens": st["out"],
+                "n_prompt": st["n_prompt"],
+                "n_generated": len(st["out"]),
+                "slot": s,
+                "stopped_early": st["eos_hit"],
+            }
+            slots[s] = None
+
+        while pending or any(st is not None for st in slots):
+            for s in range(b):
+                while slots[s] is None and pending:
+                    i = pending.pop()
+                    req = requests[i]
+                    n_tokens = int(req.get("n_tokens", default_new_tokens))
+                    if n_tokens <= 0:
+                        responses[i] = {"tokens": [], "n_prompt":
+                                        len(req["tokens"]), "n_generated": 0,
+                                        "slot": s, "stopped_early": False}
+                        continue
+                    prompt = np.asarray(req["tokens"],
+                                        np.int32).reshape(1, -1)
+                    logits, row_cache = self._prefill(jnp.asarray(prompt))
+                    cache = self.admit(cache, row_cache, jnp.int32(s))
+                    _, d_row = self.d_prefill(jnp.asarray(prompt))
+                    d_cache = self.d_admit(d_cache, d_row, jnp.int32(s))
+                    prefills += 1
+                    st = {
+                        "req": i,
+                        "n_prompt": prompt.shape[1],
+                        "out": [],
+                        "remaining": n_tokens,
+                        "temperature": float(req.get("temperature", 0.0)),
+                        "top_k": req.get("top_k"),
+                        "top_p": req.get("top_p"),
+                        "eos": req.get("eos"),
+                        "eos_hit": False,
+                        "rng": np.random.default_rng(
+                            int(req.get("seed", 0))),
+                        # committed-token bookkeeping for the round loop
+                        "n_committed": prompt.shape[1],  # absolute count
+                        "last": None,                    # last committed tok
+                        "lag": [],   # committed toks the draft hasn't seen
+                    }
+                    slots[s] = st
+                    tok = int(sample_next(
+                        np.asarray(logits[:, -1]), st["temperature"],
+                        st["top_k"], st["rng"], top_p=st["top_p"])[0, 0])
+                    st["out"].append(tok)
+                    st["remaining"] -= 1
+                    st["last"] = tok
+                    st["n_committed"] += 1
+                    st["lag"] = [tok]
+                    if (st["eos"] is not None and tok == st["eos"]) \
+                            or st["remaining"] <= 0:
+                        st["eos_hit"] = (st["eos"] is not None
+                                         and tok == st["eos"])
+                        finalize(s)
+
+            if not any(st is not None for st in slots):
+                break
+
+            # ---- draft phase: ingest lag + propose k tokens, batched ----
+            W = 2  # max lag: [d_k, correction] after a full accept
+            block_d = np.zeros((b, W), np.int32)
+            pos_d = np.zeros(b, np.int32)
+            for s in range(b):
+                st = slots[s]
+                if st is None:
+                    continue
+                lag = st["lag"]
+                assert 1 <= len(lag) <= W, lag
+                padded = lag + [lag[-1]] * (W - len(lag))
+                block_d[s] = padded
+                pos_d[s] = st["n_committed"] - len(lag)
+            d_logits, d_cache = self.d_extend_rows(
+                jnp.asarray(block_d), d_cache, jnp.asarray(pos_d))
+            d_logits_np = np.asarray(d_logits)  # [b, W, V]
+
+            drafts = np.zeros((b, k), np.int32)
+            qdists: List[List[Optional[np.ndarray]]] = [
+                [None] * k for _ in range(b)]
+
+            def propose(s: int, row_logits: np.ndarray, i: int) -> int:
+                st = slots[s]
+                if st["temperature"] <= 0.0:
+                    d = int(np.argmax(row_logits.astype(np.float32)))
+                else:
+                    q = policy_probs(row_logits, st["temperature"],
+                                     st["top_k"], top_p=st["top_p"])
+                    qdists[s][i] = q
+                    d = int(st["rng"].choice(q.shape[0], p=q))
+                drafts[s, i] = d
+                return d
+
+            step_tok = np.zeros((b, 1), np.int32)
+            step_pos = np.zeros(b, np.int32)
+            for s in range(b):
+                st = slots[s]
+                if st is None:
+                    continue
+                d = propose(s, d_logits_np[s, len(st["lag"]) - 1], 0)
+                step_tok[s, 0] = d
+                step_pos[s] = st["n_committed"]
+            for i in range(1, k):
+                d_logits, d_cache = self.d_decode_rows(
+                    jnp.asarray(step_tok), d_cache, jnp.asarray(step_pos))
+                d_step_np = np.asarray(d_logits[:, -1])
+                for s in range(b):
+                    st = slots[s]
+                    if st is None:
+                        continue
+                    d = propose(s, d_step_np[s], i)
+                    step_tok[s, 0] = d
+                    step_pos[s] = st["n_committed"] + i
+            active = [s for s in range(b) if slots[s] is not None]
+            drafted += k * len(active)
+
+            # ---- verify phase: ONE target pass over every row's block ----
+            block_t = np.zeros((b, k + 1), np.int32)
+            pos_t = np.zeros(b, np.int32)
+            for s in active:
+                st = slots[s]
+                block_t[s, 0] = st["last"]
+                block_t[s, 1:] = drafts[s]
+                pos_t[s] = st["n_committed"] - 1
+            t_logits, cache = self.t_extend_rows(
+                jnp.asarray(block_t), cache, jnp.asarray(pos_t))
+            t_logits_np = np.asarray(t_logits)  # [b, k+1, V]
+            rounds += 1
+
+            # ---- host accept/commit, per row ----
+            for s in active:
+                st = slots[s]
+                j = 0
+                next_tok: Optional[int] = None
+                for i in range(k):
+                    if st["temperature"] <= 0.0:
+                        argmax = int(np.argmax(
+                            t_logits_np[s, i].astype(np.float32)))
+                        if int(drafts[s, i]) == argmax:
+                            j += 1
+                            continue
+                        next_tok = argmax
+                        break
+                    p = policy_probs(t_logits_np[s, i], st["temperature"],
+                                     st["top_k"], top_p=st["top_p"])
+                    ok, residual = speculative_accept(
+                        p, qdists[s][i], int(drafts[s, i]),
+                        float(st["rng"].uniform()))
+                    if ok:
+                        j += 1
+                        continue
+                    next_tok = int(st["rng"].choice(residual.shape[0],
+                                                    p=residual))
+                    break
+                if next_tok is None:  # full acceptance: bonus token free
+                    if st["temperature"] <= 0.0:
+                        next_tok = int(np.argmax(
+                            t_logits_np[s, k].astype(np.float32)))
+                    else:
+                        p = policy_probs(t_logits_np[s, k],
+                                         st["temperature"], st["top_k"],
+                                         top_p=st["top_p"])
+                        next_tok = int(st["rng"].choice(p.shape[0], p=p))
+                accepted += j
+                commit = [int(d) for d in drafts[s, :j]] + [next_tok]
+                # tokens d_1..d_{min(j, k-1)} are already in the draft
+                # cache (proposal feeds); the rest are the next round's lag
+                in_draft = min(j, k - 1)
+                st["lag"] = commit[in_draft:]
+                for tok in commit:
+                    st["out"].append(tok)
+                    st["remaining"] -= 1
+                    st["last"] = tok
+                    st["n_committed"] += 1
+                    if st["eos"] is not None and tok == st["eos"]:
+                        st["eos_hit"] = True
+                        st["remaining"] = 0
+                    if st["remaining"] <= 0:
+                        break
+                if st["remaining"] <= 0:
+                    finalize(s)
+
+        dt = time.perf_counter() - t_start
+        n_generated = sum(r["n_generated"] for r in responses
+                          if r is not None)
+        self.last_stats = {
+            "rounds": rounds,
+            "prefills": prefills,
+            "drafted": drafted,
+            "accepted": accepted,
+            "target_passes": rounds + prefills,
+            "n_requests": n_req,
+            "n_slots": b,
+            "k_draft": k,
+            "n_generated": n_generated,
+            "accept_rate": (round(accepted / drafted, 4)
+                            if drafted else None),
             "seconds": round(dt, 4),
             "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
         }

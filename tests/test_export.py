@@ -4,6 +4,7 @@ live model exactly and serve any batch size from one artifact."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
 
@@ -124,7 +125,20 @@ def _tiny_lm_export(tmp_path):
     return export_lm(params, cfg, tmp_path / "lm"), model, params, cfg
 
 
-def test_lm_server_policies_and_bucketing(tmp_path):
+@pytest.fixture(scope="module")
+def tiny_lm(tmp_path_factory):
+    """One shared export for every read-only serving test: the 6-artifact
+    export costs ~30 s on this 1-core host, and nothing below mutates the
+    artifact directory (servers only deserialize)."""
+    return _tiny_lm_export(tmp_path_factory.mktemp("lm_export"))
+
+
+@pytest.fixture(scope="module")
+def draft_lm(tmp_path_factory):
+    return _draft_lm_export(tmp_path_factory.mktemp("draft_export"))
+
+
+def test_lm_server_policies_and_bucketing(tmp_path, tiny_lm):
     """LMServer: greedy matches the reference serving loop; seeded
     sampling is reproducible and respects top-k support; mixed-length
     request lists bucket into batched chains with order preserved."""
@@ -133,7 +147,7 @@ def test_lm_server_policies_and_bucketing(tmp_path):
     from tempo_tpu.infer.export_lm import greedy_decode_exported
     from tempo_tpu.infer.serving import LMServer
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     server = LMServer(out)
 
     prompt = np.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], np.int32)
@@ -170,7 +184,7 @@ def test_lm_server_policies_and_bucketing(tmp_path):
         np.testing.assert_array_equal(np.asarray([resp[i]["tokens"]]), solo)
 
 
-def test_lm_server_beam_matches_live(tmp_path):
+def test_lm_server_beam_matches_live(tmp_path, tiny_lm):
     """Serving beam decode (LMServer.beam_batch over the StableHLO
     artifacts + host scoring + jitted cache gather) pinned token-for-token
     against the live-model nn.beam.beam_search, with and without eos, and
@@ -178,7 +192,7 @@ def test_lm_server_beam_matches_live(tmp_path):
     from tempo_tpu.infer.serving import LMServer
     from tempo_tpu.nn.beam import beam_search
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     server = LMServer(out)
     prompt = np.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], np.int32)
     k, n_new = 3, 6
@@ -222,13 +236,13 @@ def test_lm_server_beam_matches_live(tmp_path):
                                 "prefix": [5]}])
 
 
-def test_serve_lm_cli_batch(tmp_path):
+def test_serve_lm_cli_batch(tmp_path, tiny_lm):
     import json
 
     from tempo_tpu.cli.serve_lm import main as serve_main
     from tempo_tpu.utils.config import save_yaml
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     reqs = [{"tokens": [3, 1, 4, 1], "n_tokens": 5},
             {"tokens": [2, 7], "n_tokens": 3, "temperature": 0.7, "seed": 1}]
     req_path = tmp_path / "requests.jsonl"
@@ -247,7 +261,7 @@ def test_serve_lm_cli_batch(tmp_path):
     assert (tmp_path / "served" / "serving_info.yaml").exists()
 
 
-def test_serve_lm_cli_http(tmp_path):
+def test_serve_lm_cli_http(tmp_path, tiny_lm):
     import json
     import threading
     import time
@@ -256,7 +270,7 @@ def test_serve_lm_cli_http(tmp_path):
     from tempo_tpu.cli.serve_lm import main as serve_main
     from tempo_tpu.utils.config import load_config, save_yaml
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     cfg_path = tmp_path / "serve.yaml"
     save_yaml({"output_dir": str(tmp_path / "served"),
                "artifacts": str(out), "mode": "http", "port": 0,
@@ -296,13 +310,13 @@ def test_serve_lm_cli_http(tmp_path):
     assert not th.is_alive()
 
 
-def test_lm_export_continuous_batching(tmp_path):
+def test_lm_export_continuous_batching(tmp_path, tiny_lm):
     """decode_rows + admit: slot-scheduled continuous batching reproduces
     per-request greedy decode exactly across mixed prompt and generation
     lengths, while sharing one device batch (no same-length bucketing)."""
     from tempo_tpu.infer.serving import ContinuousLMServer, LMServer
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     server = ContinuousLMServer(out, n_slots=2)
     solo = LMServer(out)
 
@@ -410,14 +424,14 @@ def _draft_lm_export(tmp_path):
     return export_lm(params, cfg, tmp_path / "draft")
 
 
-def test_lm_export_speculative_greedy(tmp_path):
+def test_lm_export_speculative_greedy(tmp_path, tiny_lm, draft_lm):
     """Draft-propose / target-verify greedy decoding emits EXACTLY the
     target-only greedy sequence, at any speculation depth, with the
     verify pass running as one multi-token `extend` per round."""
     from tempo_tpu.infer.serving import LMServer, SpeculativeLMServer
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
-    draft = _draft_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
+    draft = draft_lm
     solo = LMServer(out)
 
     reqs = [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 9},
@@ -443,15 +457,15 @@ def test_lm_export_speculative_greedy(tmp_path):
     np.testing.assert_array_equal(np.asarray([resp[0]["tokens"]]), want)
 
 
-def test_lm_export_speculative_sampled(tmp_path):
+def test_lm_export_speculative_sampled(tmp_path, tiny_lm, draft_lm):
     """Sampled speculative decoding: seeded-reproducible, in-vocab, and
     the guards hold (window = min of target/draft, shared vocab)."""
     import pytest
 
     from tempo_tpu.infer.serving import SpeculativeLMServer
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
-    draft = _draft_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
+    draft = draft_lm
     server = SpeculativeLMServer(out, draft, k_draft=2)
 
     req = {"tokens": [3, 1, 4], "n_tokens": 8, "temperature": 1.0,
@@ -469,7 +483,104 @@ def test_lm_export_speculative_sampled(tmp_path):
         server.serve([{"tokens": [99], "n_tokens": 2}])
 
 
-def test_serve_lm_cli_speculative(tmp_path):
+def test_continuous_speculative_greedy_matches_target_only(tmp_path,
+                                                           tiny_lm,
+                                                           draft_lm):
+    """Speculation composed WITH continuous batching: ContinuousLMServer
+    with a draft + k_draft > 0 runs per-slot draft/verify blocks through
+    `extend_rows` (rows accept different lengths in one device batch).
+    Greedy output must be EXACTLY the target-only sequence for every
+    request in a mixed-length workload, at several (k_draft, n_slots)."""
+    from tempo_tpu.infer.serving import ContinuousLMServer, LMServer
+
+    out, model, params, cfg = tiny_lm
+    solo = LMServer(out)
+
+    reqs = [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 9},
+            {"tokens": [9, 2], "n_tokens": 6},
+            {"tokens": [7], "n_tokens": 1},
+            {"tokens": [2, 7, 7, 1], "n_tokens": 7},
+            {"tokens": [5, 5, 5], "n_tokens": 4}]
+    want = [solo.generate_batch(np.asarray([r["tokens"]], np.int32),
+                                r["n_tokens"])[0].tolist() for r in reqs]
+    for k_draft, n_slots in ((1, 2), (3, 2), (3, 8)):
+        server = ContinuousLMServer(out, n_slots=n_slots,
+                                    draft_dir=draft_lm, k_draft=k_draft)
+        resp = server.serve(reqs)
+        for i in range(len(reqs)):
+            assert resp[i]["tokens"] == want[i], (k_draft, n_slots, i)
+        assert server.last_stats["drafted"] > 0
+
+
+def test_continuous_speculative_beats_both_levers(tmp_path, tiny_lm):
+    """The composition must strictly batch-AND-speculate: with a
+    self-draft (acceptance 1.0, deterministic) the composed scheduler's
+    verify-round count is below BOTH the continuous-only decode-step
+    count (speculation commits k+1 tokens per round) AND the per-request
+    speculative scheduler's total round count (rounds overlap across
+    slots instead of running serially)."""
+    from tempo_tpu.infer.serving import (ContinuousLMServer, LMServer,
+                                         SpeculativeLMServer)
+
+    out, model, params, cfg = tiny_lm
+    reqs = [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 12},
+            {"tokens": [9, 2], "n_tokens": 12},
+            {"tokens": [2, 7, 7, 1], "n_tokens": 10},
+            {"tokens": [5, 5, 5], "n_tokens": 11}]
+    solo = LMServer(out)
+    want = [solo.generate_batch(np.asarray([r["tokens"]], np.int32),
+                                r["n_tokens"])[0].tolist() for r in reqs]
+
+    cont = ContinuousLMServer(out, n_slots=4)
+    resp = cont.serve(reqs)
+    assert [r["tokens"] for r in resp] == want
+    cont_steps = cont.last_stats["decode_steps"]
+
+    spec = SpeculativeLMServer(out, out, k_draft=3)
+    resp = spec.serve(reqs)
+    assert [r["tokens"] for r in resp] == want
+    spec_rounds = spec.last_stats["rounds"]
+    assert spec.last_stats["accepted"] == spec.last_stats["drafted"]
+
+    both = ContinuousLMServer(out, n_slots=4, draft_dir=out, k_draft=3)
+    resp = both.serve(reqs)
+    assert [r["tokens"] for r in resp] == want
+    assert both.last_stats["accept_rate"] == 1.0
+    assert both.last_stats["rounds"] < cont_steps, both.last_stats
+    assert both.last_stats["rounds"] < spec_rounds, both.last_stats
+
+
+def test_continuous_speculative_sampled_reproducible(tmp_path, tiny_lm,
+                                                     draft_lm):
+    """Sampled rows under the composed scheduler: seeded-reproducible,
+    in-vocab, eos early-stop still honored."""
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    out, model, params, cfg = tiny_lm
+    server = ContinuousLMServer(out, n_slots=2, draft_dir=draft_lm,
+                                k_draft=2)
+    reqs = [{"tokens": [3, 1, 4], "n_tokens": 8, "temperature": 1.0,
+             "top_k": 5, "seed": 11},
+            {"tokens": [9, 2], "n_tokens": 6, "temperature": 0.7,
+             "seed": 3}]
+    r1 = server.serve(reqs)
+    r2 = server.serve(reqs)
+    assert [r["tokens"] for r in r1] == [r["tokens"] for r in r2]
+    assert len(r1[0]["tokens"]) == 8 and len(r1[1]["tokens"]) == 6
+    for r in r1:
+        assert min(r["tokens"]) >= 0 and max(r["tokens"]) < cfg.in_size
+
+    # eos: find a token the greedy continuation emits, stop there
+    greedy = server.serve([{"tokens": [3, 1, 4, 1, 5], "n_tokens": 6}])[0]
+    eos_tok = greedy["tokens"][2]
+    stopped = server.serve([{"tokens": [3, 1, 4, 1, 5], "n_tokens": 6,
+                             "eos": eos_tok}])[0]
+    first = stopped["tokens"].index(eos_tok)
+    assert stopped["tokens"] == greedy["tokens"][:first + 1]
+    assert stopped["stopped_early"]
+
+
+def test_serve_lm_cli_speculative(tmp_path, tiny_lm, draft_lm):
     """The serving CLI drives the speculative scheduler end-to-end and
     records acceptance stats."""
     import json
@@ -477,8 +588,8 @@ def test_serve_lm_cli_speculative(tmp_path):
     from tempo_tpu.cli.serve_lm import main as serve_main
     from tempo_tpu.utils.config import load_config, save_yaml
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
-    draft = _draft_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
+    draft = draft_lm
     reqs = [{"tokens": [3, 1, 4, 1], "n_tokens": 5},
             {"tokens": [2, 7], "n_tokens": 3}]
     req_path = tmp_path / "requests.jsonl"
@@ -499,7 +610,7 @@ def test_serve_lm_cli_speculative(tmp_path):
     assert info["scheduler_stats"]["target_passes"] > 0
 
 
-def test_serve_lm_cli_continuous(tmp_path):
+def test_serve_lm_cli_continuous(tmp_path, tiny_lm):
     """The serving CLI drives the continuous scheduler end-to-end and
     records its slot-level stats."""
     import json
@@ -507,7 +618,7 @@ def test_serve_lm_cli_continuous(tmp_path):
     from tempo_tpu.cli.serve_lm import main as serve_main
     from tempo_tpu.utils.config import load_config, save_yaml
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     reqs = [{"tokens": [3, 1, 4, 1], "n_tokens": 5},
             {"tokens": [2, 7], "n_tokens": 3},
             {"tokens": [2, 7, 7, 1, 1], "n_tokens": 4}]
@@ -529,7 +640,7 @@ def test_serve_lm_cli_continuous(tmp_path):
     assert info["scheduler_stats"]["prefills"] == 3
 
 
-def test_chunked_prefill_matches_one_shot(tmp_path):
+def test_chunked_prefill_matches_one_shot(tmp_path, tiny_lm):
     """chunked_prefill (extend into a zero cache from position 0) must be
     EXACTLY prefill — same cache, same final-position logits — for any
     chunk size, including ragged tails; and a chunked LMServer decodes
@@ -537,7 +648,7 @@ def test_chunked_prefill_matches_one_shot(tmp_path):
     from tempo_tpu.infer.export_lm import load_exported_speculative
     from tempo_tpu.infer.serving import LMServer, chunked_prefill
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     prefill, extend, meta = load_exported_speculative(out)
 
     prompt = np.asarray([[3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],
@@ -559,12 +670,12 @@ def test_chunked_prefill_matches_one_shot(tmp_path):
     np.testing.assert_array_equal(plain, chunked)
 
 
-def test_continuous_server_chunked_prefill(tmp_path):
+def test_continuous_server_chunked_prefill(tmp_path, tiny_lm):
     """ContinuousLMServer with prefill_chunk admits requests through
     chunked prefill and stays pinned to the unchunked scheduler."""
     from tempo_tpu.infer.serving import ContinuousLMServer
 
-    out, model, params, cfg = _tiny_lm_export(tmp_path)
+    out, model, params, cfg = tiny_lm
     reqs = [
         {"tokens": [3, 1, 4, 1, 5, 9, 2], "n_tokens": 5},
         {"tokens": [9, 2, 6], "n_tokens": 4},
@@ -603,13 +714,13 @@ def test_serving_top_p_policy():
     np.testing.assert_array_equal(g, np.zeros((5, 1), np.int64))
 
 
-def test_prefix_cache_matches_full_prefill(tmp_path):
+def test_prefix_cache_matches_full_prefill(tmp_path, tiny_lm):
     """Shared-prefix (system prompt) KV caching: the prefix cache is
     computed once, tiled across the batch, and the suffix-only prefill
     through `extend` must reproduce full-prompt greedy decode bit-equal."""
     from tempo_tpu.infer.serving import LMServer
 
-    out, _, _, _ = _tiny_lm_export(tmp_path)
+    out, _, _, _ = tiny_lm
     server = LMServer(out)
     prefix = [3, 1, 4, 1, 5, 9]
     suffixes = np.asarray([[6, 7], [8, 9], [2, 6]], np.int32)
