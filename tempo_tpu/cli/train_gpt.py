@@ -365,7 +365,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     tx = make_gpt_optimizer(params,
                             weight_decay=float(opt_cfg.get("weight_decay", 0.1)),
                             learning_rate=lr,
-                            betas=tuple(opt_cfg.get("betas", (0.9, 0.95))))
+                            betas=tuple(opt_cfg.get("betas", (0.9, 0.95))),
+                            moments_dtype=opt_cfg.get("moments_dtype"))
     state = create_train_state(params, tx, jax.random.PRNGKey(seed + 3))
 
     place_fn = None

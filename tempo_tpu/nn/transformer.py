@@ -102,6 +102,15 @@ class TransformerConfig:
     # toolkit's MHA-only GPT (src/mltools/networks/blocks.py:219-410).
     n_kv_head: int = 0
 
+    # single-token KV-cache decode attention: 'xla' = the masked einsum
+    # over the full static cache buffer; 'pallas' = the active-length
+    # kernel (ops/pallas_decode.py) that fetches only the live cache
+    # prefix from HBM — rung 4 of the serving-decode ladder, for serving
+    # windows much longer than typical requests. 'pallas_interpret' runs
+    # the same kernel in interpret mode (CPU tests). TPU-only when
+    # exported: export_lm switches platforms to ("tpu",).
+    decode_attn: str = "xla"
+
     # rematerialize each block in the backward pass (jax.checkpoint via
     # nn.remat): activation residuals per block drop from O(t * rmlp *
     # n_embd) to the block boundary only, traded for one extra forward.
@@ -356,31 +365,46 @@ class SelfAttention(nn.Module):
                 q_idx = (pos + jnp.arange(t))[None]         # [1, t]
             new_cache = (ck, cv)
             s = ck.shape[1]
-            kv_idx = jnp.arange(s)
-            # causal over absolute positions; never attend beyond pos+t
-            mask = kv_idx[None, None, :] <= q_idx[:, :, None]  # [b|1, t, s]
-            if kv < n:
-                # grouped-query decode: the cache holds kv heads and is
-                # streamed as-is (the whole point — n/kv fewer HBM bytes
-                # per token); the group dim rides inside the einsum, no
-                # repeated K/V is ever materialized
-                g = n // kv
-                qg = q.reshape(b, t, kv, g, hd)
-                scores = jnp.einsum(
-                    "bqkgh,bskh->bkgqs", qg.astype(jnp.float32),
-                    ck.astype(jnp.float32)) / math.sqrt(hd)
-                scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
-                weights = jax.nn.softmax(scores, axis=-1)
-                y = jnp.einsum("bkgqs,bskh->bqkgh", weights,
-                               cv.astype(jnp.float32))
-                y = y.reshape(b, t, n, hd).astype(cfg.dtype)
+            if t == 1 and cfg.decode_attn in ("pallas", "pallas_interpret"):
+                # active-length decode: HBM reads scale with pos, not s
+                # (ops/pallas_decode.py — dead cache blocks are never
+                # fetched; exact vs the masked einsum below)
+                from tempo_tpu.ops.pallas_decode import decode_attention
+
+                y = decode_attention(
+                    q, ck, cv, pos,
+                    interpret=cfg.decode_attn == "pallas_interpret"
+                ).astype(cfg.dtype)
             else:
-                scores = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
-                                    ck.astype(jnp.float32)) / math.sqrt(hd)
-                scores = jnp.where(mask[:, None], scores, -jnp.inf)
-                weights = jax.nn.softmax(scores, axis=-1)
-                y = jnp.einsum("bnqk,bknh->bqnh", weights,
-                               cv.astype(jnp.float32)).astype(cfg.dtype)
+                kv_idx = jnp.arange(s)
+                # causal over absolute positions; never attend beyond
+                # pos+t
+                mask = kv_idx[None, None, :] <= q_idx[:, :, None]  # [b|1,t,s]
+                if kv < n:
+                    # grouped-query decode: the cache holds kv heads and
+                    # is streamed as-is (the whole point — n/kv fewer HBM
+                    # bytes per token); the group dim rides inside the
+                    # einsum, no repeated K/V is ever materialized
+                    g = n // kv
+                    qg = q.reshape(b, t, kv, g, hd)
+                    scores = jnp.einsum(
+                        "bqkgh,bskh->bkgqs", qg.astype(jnp.float32),
+                        ck.astype(jnp.float32)) / math.sqrt(hd)
+                    scores = jnp.where(mask[:, None, None], scores,
+                                       -jnp.inf)
+                    weights = jax.nn.softmax(scores, axis=-1)
+                    y = jnp.einsum("bkgqs,bskh->bqkgh", weights,
+                                   cv.astype(jnp.float32))
+                    y = y.reshape(b, t, n, hd).astype(cfg.dtype)
+                else:
+                    scores = jnp.einsum("bqnh,bknh->bnqk",
+                                        q.astype(jnp.float32),
+                                        ck.astype(jnp.float32)) \
+                        / math.sqrt(hd)
+                    scores = jnp.where(mask[:, None], scores, -jnp.inf)
+                    weights = jax.nn.softmax(scores, axis=-1)
+                    y = jnp.einsum("bnqk,bknh->bqnh", weights,
+                                   cv.astype(jnp.float32)).astype(cfg.dtype)
         elif capture or taps:
             # manual path exposing the score matrix (blocks.py:352-363);
             # GQA broadcasts the KV groups so the tapped score/weight
@@ -732,7 +756,7 @@ def nucleus_mask(logits: jax.Array, top_p: float) -> jax.Array:
 def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
              rng: jax.Array, temperature: float = 1.0,
              top_k: Optional[int] = None, top_p: Optional[float] = None,
-             cache_dtype=None) -> jax.Array:
+             cache_dtype=None, cache_len: Optional[int] = None) -> jax.Array:
     """Sample continuations with a KV cache: prefill once, then one
     compiled single-token step per new token under `lax.scan`.
 
@@ -750,14 +774,18 @@ def generate(model: Transformer, params, idx: jax.Array, max_new_tokens: int,
     float32 either way (the cache decode path upcasts). The buffers are
     sized to this request (rounded up to 64 slots), not to block_size:
     the absolute-position mask makes a short cache exact, and every
-    decode step streams the whole buffer."""
+    decode step streams the whole buffer. `cache_len` overrides the
+    request sizing (e.g. a full serving-window buffer to exercise the
+    active-length decode kernel, cfg.decode_attn='pallas')."""
     cfg = model.config
     assert cfg.tokenized, "generate requires a tokenized model"
     b, t0 = idx.shape
     assert t0 + max_new_tokens <= cfg.block_size, (
         f"prompt {t0} + {max_new_tokens} new tokens exceeds block size "
         f"{cfg.block_size}")
-    cache_len = min(cfg.block_size, -((t0 + max_new_tokens) // -64) * 64)
+    if cache_len is None:
+        cache_len = min(cfg.block_size, -((t0 + max_new_tokens) // -64) * 64)
+    assert t0 + max_new_tokens <= cache_len <= cfg.block_size, cache_len
 
     cache = init_cache(cfg, b, dtype=cache_dtype or jnp.float32,
                        cache_len=cache_len)
@@ -839,13 +867,21 @@ def gpt_decay_mask(params):
 
 
 def make_gpt_optimizer(params, weight_decay: float, learning_rate,
-                       betas: Tuple[float, float]):
+                       betas: Tuple[float, float],
+                       moments_dtype: Optional[str] = None):
     """AdamW with weight decay only on matmul kernels and embeddings, none
     on biases/norm scales — the reference's two optimizer groups
     (networks.py:683-709) as an optax decay mask (name-keyed; see
-    gpt_decay_mask)."""
+    gpt_decay_mask).
+
+    `moments_dtype` ('bfloat16'): store the FIRST AdamW moment in bf16
+    (optax mu_dtype) — a third of optimizer memory for free in accuracy
+    terms (mu is a smoothed gradient; its quantization noise is far below
+    gradient noise). nu stays f32: it sits under a sqrt, where bf16's
+    8-bit mantissa would directly perturb the effective step size."""
     import optax
 
     return optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
                        eps=1e-8, weight_decay=weight_decay,
+                       mu_dtype=moments_dtype,
                        mask=gpt_decay_mask(params))

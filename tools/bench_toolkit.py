@@ -39,7 +39,8 @@ def _timed_steps(step, state, batch, warmup: int, iters: int):
 
 
 def bench_gpt(batch_size: int = 8, iters: int = 10, n_experts: int = 0,
-              compute_dtype: str = "bfloat16") -> dict:
+              compute_dtype: str = "bfloat16", remat: bool = False,
+              moments_dtype=None) -> dict:
     """GPT-2-small-scale LM train step (12L/12H/768d, block 1024)."""
     import optax
 
@@ -50,7 +51,7 @@ def bench_gpt(batch_size: int = 8, iters: int = 10, n_experts: int = 0,
     cfg = TransformerConfig(in_size=50304, block_size=1024, n_layer=12,
                             n_head=12, n_embd=768, rope=False,
                             compute_dtype=compute_dtype,
-                            n_experts=n_experts)
+                            n_experts=n_experts, remat=remat)
     model = Transformer(cfg)
     # block_size+1 tokens so inputs (tok[:, :-1]) are a lane-aligned 1024
     # long — a 1023-long sequence pads every seq-tiled op
@@ -61,7 +62,7 @@ def bench_gpt(batch_size: int = 8, iters: int = 10, n_experts: int = 0,
     params = init_fn(jax.random.PRNGKey(0), tokens[:1, :-1])
     n_params = num_params(params)
     tx = make_gpt_optimizer(params, weight_decay=0.1, learning_rate=3e-4,
-                            betas=(0.9, 0.95))
+                            betas=(0.9, 0.95), moments_dtype=moments_dtype)
 
     def loss_fn(p, tok):
         from tempo_tpu.ops.losses import lm_cross_entropy
@@ -80,7 +81,9 @@ def bench_gpt(batch_size: int = 8, iters: int = 10, n_experts: int = 0,
                             warmup=3, iters=iters)
     tokens_per_sec = batch_size * cfg.block_size / dt
     result = {
-        "family": "moe_gpt" if n_experts else "gpt",
+        "family": ("moe_gpt" if n_experts else "gpt")
+        + ("_remat" if remat else "")
+        + (f"_mu{moments_dtype}" if moments_dtype else ""),
         "n_params": n_params,
         "n_experts": n_experts,
         "batch": batch_size,
@@ -180,7 +183,8 @@ def bench_diffusion(batch_size: int = 64, iters: int = 10,
 
 def bench_decode(batch_size: int = 8, new_tokens: int = 128,
                  iters: int = 5, compute_dtype: str = "bfloat16",
-                 quantize: bool = False, n_kv_head: int = 0) -> dict:
+                 quantize: bool = False, n_kv_head: int = 0,
+                 cache_len: int = 0, decode_attn: str = "xla") -> dict:
     """Autoregressive serving throughput: KV-cache scan decode on the
     GPT-2-small shape (the inference side of the GPT family). With
     quantize=True the block matmuls run from int8 weights (nn/quant.py);
@@ -210,9 +214,13 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
     # each and swamp the decode time being measured. The KV cache follows
     # the compute dtype — at batch 8 the streamed cache bytes rival the
     # weight bytes, so a f32 cache would mask the int8 weight win.
+    if decode_attn != "xla":
+        model = Transformer(dataclasses.replace(model.config,
+                                                decode_attn=decode_attn))
     run = jax.jit(lambda key: generate(
         model, params, prompt, new_tokens, rng=key, temperature=1.0,
-        cache_dtype=jnp.dtype(compute_dtype)))
+        cache_dtype=jnp.dtype(compute_dtype),
+        cache_len=cache_len or None))
 
     out = run(jax.random.PRNGKey(1))
     int(np.asarray(out)[0, -1])  # sync
@@ -224,6 +232,12 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
     family = "gpt_decode_int8" if quantize else "gpt_decode"
     if n_kv_head:
         family += f"_gqa{n_kv_head}"
+    if cache_len:
+        # full serving-window cache: the config where the active-length
+        # Pallas kernel (decode_attn='pallas') stops reading dead slots
+        family += f"_window{cache_len}"
+    if decode_attn != "xla":
+        family += f"_{decode_attn}"
     return {
         "family": family,
         "n_params": num_params(params),
@@ -327,6 +341,14 @@ def main():
         print(json.dumps(results[-1]), flush=True)
         results.append(bench_decode(iters=max(2, args.iters // 2),
                                     n_kv_head=2))
+        print(json.dumps(results[-1]), flush=True)
+        # full 1024-slot serving window: XLA streams every slot each
+        # step; the active-length kernel reads only the live prefix
+        results.append(bench_decode(iters=max(2, args.iters // 2),
+                                    cache_len=1024))
+        print(json.dumps(results[-1]), flush=True)
+        results.append(bench_decode(iters=max(2, args.iters // 2),
+                                    cache_len=1024, decode_attn="pallas"))
         print(json.dumps(results[-1]), flush=True)
     if args.family in ("serve", "all"):
         results.append(bench_serve(iters=max(2, args.iters // 2)))
