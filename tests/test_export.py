@@ -580,6 +580,37 @@ def test_continuous_speculative_sampled_reproducible(tmp_path, tiny_lm,
     assert stopped["stopped_early"]
 
 
+def test_serve_lm_cli_continuous_speculative(tmp_path, tiny_lm, draft_lm):
+    """The serving CLI composes draft_artifacts + k_draft under
+    scheduler: continuous and records the round/acceptance stats."""
+    import json
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.utils.config import load_config, save_yaml
+
+    out, model, params, cfg = tiny_lm
+    reqs = [{"tokens": [3, 1, 4, 1], "n_tokens": 5},
+            {"tokens": [2, 7], "n_tokens": 3}]
+    req_path = tmp_path / "requests.jsonl"
+    req_path.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(out), "mode": "batch",
+               "scheduler": "continuous", "slots": 2,
+               "draft_artifacts": str(draft_lm), "k_draft": 2,
+               "requests": str(req_path)}, cfg_path)
+
+    serve_main(str(cfg_path))
+    lines = [json.loads(l) for l in
+             (tmp_path / "served" / "completions.jsonl").read_text()
+             .splitlines()]
+    assert [l["n_generated"] for l in lines] == [5, 3]
+    info = load_config(str(tmp_path / "served" / "serving_info.yaml"))
+    stats = info["scheduler_stats"]
+    assert stats["k_draft"] == 2 and stats["rounds"] > 0
+    assert stats["drafted"] > 0
+
+
 def test_serve_lm_cli_speculative(tmp_path, tiny_lm, draft_lm):
     """The serving CLI drives the speculative scheduler end-to-end and
     records acceptance stats."""
