@@ -62,7 +62,8 @@ def _decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
         # reshape [b, t, kv, g, hd] of nn/transformer.py)
         rows = []
         for h in range(kv):
-            q_h = jax.lax.dynamic_slice_in_dim(qv, h * g, g, axis=0)
+            # static python slices: Mosaic TC has no dynamic_slice lowering
+            q_h = qv[h * g:(h + 1) * g]
             rows.append(jax.lax.dot_general(
                 q_h, k_blk[:, h, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))   # [g, blk]
@@ -77,7 +78,7 @@ def _decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
         l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
         pv_rows = []
         for h in range(kv):
-            p_h = jax.lax.dynamic_slice_in_dim(p, h * g, g, axis=0)
+            p_h = p[h * g:(h + 1) * g]
             pv_rows.append(jax.lax.dot_general(
                 p_h, v_blk[:, h, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))   # [g, hd]

@@ -217,16 +217,20 @@ def bench_decode(batch_size: int = 8, new_tokens: int = 128,
     if decode_attn != "xla":
         model = Transformer(dataclasses.replace(model.config,
                                                 decode_attn=decode_attn))
-    run = jax.jit(lambda key: generate(
-        model, params, prompt, new_tokens, rng=key, temperature=1.0,
+
+    # params/prompt as jit ARGUMENTS, not closure constants: closed-over
+    # arrays embed in the serialized program, and the relay's compile
+    # endpoint caps the request body (HTTP 413 at the 1024-slot window)
+    run = jax.jit(lambda p, tok, key: generate(
+        model, p, tok, new_tokens, rng=key, temperature=1.0,
         cache_dtype=jnp.dtype(compute_dtype),
         cache_len=cache_len or None))
 
-    out = run(jax.random.PRNGKey(1))
+    out = run(params, prompt, jax.random.PRNGKey(1))
     int(np.asarray(out)[0, -1])  # sync
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(jax.random.PRNGKey(2 + i))
+        out = run(params, prompt, jax.random.PRNGKey(2 + i))
     int(np.asarray(out)[0, -1])
     dt = (time.perf_counter() - t0) / iters
     family = "gpt_decode_int8" if quantize else "gpt_decode"
@@ -271,18 +275,20 @@ def bench_serve(batch_size: int = 8, new_tokens: int = 128,
     cache_len = 256
 
     def chain(vector_pos: bool):
-        def run(tok0):
+        # params/prompt as jit arguments (closure constants would ship
+        # inside the relay's size-capped compile request)
+        def run(p, tok_prompt, tok0):
             cache = init_cache(cfg, batch_size, jnp.dtype(compute_dtype),
                                cache_len=cache_len)
-            _, cache = model.apply({"params": params}, prompt, cache=cache,
+            _, cache = model.apply({"params": p}, tok_prompt, cache=cache,
                                    input_pos=jnp.int32(0))
-            p0 = prompt.shape[1]
+            p0 = tok_prompt.shape[1]
             pos0 = (jnp.full((batch_size,), p0, jnp.int32) if vector_pos
                     else jnp.int32(p0))
 
             def step(carry, _):
                 tok, cache, pos = carry
-                logits, cache = model.apply({"params": params}, tok[:, None],
+                logits, cache = model.apply({"params": p}, tok[:, None],
                                             cache=cache, input_pos=pos)
                 nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
                                  axis=-1).astype(jnp.int32)
@@ -292,7 +298,8 @@ def bench_serve(batch_size: int = 8, new_tokens: int = 128,
                 step, (tok0, cache, pos0), None, length=new_tokens)
             return tok
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        return lambda tok0: fn(params, prompt, tok0)
 
     out = {"family": "serve_decode_rows", "batch": batch_size,
            "new_tokens": new_tokens, "cache_len": cache_len}
