@@ -44,6 +44,11 @@ Config:
   slots: 8                          # continuous scheduler: batch rows
   draft_artifacts: <exported draft lm dir>  # speculative scheduler
   k_draft: 4                        # speculative scheduler: block size
+  k_decode: 0                       # continuous scheduler: >0 advances every
+                                    #   slot K greedy tokens per dispatch via
+                                    #   the fused decode_k_rows artifact (must
+                                    #   match the exported decode_chunk;
+                                    #   alternative to k_draft)
   prefill_chunk: 0                  # >0: prefill long prompts in chunks of
                                     #   this size via the `extend` artifact
                                     #   (exact; bounds peak prefill memory;
@@ -194,7 +199,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         server = ContinuousLMServer(artifacts,
                                     n_slots=int(config.get("slots", 8)),
                                     prefill_chunk=chunk,
-                                    draft_dir=draft, k_draft=k_draft)
+                                    draft_dir=draft, k_draft=k_draft,
+                                    k_decode=int(config.get("k_decode", 0)))
     elif scheduler == "speculative":
         if chunk:
             raise ValueError("FATAL: prefill_chunk applies to the bucketed "

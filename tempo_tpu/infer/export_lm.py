@@ -48,6 +48,40 @@ position, so rows that accept different draft lengths stay in one device
 batch (the de-sync that forced SpeculativeLMServer to batch 1). Same
 rollback-by-mask argument per row. Scheduler: ContinuousLMServer with
 k_draft > 0.
+
+A seventh pair amortizes HOST DISPATCH, the dominant per-token cost of
+serving decode on this transport (7-14 ms round-trip vs ~1 ms of kernel
+time — and a real ~ms tax on any production host loop):
+
+  decode_k(tok[b,1], cache, pos)          -> (tokens[b, K], cache)
+  decode_k_rows(tok[b,1], cache, pos[b])  -> (tokens[b, K], cache)
+
+K GREEDY decode steps run as ONE `lax.scan` inside one dispatch — the
+argmax feedback happens on-device, so the host sees K tokens per
+round-trip instead of one. K is static (scan length must be; stored in
+meta as `decode_chunk`), and the emitted chain is bit-identical to K
+per-token `decode_step` calls (same argmax over the same logits; pinned
+in test_export.py). Schedulers: LMServer.generate_batch takes the
+chunked path for greedy requests; ContinuousLMServer(k_decode=K)
+advances every slot K tokens per dispatch (multi-step scheduling — a
+finished slot over-decodes at most K-1 discarded tokens).
+
+An eighth artifact moves the SAMPLING policy on-device so sampled
+requests ride the fused chunks too:
+
+  decode_k_sample(tok[b,1], cache, pos[b], keys[b,2],
+                  temperature[b], top_k[b], top_p[b]) -> (tokens[b,K], cache)
+
+Per-row policy (temperature 0 rows decode greedily; top_k <= 0 / top_p
+>= 1 disable truncation), per-row rng keys, and a CHUNK-INVARIANT key
+schedule: the step key is fold_in(key_row, absolute position), so a
+row's sampled stream depends only on (seed, prompt) — not on chunk
+boundaries, admission order, or batch composition (pinned in
+test_export.py). Support truncation mirrors serving.sample_next
+(top-k, then nucleus keeping the boundary-crossing token); the sampled
+stream itself is the device threefry draw, NOT the host numpy draw —
+reproducible, but a different (equally distributed) stream than the
+per-token host path.
 """
 
 from __future__ import annotations
@@ -63,13 +97,50 @@ from jax import export as jexport
 from tempo_tpu.nn.transformer import Transformer, TransformerConfig, init_cache
 
 
+def truncate_support_rows(logits: jax.Array, top_k: jax.Array,
+                          top_p: jax.Array) -> jax.Array:
+    """Device twin of serving._truncate_support with PER-ROW dynamic
+    policy: top-k (keep the k largest logits; <= 0 disables) then nucleus
+    (keep the smallest sorted-prob prefix reaching top_p INCLUDING the
+    boundary-crossing token; >= 1 disables). logits [b, V] float32."""
+    v = logits.shape[-1]
+    sorted_x = jnp.sort(logits, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(
+        sorted_x, (jnp.clip(top_k, 1, v) - 1)[:, None], axis=-1)
+    logits = jnp.where((top_k > 0)[:, None] & (logits < kth),
+                       -jnp.inf, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    sp = jnp.sort(probs, axis=-1)[:, ::-1]
+    keep = (jnp.cumsum(sp, axis=-1) - sp) < top_p[:, None]
+    thr = jnp.min(jnp.where(keep, sp, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where((top_p < 1.0)[:, None] & (probs < thr),
+                     -jnp.inf, logits)
+
+
+def sample_rows(logits: jax.Array, keys: jax.Array, temperature: jax.Array,
+                top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Per-row sampling policy on-device: temperature scaling + support
+    truncation + one categorical draw per row (threefry). temperature 0
+    rows take the argmax instead (their draw is computed and discarded —
+    static shapes). logits [b, V], keys [b, 2] uint32 -> tokens [b]."""
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+    x = truncate_support_rows(
+        logits / jnp.maximum(temperature, 1e-6)[:, None], top_k, top_p)
+    sampled = jax.vmap(jax.random.categorical)(keys, x)
+    return jnp.where(temperature <= 0.0, greedy, sampled).astype(jnp.int32)
+
+
 def export_lm(params, config: TransformerConfig,
               out_dir: Union[str, Path],
-              max_seq: Optional[int] = None) -> Path:
+              max_seq: Optional[int] = None,
+              decode_chunk: int = 8) -> Path:
     """`max_seq` (default block_size) sizes the exported KV cache: every
     decode step streams the whole static buffer from HBM, and a shorter
     buffer is exact for requests that fit it (absolute-position mask), so
-    size the artifact to the serving window, not the model maximum."""
+    size the artifact to the serving window, not the model maximum.
+    `decode_chunk` sizes the fused greedy decode_k scan (0 disables the
+    pair)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     model = Transformer(config)
@@ -99,6 +170,41 @@ def export_lm(params, config: TransformerConfig,
         # scores a whole draft block
         return model.apply({"params": params}, tokens, cache=cache,
                            input_pos=pos)
+
+    def decode_k(tok, cache, pos):
+        # K greedy steps fused into one dispatch: the argmax->next-token
+        # feedback runs on-device inside a lax.scan, so a serving host
+        # pays ONE round-trip per K tokens. Feeding `tok` at `pos` (the
+        # decode_step contract), step i writes KV at pos+i and emits
+        # token i+1; the final emitted token is NOT yet in the cache —
+        # exactly the per-token loop's state, so the host continues with
+        # decode_k(out[:, -1:], cache, pos + K).
+        def body(carry, _):
+            t, c, p = carry
+            logits, c = model.apply({"params": params}, t, cache=c,
+                                    input_pos=p)
+            nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, c, p + 1), nxt
+        (_, cache, _), steps = jax.lax.scan(
+            body, (tok, cache, pos), None, length=decode_chunk)
+        return jnp.swapaxes(steps[..., 0], 0, 1), cache  # [b, K]
+
+    def decode_k_sample(tok, cache, pos, keys, temperature, top_k, top_p):
+        # the sampled sibling of decode_k: per-row policy + per-row rng,
+        # step keys folded with the ABSOLUTE position so the stream is
+        # invariant to chunk boundaries and batch composition
+        def body(carry, _):
+            t, c, p = carry
+            logits, c = model.apply({"params": params}, t, cache=c,
+                                    input_pos=p)
+            step_keys = jax.vmap(jax.random.fold_in)(keys, p)
+            nxt = sample_rows(logits[:, -1], step_keys, temperature,
+                              top_k, top_p)[:, None]
+            return (nxt, c, p + 1), nxt
+        (_, cache, _), steps = jax.lax.scan(
+            body, (tok, cache, pos), None, length=decode_chunk)
+        return jnp.swapaxes(steps[..., 0], 0, 1), cache
 
     def admit(cache, row_cache, slot):
         # splice a prefilled batch-1 cache into row `slot` of the serving
@@ -147,6 +253,25 @@ def export_lm(params, config: TransformerConfig,
     # [b] input_pos through per-row scatter + per-row absolute mask)
     ext_rows = jexport.export(jax.jit(extend), platforms=platforms)(
         tok_k, cache_spec_k, pos_rows_k_spec)
+    if decode_chunk > 0:
+        # same traced function at scalar and [b] positions: the model
+        # already routes [b] input_pos through per-row scatter + per-row
+        # absolute mask, and `p + 1` advances elementwise
+        dk = jexport.export(jax.jit(decode_k), platforms=platforms)(
+            tok_1, cache_spec, pos_spec)
+        dkr = jexport.export(jax.jit(decode_k), platforms=platforms)(
+            tok_1, cache_spec, pos_rows_spec)
+        (out_dir / "decode_k.stablehlo").write_bytes(dk.serialize())
+        (out_dir / "decode_k_rows.stablehlo").write_bytes(dkr.serialize())
+        keys_spec = jax.ShapeDtypeStruct((b2, 2), jnp.uint32)
+        pol_f_spec = jax.ShapeDtypeStruct((b2,), jnp.float32)
+        pol_i_spec = jax.ShapeDtypeStruct((b2,), jnp.int32)
+        dks = jexport.export(jax.jit(decode_k_sample),
+                             platforms=platforms)(
+            tok_1, cache_spec, pos_rows_spec, keys_spec, pol_f_spec,
+            pol_i_spec, pol_f_spec)
+        (out_dir / "decode_k_sample.stablehlo").write_bytes(
+            dks.serialize())
     (out_dir / "prefill.stablehlo").write_bytes(pre.serialize())
     (out_dir / "decode_step.stablehlo").write_bytes(dec.serialize())
     (out_dir / "decode_rows.stablehlo").write_bytes(rows.serialize())
@@ -168,6 +293,7 @@ def export_lm(params, config: TransformerConfig,
         "platforms": list(platforms),
         "continuous": True,
         "speculative": True,
+        "decode_chunk": int(decode_chunk),
     }, indent=2))
     return out_dir
 
@@ -220,6 +346,38 @@ def load_exported_extend_rows(out_dir: Union[str, Path]):
     ext = jexport.deserialize(
         (out_dir / "extend_rows.stablehlo").read_bytes())
     return jax.jit(ext.call)
+
+
+def load_exported_decode_k(out_dir: Union[str, Path]):
+    """(decode_k, decode_k_rows, K) — the fused K-token greedy decode
+    pair (one dispatch emits K tokens). Raises FileNotFoundError on
+    artifacts exported before it existed or with decode_chunk=0."""
+    out_dir = Path(out_dir)
+    meta = json.loads((out_dir / "meta.json").read_text())
+    k = int(meta.get("decode_chunk", 0))
+    if k <= 0:
+        raise FileNotFoundError(
+            f"{out_dir} was exported without the decode_k pair")
+    dk = jexport.deserialize(
+        (out_dir / "decode_k.stablehlo").read_bytes())
+    dkr = jexport.deserialize(
+        (out_dir / "decode_k_rows.stablehlo").read_bytes())
+    return jax.jit(dk.call), jax.jit(dkr.call), k
+
+
+def load_exported_decode_k_sample(out_dir: Union[str, Path]):
+    """(decode_k_sample, K) — the fused K-token SAMPLED decode (per-row
+    temperature/top-k/top-p policy + per-row threefry keys on-device;
+    chunk-invariant key schedule). Raises FileNotFoundError on artifacts
+    exported before it existed."""
+    out_dir = Path(out_dir)
+    meta = json.loads((out_dir / "meta.json").read_text())
+    k = int(meta.get("decode_chunk", 0))
+    path = out_dir / "decode_k_sample.stablehlo"
+    if k <= 0 or not path.exists():
+        raise FileNotFoundError(
+            f"{out_dir} was exported without decode_k_sample")
+    return jax.jit(jexport.deserialize(path.read_bytes()).call), k
 
 
 def load_exported_speculative(out_dir: Union[str, Path]):

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tempo_tpu.infer.export_lm import (load_exported_continuous,
+                                        load_exported_decode_k,
+                                        load_exported_decode_k_sample,
                                         load_exported_extend_rows,
                                         load_exported_lm,
                                         load_exported_speculative,
@@ -158,6 +160,13 @@ class LMServer:
             # chunked prefill rides the `extend` artifact (symbolic k)
             _, self.extend, _ = load_exported_speculative(artifacts_dir)
         self._artifacts_dir = artifacts_dir
+        try:
+            # fused K-token greedy decode (one dispatch per K tokens);
+            # absent on artifacts exported before it existed
+            self.decode_k, _, self.k_decode = load_exported_decode_k(
+                artifacts_dir)
+        except FileNotFoundError:
+            self.decode_k, self.k_decode = None, 0
         # prefix cache: tuple(prefix tokens) -> batch-1 KV cache pytree
         self._prefix_caches: Dict[tuple, Any] = {}
         # beam decode: jitted cache expand (per beam width) / reorder —
@@ -232,10 +241,23 @@ class LMServer:
         tok = sample_next(np.asarray(logits[:, -1]), temperature, top_k,
                           rng, top_p=top_p)
         out = [tok]
-        pos = jnp.int32(t)
-        for _ in range(max_new_tokens - 1):
+        pos = int(t)
+        remaining = max_new_tokens - 1
+        if temperature == 0.0 and self.decode_k is not None:
+            # greedy rides the fused decode_k artifact: the argmax
+            # feedback runs on-device, one dispatch per K tokens
+            # (bit-equal to the per-token loop; pinned in test_export.py)
+            while remaining >= self.k_decode:
+                chunk, cache = self.decode_k(
+                    jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
+                chunk = np.asarray(chunk)
+                out.append(chunk)
+                tok = chunk[:, -1:]
+                pos += self.k_decode
+                remaining -= self.k_decode
+        for _ in range(remaining):
             logits, cache = self.decode_step(
-                jnp.asarray(tok, jnp.int32), cache, pos)
+                jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
             tok = sample_next(np.asarray(logits[:, -1]), temperature,
                               top_k, rng, top_p=top_p)
             out.append(tok)
@@ -444,11 +466,31 @@ class ContinuousLMServer:
     def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
                  prefill_chunk: Optional[int] = None,
                  draft_dir: Optional[Union[str, Path]] = None,
-                 k_draft: int = 0):
+                 k_draft: int = 0, k_decode: int = 0):
         (self.prefill, self.decode_rows, self.admit,
          self.meta) = load_exported_continuous(artifacts_dir)
         assert n_slots >= 1, n_slots
         self.n_slots = int(n_slots)
+        self.k_decode = int(k_decode)
+        self.decode_k_rows = None
+        if self.k_decode > 0:
+            # multi-step scheduling: advance every slot K tokens per
+            # dispatch via the fused greedy decode_k_rows artifact
+            assert k_draft == 0, \
+                "k_decode (fused greedy chunks) and k_draft (speculative " \
+                "draft/verify) are alternative decode loops — pick one"
+            _, self.decode_k_rows, k_art = load_exported_decode_k(
+                artifacts_dir)
+            assert self.k_decode == k_art, (
+                f"artifacts were exported with decode_chunk={k_art}, "
+                f"scheduler asked for k_decode={self.k_decode}")
+            try:
+                # sampled rows ride the fused chunks too (policy + rng
+                # on-device); absent on artifacts exported before it
+                self.decode_k_sample, _ = load_exported_decode_k_sample(
+                    artifacts_dir)
+            except FileNotFoundError:
+                self.decode_k_sample = None
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
         self.last_stats: Dict[str, Any] = {}
@@ -571,6 +613,9 @@ class ContinuousLMServer:
                         "eos_hit": False,
                         "rng": np.random.default_rng(
                             int(req.get("seed", 0))),
+                        # device rng root for the fused sampled path
+                        "key": np.asarray(jax.random.PRNGKey(
+                            int(req.get("seed", 0))), np.uint32),
                     }
                     slots[s] = st
                     pos[s] = prompt.shape[1]
@@ -581,6 +626,51 @@ class ContinuousLMServer:
 
             if not any(st is not None for st in slots):
                 break
+            k = self.k_decode
+            active = [s for s in range(b) if slots[s] is not None]
+            all_greedy = all(slots[s]["temperature"] == 0.0
+                             for s in active)
+            if (self.decode_k_rows is not None
+                    and (all_greedy or self.decode_k_sample is not None)
+                    and all(pos[s] + k <= self.window for s in active)):
+                # multi-step quantum: every slot advances K tokens in one
+                # dispatch (argmax/sampling feedback on-device). A slot
+                # that finishes mid-chunk discards its tail tokens (≤ K-1
+                # over-decoded; its row is wholly replaced on re-admit).
+                # Falls back to per-token when a slot sits too close to
+                # the window edge for a full chunk of writes. Sampled
+                # slots draw the DEVICE threefry stream (chunk-invariant:
+                # keyed by seed + absolute position), not the per-token
+                # host numpy stream — reproducible either way.
+                if all_greedy:
+                    chunk, cache = self.decode_k_rows(
+                        jnp.asarray(toks), cache, jnp.asarray(pos))
+                else:
+                    keys = np.zeros((b, 2), np.uint32)
+                    temp = np.zeros(b, np.float32)
+                    topk = np.zeros(b, np.int32)
+                    topp = np.ones(b, np.float32)
+                    for s in active:
+                        st = slots[s]
+                        keys[s] = st["key"]
+                        temp[s] = st["temperature"]
+                        topk[s] = int(st["top_k"] or 0)
+                        topp[s] = float(1.0 if st["top_p"] is None
+                                        else st["top_p"])
+                    chunk, cache = self.decode_k_sample(
+                        jnp.asarray(toks), cache, jnp.asarray(pos),
+                        jnp.asarray(keys), jnp.asarray(temp),
+                        jnp.asarray(topk), jnp.asarray(topp))
+                chunk_np = np.asarray(chunk)
+                decode_steps += 1
+                for s in active:
+                    st = slots[s]
+                    for j in range(k):
+                        pos[s] += 1
+                        push(s, st, chunk_np[s:s + 1, j:j + 1])
+                        if slots[s] is None:
+                            break
+                continue
             logits, cache = self.decode_rows(
                 jnp.asarray(toks), cache, jnp.asarray(pos))
             logits_np = np.asarray(logits[:, -1])

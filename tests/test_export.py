@@ -354,6 +354,127 @@ def test_lm_export_continuous_batching(tmp_path, tiny_lm):
     assert empty["tokens"] == [] and not empty["stopped_early"]
 
 
+def test_decode_k_greedy_matches_per_token(tmp_path, tiny_lm):
+    """The fused decode_k artifact (K greedy steps in one dispatch, argmax
+    feedback on-device) emits the exact per-token decode_step chain —
+    LMServer's greedy path chains chunks + a per-token tail."""
+    from tempo_tpu.infer.export_lm import greedy_decode_exported
+    from tempo_tpu.infer.serving import LMServer
+
+    out, model, params, cfg = tiny_lm
+    server = LMServer(out)
+    assert server.decode_k is not None and server.k_decode == 8
+
+    prompt = np.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], np.int32)
+    # 20 new tokens = prefill token + 2 fused chunks + 3-token tail
+    got = server.generate_batch(prompt, 20)
+    ref = greedy_decode_exported(out, prompt, 20)[:, 5:]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_continuous_k_decode_matches_per_token(tmp_path, tiny_lm):
+    """ContinuousLMServer(k_decode=8): multi-step scheduling — every slot
+    advances 8 greedy tokens per dispatch via decode_k_rows — reproduces
+    the per-token continuous schedule exactly (incl. a request that ends
+    flush against the serving window, which forces the per-token fallback
+    near the edge, and an eos that lands mid-chunk), with fewer device
+    dispatches."""
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    out, model, params, cfg = tiny_lm
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 17},
+        {"tokens": [9, 2, 6], "n_tokens": 11},
+        {"tokens": [7, 7], "n_tokens": 20},
+        {"tokens": [1, 2, 3, 4], "n_tokens": 5},
+        # 12 + 20 = 32 fills the exported window exactly: pos + 8 > 32
+        # near the end, so the scheduler must drop to per-token steps
+        {"tokens": [5, 3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], "n_tokens": 20},
+    ]
+    base_server = ContinuousLMServer(out, n_slots=2)
+    base = base_server.serve(reqs)
+    fast_server = ContinuousLMServer(out, n_slots=2, k_decode=8)
+    fast = fast_server.serve(reqs)
+    for rb, rf in zip(base, fast):
+        assert rb["tokens"] == rf["tokens"]
+    assert (fast_server.last_stats["decode_steps"]
+            < base_server.last_stats["decode_steps"])
+
+    # eos mid-chunk: the chunked server discards its over-decoded tail
+    eos = base[0]["tokens"][9]
+    for srv in (base_server, fast_server):
+        r = srv.serve([{"tokens": [3, 1, 4, 1, 5], "n_tokens": 17,
+                        "eos": eos}])[0]
+        first_hit = base[0]["tokens"].index(eos) + 1
+        assert r["stopped_early"]
+        assert r["tokens"] == base[0]["tokens"][:first_hit]
+
+    # a sampled request in the pool rides decode_k_sample (policy + rng
+    # on-device): greedy rows stay pinned to the per-token schedule, and
+    # the sampled row's device stream is chunk-invariant — the same
+    # (seed, prompt) yields the same tokens whether the row decodes
+    # alone, in a mixed pool, or on a pool with a different slot count
+    sampled_req = {"tokens": [4, 4, 4], "n_tokens": 14,
+                   "temperature": 1.0, "top_k": 7, "seed": 5}
+    mixed = reqs[:2] + [sampled_req]
+    got = fast_server.serve(mixed)
+    for rb, rf in zip(base[:2], got[:2]):
+        assert rb["tokens"] == rf["tokens"]
+    alone = ContinuousLMServer(out, n_slots=2, k_decode=8).serve(
+        [sampled_req])[0]
+    wide = ContinuousLMServer(out, n_slots=4, k_decode=8).serve(
+        [sampled_req] + reqs[:3])[0]
+    assert got[2]["tokens"] == alone["tokens"] == wide["tokens"]
+    assert min(alone["tokens"]) >= 0 and max(alone["tokens"]) < cfg.in_size
+
+    # guard: the scheduler refuses a chunk size the artifacts don't carry
+    with pytest.raises(AssertionError, match="decode_chunk"):
+        ContinuousLMServer(out, n_slots=2, k_decode=4)
+
+
+def test_decode_k_sample_policy_support(tmp_path, tiny_lm):
+    """The on-device support truncation (truncate_support_rows) keeps
+    exactly the host policy's support (serving.policy_probs: top-k then
+    nucleus with the boundary token), per row with per-row parameters;
+    greedy rows (temperature 0) in decode_k_sample reproduce decode_k's
+    argmax chain exactly."""
+    import json
+    from pathlib import Path
+
+    from tempo_tpu.infer.export_lm import (load_exported_decode_k,
+                                           load_exported_decode_k_sample,
+                                           truncate_support_rows,
+                                           zero_cache)
+    from tempo_tpu.infer.serving import policy_probs
+
+    out, model, params, cfg = tiny_lm
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(6, cfg.in_size)).astype(np.float32)
+    top_k = np.asarray([0, 3, 1, 8, 0, 5], np.int32)
+    top_p = np.asarray([1.0, 1.0, 0.9, 0.5, 0.3, 0.7], np.float32)
+    masked = np.asarray(truncate_support_rows(
+        jnp.asarray(logits), jnp.asarray(top_k), jnp.asarray(top_p)))
+    for r in range(6):
+        want = policy_probs(logits[r], 1.0,
+                            int(top_k[r]) or None, float(top_p[r])) > 0
+        np.testing.assert_array_equal(np.isfinite(masked[r]), want)
+
+    # greedy rows through the sampled artifact == the greedy artifact
+    dks, k = load_exported_decode_k_sample(out)
+    _, dkr, _ = load_exported_decode_k(out)
+    cache = zero_cache(json.loads((Path(out) / "meta.json").read_text()), 2)
+    tok = jnp.asarray([[3], [9]], jnp.int32)
+    pos = jnp.zeros(2, jnp.int32)
+    keys = jnp.asarray(np.stack([jax.random.PRNGKey(1),
+                                 jax.random.PRNGKey(2)]), jnp.uint32)
+    zeros = jnp.zeros(2, jnp.float32)
+    g_toks, _ = dkr(tok, cache, pos)
+    s_toks, _ = dks(tok, cache, pos, keys, zeros,
+                    jnp.zeros(2, jnp.int32), jnp.ones(2, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(s_toks))
+
+
 def test_lm_export_continuous_rope(tmp_path):
     """The per-row-position decode path also covers RoPE models (per-row
     rotation-angle gather instead of the learned-table gather)."""

@@ -319,11 +319,116 @@ def bench_serve(batch_size: int = 8, new_tokens: int = 128,
     return out
 
 
+def bench_host_decode(batch_size: int = 8, new_tokens: int = 64,
+                      chunk: int = 8, iters: int = 3,
+                      compute_dtype: str = "bfloat16") -> dict:
+    """The serving host loop the decode_k artifact attacks: per-token
+    serving pays one dispatch round-trip AND one [b, vocab] logits fetch
+    per token (the host runs the sampling policy); the fused K-token
+    greedy chunk pays one dispatch + one [b, K] int32 fetch per K tokens.
+    On this transport (7-14 ms round-trip, ~12-20 MB/s fetch) the
+    per-token loop is dispatch/transfer-bound, which is exactly what
+    multi-step scheduling amortizes — production hosts pay a smaller but
+    real per-dispatch tax. Mirrors infer/export_lm.py's decode_step /
+    decode_k contracts with live jitted functions (same compute graph the
+    artifacts serialize)."""
+    from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                          init_cache)
+
+    cfg = TransformerConfig(in_size=50304, block_size=1024, n_layer=12,
+                            n_head=12, n_embd=768,
+                            compute_dtype=compute_dtype)
+    model = Transformer(cfg)
+    cache_len = 256
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.in_size, (batch_size, 64), dtype=np.int32))
+    init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
+    params = init_fn(jax.random.PRNGKey(0), prompt[:1])
+    cdt = jnp.dtype(compute_dtype)
+
+    # params as jit ARGUMENTS (closure constants embed in the relay's
+    # size-capped compile request)
+    def prefill(p, toks):
+        cache = init_cache(cfg, batch_size, cdt, cache_len=cache_len)
+        return model.apply({"params": p}, toks, cache=cache,
+                           input_pos=jnp.int32(0))
+
+    def step(p, tok, cache, pos):
+        return model.apply({"params": p}, tok, cache=cache, input_pos=pos)
+
+    def decode_k(p, tok, cache, pos):
+        def body(carry, _):
+            t, c, q = carry
+            logits, c = model.apply({"params": p}, t, cache=c, input_pos=q)
+            nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, c, q + 1), nxt
+        (_, cache, _), steps = jax.lax.scan(
+            body, (tok, cache, pos), None, length=chunk)
+        return jnp.swapaxes(steps[..., 0], 0, 1), cache
+
+    prefill_j = jax.jit(prefill)
+    step_j = jax.jit(step)
+    dk_j = jax.jit(decode_k)
+    assert new_tokens % chunk == 0, (new_tokens, chunk)
+
+    def per_token():
+        logits, cache = prefill_j(params, prompt)
+        tok = np.argmax(np.asarray(logits[:, -1], np.float32), -1)
+        out = [tok]
+        pos = prompt.shape[1]
+        for _ in range(new_tokens - 1):
+            logits, cache = step_j(params,
+                                   jnp.asarray(out[-1][:, None], jnp.int32),
+                                   cache, jnp.int32(pos))
+            # the host policy fetch: [b, vocab] logits cross to the host
+            out.append(np.argmax(np.asarray(logits[:, -1], np.float32), -1))
+            pos += 1
+        return np.stack(out, 1)
+
+    def fused():
+        logits, cache = prefill_j(params, prompt)
+        tok = np.argmax(np.asarray(logits[:, -1], np.float32), -1)
+        out = [tok[:, None]]
+        pos = prompt.shape[1]
+        remaining = new_tokens - 1
+        while remaining >= chunk:
+            toks, cache = dk_j(params,
+                               jnp.asarray(out[-1][:, -1:], jnp.int32),
+                               cache, jnp.int32(pos))
+            out.append(np.asarray(toks))  # [b, K] int32 — the only fetch
+            pos += chunk
+            remaining -= chunk
+        for _ in range(remaining):
+            logits, cache = step_j(params,
+                                   jnp.asarray(out[-1][:, -1:], jnp.int32),
+                                   cache, jnp.int32(pos))
+            out.append(np.argmax(np.asarray(logits[:, -1], np.float32),
+                                 -1)[:, None])
+            pos += 1
+        return np.concatenate(out, 1)
+
+    a = per_token()
+    b = fused()
+    np.testing.assert_array_equal(a[:, :b.shape[1]], b)  # same greedy chain
+    out = {"family": "serve_host_loop", "batch": batch_size,
+           "new_tokens": new_tokens, "chunk": chunk, "cache_len": cache_len}
+    for name, fn in (("per_token", per_token), (f"decode_k{chunk}", fused)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        dt = (time.perf_counter() - t0) / iters
+        out[f"{name}_ms_per_token"] = round(1000 * dt / new_tokens, 3)
+    out["speedup"] = round(out["per_token_ms_per_token"]
+                           / out[f"decode_k{chunk}_ms_per_token"], 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="all",
                     choices=["gpt", "moe", "diffusion", "decode", "serve",
-                             "all"])
+                             "hostloop", "all"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8,
                     help="GPT/MoE batch size (diffusion fixed at 64)")
@@ -359,6 +464,9 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     if args.family in ("serve", "all"):
         results.append(bench_serve(iters=max(2, args.iters // 2)))
+        print(json.dumps(results[-1]), flush=True)
+    if args.family in ("hostloop", "all"):
+        results.append(bench_host_decode(iters=max(2, args.iters // 3)))
         print(json.dumps(results[-1]), flush=True)
 
 
