@@ -19,6 +19,10 @@ Config:
   checkpoint: <optional explicit ckpt path; default latest in run_dir>
   quantize: none | int8             # weight-only serving quantization
   max_seq: <optional, default block_size>  # serving-window cache size
+  decode_chunk: 8                   # fused K-token decode scan (0 disables)
+  page_size: 0                      # >0: also export the paged-cache pair
+                                    #   (decode_paged/admit_paged; serve with
+                                    #   scheduler: paged + n_pages)
 """
 
 from __future__ import annotations
@@ -115,7 +119,9 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     # decode step streams the whole static buffer; shorter is exact)
     max_seq = config.get("max_seq")
     out = export_lm(params, tconfig, output_dir / "lm",
-                    max_seq=int(max_seq) if max_seq else None)
+                    max_seq=int(max_seq) if max_seq else None,
+                    decode_chunk=int(config.get("decode_chunk", 8)),
+                    page_size=int(config.get("page_size", 0)))
     print(f"Exported prefill + decode_step to {out}")
 
     # smoke: the artifacts' greedy decode must equal the live model's

@@ -18,6 +18,12 @@ Two schedulers (infer/serving.py):
   the target verifies the block in one `extend` pass. Greedy output is
   exactly the target-only greedy sequence; sampling is distribution-
   preserving rejection sampling. A latency lever (per-request decode).
+- `scheduler: paged` — PagedLMServer (infer/paged.py): continuous
+  batching over a PAGED KV cache (`n_pages` physical pages of the
+  exported `page_size`, shared across slots, preemption when the pool
+  runs dry) — the memory lever: slots oversubscribe cache HBM instead
+  of reserving window-sized rows. Requires artifacts exported with
+  `page_size > 0`. Outputs are per-request identical to `continuous`.
 
 Two modes over either scheduler:
 
@@ -49,6 +55,8 @@ Config:
                                     #   the fused decode_k_rows artifact (must
                                     #   match the exported decode_chunk;
                                     #   alternative to k_draft)
+  n_pages: 0                        # paged scheduler: physical pool pages
+                                    #   (0 = dense-equivalent capacity)
   prefill_chunk: 0                  # >0: prefill long prompts in chunks of
                                     #   this size via the `extend` artifact
                                     #   (exact; bounds peak prefill memory;
@@ -211,11 +219,20 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             raise ValueError(f"FATAL: no exported draft artifacts at {draft}")
         server = SpeculativeLMServer(artifacts, draft,
                                      k_draft=int(config.get("k_draft", 4)))
+    elif scheduler == "paged":
+        if chunk:
+            raise ValueError("FATAL: prefill_chunk applies to the bucketed "
+                             "and continuous schedulers")
+        from tempo_tpu.infer.paged import PagedLMServer
+
+        server = PagedLMServer(artifacts,
+                               n_slots=int(config.get("slots", 8)),
+                               n_pages=int(config.get("n_pages", 0)))
     elif scheduler == "bucketed":
         server = LMServer(artifacts, prefill_chunk=chunk)
     else:
         raise ValueError(f"FATAL: unknown scheduler {scheduler!r} "
-                         "(bucketed | continuous | speculative)")
+                         "(bucketed | continuous | speculative | paged)")
     print(f"Loaded artifacts: vocab {server.vocab}, "
           f"window {server.window}, scheduler {scheduler}, quantize "
           f"{server.meta.get('quantize', 'none')}")

@@ -82,6 +82,21 @@ test_export.py). Support truncation mirrors serving.sample_next
 stream itself is the device threefry draw, NOT the host numpy draw —
 reproducible, but a different (equally distributed) stream than the
 per-token host path.
+
+With `page_size` set, two more artifacts serve a PAGED KV cache
+(nn/transformer.py paged branch; allocator + scheduler in
+infer/paged.py):
+
+  decode_paged(tok[b,1], paged_cache, pos[b]) -> (logits, paged_cache)
+  admit_paged(paged_cache, row_cache, pages[max_seq/page]) -> paged_cache
+
+where paged_cache is per-layer (pool_k [P, page, kv, hd], pool_v,
+table [b, max_seq/page]). The POOL page count P is a symbolic dimension
+— the serving host picks capacity at load time, and P below
+n_slots * max_seq/page is the point: rows reserve only the pages they
+fill, so the slot count oversubscribes the physical cache memory
+(dense reserves batch x max_seq up front). admit_paged splices a dense
+prefilled batch-1 row cache into an allocated page list.
 """
 
 from __future__ import annotations
@@ -134,13 +149,15 @@ def sample_rows(logits: jax.Array, keys: jax.Array, temperature: jax.Array,
 def export_lm(params, config: TransformerConfig,
               out_dir: Union[str, Path],
               max_seq: Optional[int] = None,
-              decode_chunk: int = 8) -> Path:
+              decode_chunk: int = 8,
+              page_size: int = 0) -> Path:
     """`max_seq` (default block_size) sizes the exported KV cache: every
     decode step streams the whole static buffer from HBM, and a shorter
     buffer is exact for requests that fit it (absolute-position mask), so
     size the artifact to the serving window, not the model maximum.
     `decode_chunk` sizes the fused greedy decode_k scan (0 disables the
-    pair)."""
+    pair). `page_size` > 0 additionally exports the paged-cache pair
+    (decode_paged/admit_paged; pool capacity stays symbolic)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     model = Transformer(config)
@@ -272,6 +289,50 @@ def export_lm(params, config: TransformerConfig,
             pol_i_spec, pol_f_spec)
         (out_dir / "decode_k_sample.stablehlo").write_bytes(
             dks.serialize())
+    if page_size > 0:
+        assert max_seq % page_size == 0, (max_seq, page_size)
+        mp = max_seq // page_size
+
+        def decode_paged(tok, cache, pos):
+            # cache per layer = (pool_k, pool_v, table): the model's
+            # paged branch scatters this token through the block table
+            # and attends over the gathered logical window
+            return model.apply({"params": params}, tok, cache=cache,
+                               input_pos=pos)
+
+        def admit_paged(cache, row_cache, pages):
+            # splice a dense prefilled batch-1 row cache into the pool
+            # pages a host allocator assigned (trash-page repeats for the
+            # beyond-prompt tail are harmless: masked, then overwritten
+            # page-by-page as decode advances)
+            out = []
+            for (pk, pv, tab), (rk, rv) in zip(cache, row_cache):
+                kvh, hd = pk.shape[2], pk.shape[3]
+                rk = rk[0].reshape(mp, page_size, kvh, hd)
+                rv = rv[0].reshape(mp, page_size, kvh, hd)
+                out.append((pk.at[pages].set(rk.astype(pk.dtype)),
+                            pv.at[pages].set(rv.astype(pv.dtype)), tab))
+            return tuple(out)
+
+        # one scope: the pool size and batch appear in the same artifact
+        p_sym, b5 = jexport.symbolic_shape("p, b")
+        kvh, hd = config.kv_heads, config.head_dim
+        pool_spec = jax.ShapeDtypeStruct((p_sym, page_size, kvh, hd),
+                                         config.dtype)
+        tab_spec = jax.ShapeDtypeStruct((b5, mp), jnp.int32)
+        paged_spec = tuple((pool_spec, pool_spec, tab_spec)
+                           for _ in range(config.n_layer))
+        tok_p = jax.ShapeDtypeStruct((b5, 1), jnp.int32)
+        pos_p = jax.ShapeDtypeStruct((b5,), jnp.int32)
+        pages_spec = jax.ShapeDtypeStruct((mp,), jnp.int32)
+        row_spec = jax.eval_shape(
+            lambda: init_cache(config, 1, config.dtype, cache_len=max_seq))
+        dp = jexport.export(jax.jit(decode_paged), platforms=platforms)(
+            tok_p, paged_spec, pos_p)
+        ap = jexport.export(jax.jit(admit_paged), platforms=platforms)(
+            paged_spec, row_spec, pages_spec)
+        (out_dir / "decode_paged.stablehlo").write_bytes(dp.serialize())
+        (out_dir / "admit_paged.stablehlo").write_bytes(ap.serialize())
     (out_dir / "prefill.stablehlo").write_bytes(pre.serialize())
     (out_dir / "decode_step.stablehlo").write_bytes(dec.serialize())
     (out_dir / "decode_rows.stablehlo").write_bytes(rows.serialize())
@@ -294,6 +355,7 @@ def export_lm(params, config: TransformerConfig,
         "continuous": True,
         "speculative": True,
         "decode_chunk": int(decode_chunk),
+        "page_size": int(page_size),
     }, indent=2))
     return out_dir
 
@@ -378,6 +440,26 @@ def load_exported_decode_k_sample(out_dir: Union[str, Path]):
         raise FileNotFoundError(
             f"{out_dir} was exported without decode_k_sample")
     return jax.jit(jexport.deserialize(path.read_bytes()).call), k
+
+
+def load_exported_paged(out_dir: Union[str, Path]):
+    """(prefill, decode_paged, admit_paged, meta) — the paged-cache
+    serving surface (pool capacity symbolic; scheduler/allocator in
+    infer/paged.py). Raises FileNotFoundError on artifacts exported
+    without page_size."""
+    out_dir = Path(out_dir)
+    meta = json.loads((out_dir / "meta.json").read_text())
+    if int(meta.get("page_size", 0)) <= 0:
+        raise FileNotFoundError(
+            f"{out_dir} was exported without the paged pair "
+            "(export_lm(..., page_size=N))")
+    pre = jexport.deserialize(
+        (out_dir / "prefill.stablehlo").read_bytes())
+    dp = jexport.deserialize(
+        (out_dir / "decode_paged.stablehlo").read_bytes())
+    ap = jexport.deserialize(
+        (out_dir / "admit_paged.stablehlo").read_bytes())
+    return jax.jit(pre.call), jax.jit(dp.call), jax.jit(ap.call), meta
 
 
 def load_exported_speculative(out_dir: Union[str, Path]):

@@ -1,0 +1,332 @@
+"""Paged-KV-cache serving: page allocator + slot scheduler (vLLM-style).
+
+The dense continuous server (serving.py) reserves n_slots x window cache
+slots up front, so HBM capacity caps the slot count at
+n_slots = cache_bytes / (window * per_token_bytes) even when typical
+requests fill a fraction of the window. The paged stack breaks that
+coupling:
+
+- the device holds per-layer POOLS [n_pages, page, kv, hd] plus a block
+  table [n_slots, window/page] (exported with a SYMBOLIC pool size:
+  capacity is a load-time choice, infer/export_lm.py `page_size`);
+- `PagePool` (host) hands pages to rows on demand — a row holds
+  ceil(len/page) pages, not window/page — so the slot count
+  oversubscribes physical cache memory;
+- `PagedLMServer` schedules like ContinuousLMServer (per-row positions,
+  admit-on-free) and PREEMPTS when the pool runs dry: the most recently
+  admitted slot is evicted, its pages freed, and its request requeued at
+  the front. Re-admission replays the request from its prompt — greedy
+  trivially, and sampled requests too, because the per-request numpy
+  generator restarts from the request seed and redraws the identical
+  stream. Per-request outputs are therefore EXACTLY the dense continuous
+  server's on any workload, preemption or not (pinned in test_paged.py).
+
+Decode compute: the model's paged branch (nn/transformer.py) — one flat
+scatter through the table + gathered-window attention on the XLA path,
+or the paged active-length Pallas kernel (ops/pallas_decode.py
+paged_decode_attention) that DMAs only a row's live pages straight from
+the pool.
+
+No reference counterpart (the reference re-runs eager torch per token,
+networks.py:727-754); this is the memory rung of the serving ladder
+after cache dtype, request-sized buffers, int8 weights, active-length
+reads, and fused multi-token dispatch (docs/DESIGN.md).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tempo_tpu.infer.export_lm import load_exported_paged
+from tempo_tpu.infer.serving import sample_next
+
+TRASH_PAGE = 0
+
+
+class PagePool:
+    """Free-list page allocator. Page 0 is the TRASH page: never handed
+    out, it absorbs the scatter/gather traffic of parked batch rows and
+    of table slots past a row's allocation (the absolute-position mask
+    hides whatever lives there)."""
+
+    def __init__(self, n_pages: int):
+        assert n_pages >= 2, f"need >= 2 pages (1 is trash), got {n_pages}"
+        self.n_pages = int(n_pages)
+        # LIFO keeps recently-freed pages hot; ids 1..n_pages-1
+        self._free = list(range(1, self.n_pages))
+        self._held: set = set()
+
+    @property
+    def n_usable(self) -> int:
+        return self.n_pages - 1
+
+    @property
+    def n_free(self) -> int:
+        return len(self._free)
+
+    def alloc(self) -> Optional[int]:
+        if not self._free:
+            return None
+        p = self._free.pop()
+        self._held.add(p)
+        return p
+
+    def free(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            assert p != TRASH_PAGE, "freeing the trash page"
+            assert p in self._held, f"double free of page {p}"
+            self._held.remove(p)
+            self._free.append(p)
+
+
+class PagedLMServer:
+    """Continuous batching over a paged KV cache with preemption.
+
+    `n_pages` sizes the physical pool (usable pages = n_pages - 1); a
+    request of total length L holds ceil(L/page_size) pages, so slots
+    oversubscribe whenever n_slots * window/page_size > n_pages - 1.
+    Scheduling follows ContinuousLMServer (admit into free slots, per-row
+    decode positions, host sampling policy); when a slot's next write
+    needs a page and the pool is dry, the most recently admitted OTHER
+    slot is preempted (pages freed, request requeued front). Outputs are
+    per-request identical to the dense continuous server."""
+
+    def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
+                 n_pages: int = 0):
+        (self.prefill, self.decode_paged, self.admit_paged,
+         self.meta) = load_exported_paged(artifacts_dir)
+        assert n_slots >= 1, n_slots
+        self.n_slots = int(n_slots)
+        self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
+        self.vocab = int(self.meta["vocab_size"])
+        self.page = int(self.meta["page_size"])
+        self.mp = self.window // self.page
+        # default pool = the dense reservation (no oversubscription);
+        # smaller n_pages is the point
+        self.pool = PagePool(n_pages or self.n_slots * self.mp + 1)
+        self.last_stats: Dict[str, Any] = {}
+        kv = int(self.meta.get("n_kv_head") or self.meta["n_head"])
+        hd = int(self.meta["n_embd"]) // int(self.meta["n_head"])
+        dt = jnp.dtype(self.meta["compute_dtype"])
+        z = jnp.zeros((self.pool.n_pages, self.page, kv, hd), dt)
+        self._pools = [(z, z) for _ in range(int(self.meta["n_layer"]))]
+
+    def _validate(self, requests: Sequence[Dict[str, Any]],
+                  default_new_tokens: int) -> None:
+        for i, req in enumerate(requests):
+            if "tokens" not in req:
+                raise ValueError(f"request {i}: missing 'tokens'")
+            t = len(req["tokens"])
+            n = int(req.get("n_tokens", default_new_tokens))
+            if t + n > self.window:
+                raise ValueError(
+                    f"request {i}: prompt {t} + {n} new tokens exceeds "
+                    f"the exported serving window {self.window}")
+            if -(t + n) // -self.page > self.pool.n_usable:
+                raise ValueError(
+                    f"request {i}: needs {-(t + n) // -self.page} pages "
+                    f"but the pool holds {self.pool.n_usable}")
+            toks = np.asarray(req["tokens"], np.int64)
+            if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
+                raise ValueError(
+                    f"request {i}: token ids outside [0, {self.vocab})")
+
+    def _cache(self, table: np.ndarray):
+        t = jnp.asarray(table)
+        return tuple((pk, pv, t) for pk, pv in self._pools)
+
+    def _set_pools(self, cache) -> None:
+        self._pools = [(pk, pv) for pk, pv, _ in cache]
+
+    def serve(self, requests: Sequence[Dict[str, Any]],
+              default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        """Same request/response contract as ContinuousLMServer.serve
+        ('tokens' + optional 'n_tokens'/'temperature'/'top_k'/'top_p'/
+        'seed'/'eos'); responses keep request order."""
+        self._validate(requests, default_new_tokens)
+        n_req = len(requests)
+        responses: List[Optional[Dict[str, Any]]] = [None] * n_req
+        pending = list(range(n_req))[::-1]  # pop() preserves arrival order
+        b = self.n_slots
+
+        slots: List[Optional[Dict[str, Any]]] = [None] * b
+        pos = np.zeros(b, np.int32)
+        toks = np.zeros((b, 1), np.int32)
+        table = np.zeros((b, self.mp), np.int32)
+        pages_of: List[List[int]] = [[] for _ in range(b)]
+        admit_serial = 0
+
+        t_start = time.perf_counter()
+        decode_steps = prefills = preemptions = 0
+        peak_pages = 0
+
+        def release(s: int) -> None:
+            self.pool.free(pages_of[s])
+            pages_of[s] = []
+            table[s] = TRASH_PAGE
+            slots[s] = None
+            pos[s] = 0
+            toks[s, 0] = 0
+
+        def finalize(s: int) -> None:
+            st = slots[s]
+            assert st is not None
+            responses[st["req"]] = {
+                "tokens": st["out"],
+                "n_prompt": st["n_prompt"],
+                "n_generated": len(st["out"]),
+                "slot": s,
+                "stopped_early": st["eos_hit"],
+            }
+            release(s)
+
+        def preempt_one(exclude: int) -> bool:
+            """Evict the most recently admitted slot (except `exclude`):
+            pages freed, request requeued at the FRONT so it re-admits
+            next. Returns False if there is nobody to evict."""
+            nonlocal preemptions
+            victim = None
+            for s in range(b):
+                if s == exclude or slots[s] is None:
+                    continue
+                if victim is None or \
+                        slots[s]["serial"] > slots[victim]["serial"]:
+                    victim = s
+            if victim is None:
+                return False
+            pending.append(slots[victim]["req"])  # pop() takes it next
+            release(victim)
+            preemptions += 1
+            return True
+
+        def ensure_page(s: int, logical: int) -> None:
+            """Allocate row s's logical page, preempting until one frees
+            up (validation guarantees a lone request always fits)."""
+            if table[s, logical] != TRASH_PAGE:
+                return
+            while True:
+                p = self.pool.alloc()
+                if p is not None:
+                    table[s, logical] = p
+                    pages_of[s].append(p)
+                    return
+                assert preempt_one(exclude=s) or slots[s] is None, \
+                    "page pool deadlock"  # unreachable under _validate
+
+        def push(s: int, st: Dict[str, Any], tok_row: np.ndarray) -> None:
+            tok = int(tok_row[0, 0])
+            st["out"].append(tok)
+            st["remaining"] -= 1
+            if st["eos"] is not None and tok == st["eos"]:
+                st["eos_hit"] = True
+                st["remaining"] = 0
+            if st["remaining"] <= 0:
+                finalize(s)
+            else:
+                toks[s, 0] = tok
+
+        while pending or any(st is not None for st in slots):
+            for s in range(b):
+                while slots[s] is None and pending:
+                    need = -len(requests[pending[-1]]["tokens"]) \
+                        // -self.page
+                    if max(need, 1) > self.pool.n_free:
+                        break  # wait for pages instead of thrashing
+                    i = pending.pop()
+                    req = requests[i]
+                    n_tokens = int(req.get("n_tokens", default_new_tokens))
+                    if n_tokens <= 0:
+                        responses[i] = {"tokens": [], "n_prompt":
+                                        len(req["tokens"]), "n_generated": 0,
+                                        "slot": s, "stopped_early": False}
+                        continue
+                    prompt = np.asarray(req["tokens"],
+                                        np.int32).reshape(1, -1)
+                    for j in range(max(need, 1)):
+                        ensure_page(s, j)
+                    logits, row_cache = self.prefill(jnp.asarray(prompt))
+                    page_list = np.full(self.mp, TRASH_PAGE, np.int32)
+                    page_list[:len(pages_of[s])] = pages_of[s]
+                    cache = self.admit_paged(self._cache(table), row_cache,
+                                             jnp.asarray(page_list))
+                    self._set_pools(cache)
+                    prefills += 1
+                    st = {
+                        "req": i,
+                        "serial": admit_serial,
+                        "n_prompt": prompt.shape[1],
+                        "out": [],
+                        "remaining": n_tokens,
+                        "temperature": float(req.get("temperature", 0.0)),
+                        "top_k": req.get("top_k"),
+                        "top_p": req.get("top_p"),
+                        "eos": req.get("eos"),
+                        "eos_hit": False,
+                        "rng": np.random.default_rng(
+                            int(req.get("seed", 0))),
+                    }
+                    admit_serial += 1
+                    slots[s] = st
+                    pos[s] = prompt.shape[1]
+                    tok = sample_next(np.asarray(logits[:, -1]),
+                                      st["temperature"], st["top_k"],
+                                      st["rng"], top_p=st["top_p"])
+                    push(s, st, tok)
+
+            if not any(st is not None for st in slots):
+                if pending:
+                    # every slot idle yet nothing admitted: the pool is
+                    # too fragmented across... impossible with all slots
+                    # free (all pages are free too) — defensive guard
+                    raise RuntimeError("scheduler stalled with free slots")
+                break
+
+            # the coming dispatch writes each active row at pos[s]
+            for s in range(b):
+                if slots[s] is not None:
+                    ensure_page(s, int(pos[s]) // self.page)
+            peak_pages = max(peak_pages,
+                             self.pool.n_usable - self.pool.n_free)
+
+            logits, cache = self.decode_paged(
+                jnp.asarray(toks), self._cache(table), jnp.asarray(pos))
+            self._set_pools(cache)
+            logits_np = np.asarray(logits[:, -1])
+            decode_steps += 1
+            for s in range(b):
+                st = slots[s]
+                if st is None:
+                    continue
+                tok = sample_next(logits_np[s:s + 1], st["temperature"],
+                                  st["top_k"], st["rng"],
+                                  top_p=st["top_p"])
+                pos[s] += 1
+                push(s, st, tok)
+
+        dt = time.perf_counter() - t_start
+        n_generated = sum(r["n_generated"] for r in responses
+                          if r is not None)
+        self.last_stats = {
+            "decode_steps": decode_steps,
+            "prefills": prefills,
+            "preemptions": preemptions,
+            "peak_pages": peak_pages,
+            "n_pages": self.pool.n_usable,
+            "n_requests": n_req,
+            "n_slots": b,
+            "n_generated": n_generated,
+            "seconds": round(dt, 4),
+            "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
+        }
+        assert all(r is not None for r in responses)
+        return responses  # type: ignore[return-value]
+
+    def serve_requests(self, requests: Sequence[Dict[str, Any]],
+                       default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        return self.serve(requests, default_new_tokens)

@@ -343,14 +343,45 @@ class SelfAttention(nn.Module):
         elif cache is not None:
             # static-shape KV cache: write this call's keys/values at
             # input_pos, attend over the valid prefix only.
-            ck, cv = cache
             pos = input_pos if input_pos is not None else jnp.int32(0)
             assert jnp.ndim(pos) <= 1, (
                 "per-token [b, t] positions are a training-layout feature "
                 "(zigzag cp); decode caches take scalar or per-row [b] pos")
-            if jnp.ndim(pos) == 1:
+            paged = len(cache) == 3
+            if paged:
+                # paged cache (pk/pv [P, page, kv, hd] shared pools +
+                # per-row block table [b, max_pages]): logical position p
+                # of row r lives at pool slot (table[r, p//page], p%page).
+                # Pages are assigned to rows by a host allocator
+                # (infer/paged.py) — rows reserve only the pages they use,
+                # so the pool oversubscribes: n_slots * window can exceed
+                # P * page. One flat scatter writes this call's tokens;
+                # the gather below materializes each row's logical window,
+                # bit-identical to the dense layout (never-written slots
+                # land on the allocator's trash page and are masked by the
+                # absolute-position causal mask exactly like dense
+                # never-written slots).
+                pk, pv, table = cache
+                assert jnp.ndim(pos) == 1, (
+                    "paged decode is slot-scheduled: positions are per-row")
+                n_pages, pg = pk.shape[0], pk.shape[1]
+                tok_pos = pos[:, None] + jnp.arange(t)[None]     # [b, t]
+                page_ids = jnp.take_along_axis(table, tok_pos // pg, axis=1)
+                flat = (page_ids * pg + tok_pos % pg).reshape(-1)
+                pk = pk.reshape(n_pages * pg, kv, hd).at[flat].set(
+                    k.astype(pk.dtype).reshape(b * t, kv, hd)
+                ).reshape(n_pages, pg, kv, hd)
+                pv = pv.reshape(n_pages * pg, kv, hd).at[flat].set(
+                    v.astype(pv.dtype).reshape(b * t, kv, hd)
+                ).reshape(n_pages, pg, kv, hd)
+                new_cache = (pk, pv, table)
+                ck = pk[table].reshape(b, -1, kv, hd)
+                cv = pv[table].reshape(b, -1, kv, hd)
+                q_idx = tok_pos
+            elif jnp.ndim(pos) == 1:
                 # per-row positions: each batch row writes its own slice
                 # (vmapped dynamic_update_slice lowers to one scatter)
+                ck, cv = cache
                 row_upd = jax.vmap(
                     lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(
                         c, u, p, axis=0))
@@ -358,14 +389,29 @@ class SelfAttention(nn.Module):
                 cv = row_upd(cv, v.astype(cv.dtype), pos)
                 q_idx = pos[:, None] + jnp.arange(t)        # [b, t]
             else:
+                ck, cv = cache
                 ck = jax.lax.dynamic_update_slice_in_dim(
                     ck, k.astype(ck.dtype), pos, axis=1)
                 cv = jax.lax.dynamic_update_slice_in_dim(
                     cv, v.astype(cv.dtype), pos, axis=1)
                 q_idx = (pos + jnp.arange(t))[None]         # [1, t]
-            new_cache = (ck, cv)
+            if not paged:
+                new_cache = (ck, cv)
             s = ck.shape[1]
-            if t == 1 and cfg.decode_attn in ("pallas", "pallas_interpret"):
+            if (t == 1 and paged
+                    and cfg.decode_attn in ("pallas", "pallas_interpret")):
+                # paged active-length decode: HBM reads only the row's
+                # LIVE pages, straight from the pool via the block table
+                # (no gathered dense view is ever materialized)
+                from tempo_tpu.ops.pallas_decode import \
+                    paged_decode_attention
+
+                y = paged_decode_attention(
+                    q, new_cache[0], new_cache[1], table, pos,
+                    interpret=cfg.decode_attn == "pallas_interpret"
+                ).astype(cfg.dtype)
+            elif (t == 1
+                    and cfg.decode_attn in ("pallas", "pallas_interpret")):
                 # active-length decode: HBM reads scale with pos, not s
                 # (ops/pallas_decode.py — dead cache blocks are never
                 # fetched; exact vs the masked einsum below)
@@ -730,6 +776,28 @@ def init_cache(config: TransformerConfig, batch_size: int,
     assert s <= config.block_size, (s, config.block_size)
     shape = (batch_size, s, config.kv_heads, config.head_dim)
     return tuple((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                 for _ in range(config.n_layer))
+
+
+def init_paged_cache(config: TransformerConfig, batch_size: int,
+                     n_pages: int, page_size: int,
+                     dtype=jnp.float32,
+                     window: Optional[int] = None) -> Tuple:
+    """Paged decode cache: per layer (pool_k, pool_v, table) where the
+    pools are [n_pages, page_size, kv_heads, hd] SHARED slabs and the
+    table [batch, window // page_size] maps each row's logical pages to
+    pool pages. The table starts all-zero: page 0 is the allocator's
+    trash page (infer/paged.py PagePool never hands it out), so parked or
+    unallocated logical pages scatter into — and gather from — slots the
+    absolute-position mask already hides. The pool capacity is
+    independent of batch * window: rows reserve only the pages they
+    actually fill, which is the memory lever (dense reserves the full
+    window per row up front)."""
+    w = config.block_size if window is None else window
+    assert w % page_size == 0, (w, page_size)
+    shape = (n_pages, page_size, config.kv_heads, config.head_dim)
+    table = jnp.zeros((batch_size, w // page_size), jnp.int32)
+    return tuple((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), table)
                  for _ in range(config.n_layer))
 
 

@@ -91,6 +91,77 @@ def _decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
+def _paged_kernel(pos_ref, table_ref, *rest, **kw):
+    # the block-table indirection lives entirely in the index maps;
+    # the flash-accumulator body is the dense kernel's
+    del table_ref
+    _decode_kernel(pos_ref, *rest, **kw)
+
+
+def paged_decode_attention(q: jax.Array, pk: jax.Array, pv: jax.Array,
+                           table: jax.Array, pos, *,
+                           interpret: bool = False) -> jax.Array:
+    """Active-length decode attention over a PAGED cache: softmax(
+    q.K^T/sqrt(hd)).V over logical positions kv_idx <= pos, where row r's
+    logical page j lives at pool page table[r, j].
+
+    q: [b, 1, n, hd]; pk/pv: [n_pages, page, kv, hd] shared pools;
+    table: [b, max_pages] int32; pos: scalar or [b]. Returns
+    [b, 1, n, hd] in q's dtype.
+
+    The grid walks (row, logical page); the K/V index maps dereference
+    the block table (scalar-prefetched) so each step DMAs one POOL page —
+    the gathered dense view of the XLA path is never materialized — and
+    clamp dead logical pages to the row's last live one, so Mosaic elides
+    their DMA exactly like the dense active-length kernel: HBM reads
+    scale with pos, not with the table width."""
+    b, t, n, hd = q.shape
+    assert t == 1, f"paged decode is the single-token path, got t={t}"
+    n_pages, pg, kv, hd_k = pk.shape
+    assert hd_k == hd and pk.shape == pv.shape
+    assert n % kv == 0, (n, kv)
+    g = n // kv
+    mp = table.shape[1]
+    assert table.shape == (b, mp), (table.shape, b)
+    pos_rows = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+
+    kernel = functools.partial(_paged_kernel, blk=pg, kv=kv, g=g,
+                               scale=1.0 / float(hd) ** 0.5)
+
+    def kv_index(i_b, i_s, pos_ref, table_ref):
+        last = pos_ref[i_b] // pg
+        return (table_ref[i_b, jnp.minimum(i_s, last)], 0, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, mp),
+            in_specs=[
+                pl.BlockSpec((None, 1, n, hd),
+                             lambda i_b, i_s, pos_ref, table_ref:
+                             (i_b, 0, 0, 0)),
+                pl.BlockSpec((None, pg, kv, hd), kv_index),
+                pl.BlockSpec((None, pg, kv, hd), kv_index),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, 1, n, hd),
+                lambda i_b, i_s, pos_ref, table_ref: (i_b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((n, 1), jnp.float32),
+                pltpu.VMEM((n, 1), jnp.float32),
+                pltpu.VMEM((n, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(pos_rows, jnp.asarray(table, jnp.int32), q, pk, pv)
+    return out
+
+
 def decode_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
                      pos, *, block_k: int = 256,
                      interpret: bool = False) -> jax.Array:

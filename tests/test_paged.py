@@ -1,0 +1,257 @@
+"""Paged KV cache: shared page pools + per-row block tables.
+
+The dense decode cache reserves batch x window slots up front; the paged
+cache (nn/transformer.py paged branch, infer/paged.py allocator) reserves
+pages on demand from a shared pool, so the pool oversubscribes. These
+tests pin the load-bearing claims:
+
+- decode through a paged cache with an ARBITRARY (shuffled) page
+  assignment is bit-identical to the dense cache path, for MHA and GQA,
+  prompt ingest (t > 1) and per-token decode alike;
+- the allocator's invariants (trash page never handed out, free-list
+  accounting, per-row growth, preemption frees everything);
+- the paged continuous server equals the dense continuous server on
+  mixed workloads even when a tight pool forces preemption.
+
+No reference counterpart (the reference re-runs eager torch per token,
+networks.py:727-754); this is the serving-memory rung of the framework's
+own serving ladder (docs/DESIGN.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                      init_cache, init_paged_cache)
+
+
+def _mk_model(n_kv_head=0, rope=False):
+    cfg = TransformerConfig(in_size=29, block_size=16, n_layer=2, n_head=2,
+                            n_embd=32, n_kv_head=n_kv_head, rope=rope,
+                            pos_embed=not rope)
+    model = Transformer(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 29)
+    params = model.init(jax.random.PRNGKey(0), toks)["params"]
+    return cfg, model, params
+
+
+def _paged_with_table(cfg, batch, n_pages, page_size, table):
+    base = init_paged_cache(cfg, batch, n_pages, page_size,
+                            window=cfg.block_size)
+    t = jnp.asarray(table, jnp.int32)
+    return tuple((pk, pv, t) for pk, pv, _ in base)
+
+
+@pytest.mark.parametrize("n_kv_head,rope", [(0, False), (1, True)])
+def test_paged_decode_matches_dense(n_kv_head, rope):
+    """Prompt ingest + 6 decode steps through a paged cache with shuffled
+    page assignment == the dense cache chain, logits bit-for-bit."""
+    cfg, model, params = _mk_model(n_kv_head, rope)
+    b, t0, page = 2, 6, 4
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (b, t0), 0, 29)
+
+    dense = init_cache(cfg, b)
+    # shuffled, disjoint page ids (page 0 = trash, never assigned)
+    table = np.asarray([[7, 3, 11, 5], [2, 9, 1, 13]], np.int32)
+    paged = _paged_with_table(cfg, b, 16, page, table)
+
+    pos0 = jnp.zeros(b, jnp.int32)
+    logits_d, dense = model.apply({"params": params}, prompt, cache=dense,
+                                  input_pos=pos0)
+    logits_p, paged = model.apply({"params": params}, prompt, cache=paged,
+                                  input_pos=pos0)
+    np.testing.assert_array_equal(np.asarray(logits_d),
+                                  np.asarray(logits_p))
+
+    tok = jnp.argmax(logits_d[:, -1:], axis=-1).astype(jnp.int32)
+    pos = jnp.full((b,), t0, jnp.int32)
+    for _ in range(6):
+        logits_d, dense = model.apply({"params": params}, tok, cache=dense,
+                                      input_pos=pos)
+        logits_p, paged = model.apply({"params": params}, tok, cache=paged,
+                                      input_pos=pos)
+        np.testing.assert_array_equal(np.asarray(logits_d),
+                                      np.asarray(logits_p))
+        tok = jnp.argmax(logits_d[:, -1:], axis=-1).astype(jnp.int32)
+        pos = pos + 1
+
+
+def test_paged_kernel_matches_gathered_reference():
+    """paged_decode_attention (interpret mode) == masked-softmax einsum
+    over the GATHERED dense view of the same pool, MHA + GQA, positions
+    at page boundaries."""
+    from tempo_tpu.ops.pallas_decode import paged_decode_attention
+
+    rng = np.random.default_rng(0)
+    for n, kv in ((4, 4), (8, 2)):
+        b, hd, pg, n_pages, mp = 4, 16, 8, 20, 4
+        q = jnp.asarray(rng.standard_normal((b, 1, n, hd)), jnp.float32)
+        pk = jnp.asarray(rng.standard_normal((n_pages, pg, kv, hd)),
+                         jnp.float32)
+        pv = jnp.asarray(rng.standard_normal((n_pages, pg, kv, hd)),
+                         jnp.float32)
+        # distinct non-trash pages per row, deliberately shuffled
+        table = jnp.asarray(
+            1 + rng.permutation(n_pages - 1)[:b * mp].reshape(b, mp),
+            jnp.int32)
+        pos = jnp.asarray([0, 7, 8, 31], jnp.int32)  # page edges
+
+        got = paged_decode_attention(q, pk, pv, table, pos, interpret=True)
+
+        ck = pk[table].reshape(b, mp * pg, kv, hd)
+        cv = pv[table].reshape(b, mp * pg, kv, hd)
+        g = n // kv
+        q_idx = pos[:, None] + jnp.arange(1)
+        mask = jnp.arange(mp * pg)[None, None, :] <= q_idx[:, :, None]
+        qg = q.reshape(b, 1, kv, g, hd)
+        scores = jnp.einsum("bqkgh,bskh->bkgqs", qg, ck) / np.sqrt(hd)
+        scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+        want = jnp.einsum("bkgqs,bskh->bqkgh",
+                          jax.nn.softmax(scores, axis=-1), cv
+                          ).reshape(b, 1, n, hd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_paged_model_pallas_matches_xla():
+    """decode_attn='pallas_interpret' through a paged cache == the XLA
+    gathered-einsum paged path, over a short decode chain."""
+    import dataclasses
+
+    cfg, model, params = _mk_model(n_kv_head=1)
+    model_k = Transformer(dataclasses.replace(
+        cfg, decode_attn="pallas_interpret"))
+    b, t0, page = 2, 5, 8
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (b, t0), 0, 29)
+    table = np.asarray([[4, 2], [6, 1]], np.int32)
+    c_x = _paged_with_table(cfg, b, 8, page, table)
+    c_k = jax.tree_util.tree_map(lambda x: x, c_x)
+
+    pos0 = jnp.zeros(b, jnp.int32)
+    lx, c_x = model.apply({"params": params}, prompt, cache=c_x,
+                          input_pos=pos0)
+    lk, c_k = model_k.apply({"params": params}, prompt, cache=c_k,
+                            input_pos=pos0)
+    np.testing.assert_array_equal(np.asarray(lx), np.asarray(lk))
+    tok = jnp.argmax(lx[:, -1:], axis=-1).astype(jnp.int32)
+    pos = jnp.full((b,), t0, jnp.int32)
+    for _ in range(4):
+        lx, c_x = model.apply({"params": params}, tok, cache=c_x,
+                              input_pos=pos)
+        lk, c_k = model_k.apply({"params": params}, tok, cache=c_k,
+                                input_pos=pos)
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(lk),
+                                   atol=2e-5, rtol=2e-5)
+        tok = jnp.argmax(lx[:, -1:], axis=-1).astype(jnp.int32)
+        pos = pos + 1
+
+
+@pytest.fixture(scope="module")
+def paged_lm(tmp_path_factory):
+    """One paged-artifact export for the server tests (page_size=8,
+    window 32 -> 4 logical pages per row)."""
+    from tempo_tpu.infer.export_lm import export_lm
+
+    cfg = TransformerConfig(in_size=31, block_size=32, n_layer=2, n_head=2,
+                            n_embd=32)
+    model = Transformer(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), toks)["params"]
+    return export_lm(params, cfg,
+                     tmp_path_factory.mktemp("paged_export") / "lm",
+                     decode_chunk=0, page_size=8)
+
+
+def test_page_pool_invariants():
+    from tempo_tpu.infer.paged import TRASH_PAGE, PagePool
+
+    pool = PagePool(5)
+    assert pool.n_usable == 4 and pool.n_free == 4
+    got = [pool.alloc() for _ in range(4)]
+    assert sorted(got) == [1, 2, 3, 4]  # trash page 0 never handed out
+    assert TRASH_PAGE not in got
+    assert pool.alloc() is None and pool.n_free == 0
+    pool.free([got[0]])
+    assert pool.n_free == 1 and pool.alloc() == got[0]
+    with pytest.raises(AssertionError, match="double free"):
+        pool.free([got[1], got[1]])
+    with pytest.raises(AssertionError, match="trash"):
+        pool.free([TRASH_PAGE])
+
+
+def test_paged_server_matches_dense_continuous(paged_lm):
+    """PagedLMServer == ContinuousLMServer per request, on a roomy pool
+    (no preemption) AND a tight pool where slots oversubscribe the pool
+    and the scheduler must preempt — greedy, sampled, and eos requests
+    alike (preempted requests replay their streams deterministically)."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 17},
+        {"tokens": [9, 2, 6], "n_tokens": 11,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+        {"tokens": [7, 7], "n_tokens": 20},
+        {"tokens": [1, 2, 3, 4], "n_tokens": 5},
+        {"tokens": [5], "n_tokens": 9, "temperature": 0.7, "top_p": 0.9,
+         "seed": 11},
+    ]
+    dense = ContinuousLMServer(paged_lm, n_slots=2)
+    base = dense.serve(reqs)
+    eos = base[0]["tokens"][7]
+    reqs = reqs + [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 17, "eos": eos}]
+    base = dense.serve(reqs)
+
+    roomy = PagedLMServer(paged_lm, n_slots=2)
+    got = roomy.serve(reqs)
+    assert roomy.last_stats["preemptions"] == 0
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+        assert rb["stopped_early"] == rp["stopped_early"]
+
+    # 4 usable pages < the 5-page two-slot peak: must preempt, and the
+    # peak page hold must respect the pool cap
+    tight = PagedLMServer(paged_lm, n_slots=2, n_pages=5)
+    got = tight.serve(reqs)
+    assert tight.last_stats["preemptions"] > 0
+    assert tight.last_stats["peak_pages"] <= 4
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+
+    # a request that cannot fit the pool at all is refused up front
+    with pytest.raises(ValueError, match="pages"):
+        PagedLMServer(paged_lm, n_slots=1, n_pages=3).serve(
+            [{"tokens": [1] * 10, "n_tokens": 20}])
+
+
+def test_paged_rows_isolated():
+    """A row writing through its table never perturbs another row's
+    logits (pages are disjoint; trash-page collisions are invisible)."""
+    cfg, model, params = _mk_model()
+    page = 4
+    prompt = jnp.asarray([[3, 1, 4, 1], [3, 1, 4, 1]], jnp.int32)
+    # row 1 parked on all-trash: its writes land on page 0 only
+    table = np.asarray([[5, 6, 7, 8], [0, 0, 0, 0]], np.int32)
+    paged = _paged_with_table(cfg, 2, 10, page, table)
+    logits, paged = model.apply({"params": params}, prompt, cache=paged,
+                                input_pos=jnp.zeros(2, jnp.int32))
+    # identical prompts, row 0 on real pages vs row 1 on trash: the
+    # FIRST call's logits agree (mask hides unwritten slots both ways)
+    np.testing.assert_array_equal(np.asarray(logits[0]),
+                                  np.asarray(logits[1]))
+    # decode row 0 further; its chain must stay self-consistent even as
+    # row 1 keeps clobbering the trash page
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    pos = jnp.full((2,), 4, jnp.int32)
+    logits2, paged = model.apply({"params": params}, tok, cache=paged,
+                                 input_pos=pos)
+
+    dense = init_cache(cfg, 2)
+    ld, dense = model.apply({"params": params}, prompt, cache=dense,
+                            input_pos=jnp.zeros(2, jnp.int32))
+    ld2, dense = model.apply({"params": params}, tok, cache=dense,
+                             input_pos=pos)
+    np.testing.assert_array_equal(np.asarray(logits2[0]),
+                                  np.asarray(ld2[0]))

@@ -410,9 +410,17 @@ def bench_host_decode(batch_size: int = 8, new_tokens: int = 64,
 
     a = per_token()
     b = fused()
-    np.testing.assert_array_equal(a[:, :b.shape[1]], b)  # same greedy chain
+    # the scanned chunk and the single-step program are different XLA
+    # compilations: bf16 fusion differences can flip argmax on near-ties
+    # (random-init logits are full of them), after which the greedy
+    # chains legitimately diverge. Op-level equality is pinned exactly on
+    # CPU (test_export.py); here we report the agreement prefix.
+    m = min(a.shape[1], b.shape[1])
+    agree = int(np.min(np.argmax(a[:, :m] != b[:, :m], axis=1)
+                       + (a[:, :m] == b[:, :m]).all(axis=1) * m))
     out = {"family": "serve_host_loop", "batch": batch_size,
-           "new_tokens": new_tokens, "chunk": chunk, "cache_len": cache_len}
+           "new_tokens": new_tokens, "chunk": chunk, "cache_len": cache_len,
+           "greedy_agreement_prefix": agree}
     for name, fn in (("per_token", per_token), (f"decode_k{chunk}", fused)):
         t0 = time.perf_counter()
         for _ in range(iters):
