@@ -50,9 +50,10 @@ Config:
   slots: 8                          # continuous scheduler: batch rows
   draft_artifacts: <exported draft lm dir>  # speculative scheduler
   k_draft: 4                        # speculative scheduler: block size
-  k_decode: 0                       # continuous scheduler: >0 advances every
-                                    #   slot K greedy tokens per dispatch via
-                                    #   the fused decode_k_rows artifact (must
+  k_decode: 0                       # continuous/paged schedulers: >0 advances
+                                    #   every slot K tokens per dispatch via
+                                    #   the fused decode_k artifacts (greedy
+                                    #   argmax or on-device sampling; must
                                     #   match the exported decode_chunk;
                                     #   alternative to k_draft)
   n_pages: 0                        # paged scheduler: physical pool pages
@@ -227,7 +228,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
         server = PagedLMServer(artifacts,
                                n_slots=int(config.get("slots", 8)),
-                               n_pages=int(config.get("n_pages", 0)))
+                               n_pages=int(config.get("n_pages", 0)),
+                               k_decode=int(config.get("k_decode", 0)))
     elif scheduler == "bucketed":
         server = LMServer(artifacts, prefill_chunk=chunk)
     else:

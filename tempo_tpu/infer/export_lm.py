@@ -333,6 +333,26 @@ def export_lm(params, config: TransformerConfig,
             paged_spec, row_spec, pages_spec)
         (out_dir / "decode_paged.stablehlo").write_bytes(dp.serialize())
         (out_dir / "admit_paged.stablehlo").write_bytes(ap.serialize())
+        if decode_chunk > 0:
+            # the fused K-token pair over the PAGED cache: decode_k /
+            # decode_k_sample are cache-agnostic (the model's paged
+            # branch routes on the pytree arity), so the same traced
+            # functions export against the paged spec. The host must
+            # pre-allocate every page the K writes will touch.
+            pkd = jexport.export(jax.jit(decode_k),
+                                 platforms=platforms)(
+                tok_p, paged_spec, pos_p)
+            pks = jexport.export(jax.jit(decode_k_sample),
+                                 platforms=platforms)(
+                tok_p, paged_spec, pos_p,
+                jax.ShapeDtypeStruct((b5, 2), jnp.uint32),
+                jax.ShapeDtypeStruct((b5,), jnp.float32),
+                jax.ShapeDtypeStruct((b5,), jnp.int32),
+                jax.ShapeDtypeStruct((b5,), jnp.float32))
+            (out_dir / "decode_paged_k.stablehlo").write_bytes(
+                pkd.serialize())
+            (out_dir / "decode_paged_k_sample.stablehlo").write_bytes(
+                pks.serialize())
     (out_dir / "prefill.stablehlo").write_bytes(pre.serialize())
     (out_dir / "decode_step.stablehlo").write_bytes(dec.serialize())
     (out_dir / "decode_rows.stablehlo").write_bytes(rows.serialize())
@@ -460,6 +480,23 @@ def load_exported_paged(out_dir: Union[str, Path]):
     ap = jexport.deserialize(
         (out_dir / "admit_paged.stablehlo").read_bytes())
     return jax.jit(pre.call), jax.jit(dp.call), jax.jit(ap.call), meta
+
+
+def load_exported_paged_k(out_dir: Union[str, Path]):
+    """(decode_paged_k, decode_paged_k_sample, K) — the fused K-token
+    pair over the paged cache. Raises FileNotFoundError on artifacts
+    exported without both page_size and decode_chunk."""
+    out_dir = Path(out_dir)
+    meta = json.loads((out_dir / "meta.json").read_text())
+    k = int(meta.get("decode_chunk", 0))
+    path = out_dir / "decode_paged_k.stablehlo"
+    if k <= 0 or not path.exists():
+        raise FileNotFoundError(
+            f"{out_dir} was exported without the paged decode_k pair")
+    dk = jexport.deserialize(path.read_bytes())
+    dks = jexport.deserialize(
+        (out_dir / "decode_paged_k_sample.stablehlo").read_bytes())
+    return jax.jit(dk.call), jax.jit(dks.call), k
 
 
 def load_exported_speculative(out_dir: Union[str, Path]):

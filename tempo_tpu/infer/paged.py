@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tempo_tpu.infer.export_lm import load_exported_paged
+from tempo_tpu.infer.export_lm import (load_exported_paged,
+                                        load_exported_paged_k)
 from tempo_tpu.infer.serving import sample_next
 
 TRASH_PAGE = 0
@@ -98,11 +99,21 @@ class PagedLMServer:
     per-request identical to the dense continuous server."""
 
     def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
-                 n_pages: int = 0):
+                 n_pages: int = 0, k_decode: int = 0):
         (self.prefill, self.decode_paged, self.admit_paged,
          self.meta) = load_exported_paged(artifacts_dir)
         assert n_slots >= 1, n_slots
         self.n_slots = int(n_slots)
+        self.k_decode = int(k_decode)
+        self.decode_paged_k = self.decode_paged_k_sample = None
+        if self.k_decode > 0:
+            # fused K-token dispatch over the paged cache (greedy +
+            # on-device sampled policy) — the two levers compose
+            (self.decode_paged_k, self.decode_paged_k_sample,
+             k_art) = load_exported_paged_k(artifacts_dir)
+            assert self.k_decode == k_art, (
+                f"artifacts were exported with decode_chunk={k_art}, "
+                f"scheduler asked for k_decode={self.k_decode}")
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
         self.page = int(self.meta["page_size"])
@@ -270,6 +281,9 @@ class PagedLMServer:
                         "eos_hit": False,
                         "rng": np.random.default_rng(
                             int(req.get("seed", 0))),
+                        # device rng root for the fused sampled path
+                        "key": np.asarray(jax.random.PRNGKey(
+                            int(req.get("seed", 0))), np.uint32),
                     }
                     admit_serial += 1
                     slots[s] = st
@@ -286,6 +300,56 @@ class PagedLMServer:
                     # free (all pages are free too) — defensive guard
                     raise RuntimeError("scheduler stalled with free slots")
                 break
+
+            k = self.k_decode
+            active = [s for s in range(b) if slots[s] is not None]
+            if (self.decode_paged_k is not None
+                    and all(pos[s] + k <= self.window for s in active)):
+                # fused K-token dispatch over the paged cache: every page
+                # the K writes may touch must exist BEFORE the dispatch
+                # (the device cannot allocate), so reserve through
+                # (pos+K-1)//page. Mixed greedy/sampled pools ride the
+                # sampled artifact (device threefry streams, chunk- and
+                # pool-invariant); all-greedy pools the cheaper one.
+                for s in active:
+                    for j in range(int(pos[s]) // self.page,
+                                   (int(pos[s]) + k - 1) // self.page + 1):
+                        ensure_page(s, j)
+                active = [s for s in range(b) if slots[s] is not None]
+                peak_pages = max(peak_pages,
+                                 self.pool.n_usable - self.pool.n_free)
+                if all(slots[s]["temperature"] == 0.0 for s in active):
+                    chunk, cache = self.decode_paged_k(
+                        jnp.asarray(toks), self._cache(table),
+                        jnp.asarray(pos))
+                else:
+                    keys = np.zeros((b, 2), np.uint32)
+                    temp = np.zeros(b, np.float32)
+                    topk = np.zeros(b, np.int32)
+                    topp = np.ones(b, np.float32)
+                    for s in active:
+                        st = slots[s]
+                        keys[s] = st["key"]
+                        temp[s] = st["temperature"]
+                        topk[s] = int(st["top_k"] or 0)
+                        topp[s] = float(1.0 if st["top_p"] is None
+                                        else st["top_p"])
+                    chunk, cache = self.decode_paged_k_sample(
+                        jnp.asarray(toks), self._cache(table),
+                        jnp.asarray(pos), jnp.asarray(keys),
+                        jnp.asarray(temp), jnp.asarray(topk),
+                        jnp.asarray(topp))
+                self._set_pools(cache)
+                chunk_np = np.asarray(chunk)
+                decode_steps += 1
+                for s in active:
+                    st = slots[s]
+                    for j in range(k):
+                        pos[s] += 1
+                        push(s, st, chunk_np[s:s + 1, j:j + 1])
+                        if slots[s] is None:
+                            break
+                continue
 
             # the coming dispatch writes each active row at pos[s]
             for s in range(b):

@@ -161,7 +161,7 @@ def paged_lm(tmp_path_factory):
     params = model.init(jax.random.PRNGKey(0), toks)["params"]
     return export_lm(params, cfg,
                      tmp_path_factory.mktemp("paged_export") / "lm",
-                     decode_chunk=0, page_size=8)
+                     decode_chunk=4, page_size=8)
 
 
 def test_page_pool_invariants():
@@ -224,6 +224,47 @@ def test_paged_server_matches_dense_continuous(paged_lm):
     with pytest.raises(ValueError, match="pages"):
         PagedLMServer(paged_lm, n_slots=1, n_pages=3).serve(
             [{"tokens": [1] * 10, "n_tokens": 20}])
+
+
+def test_paged_k_decode_matches_dense_fused(paged_lm):
+    """The two serving levers compose: PagedLMServer(k_decode=4) — fused
+    K-token dispatch over the paged cache — equals the dense
+    ContinuousLMServer(k_decode=4) per request (greedy rows AND sampled
+    rows: the device threefry stream is keyed by (seed, absolute
+    position), so it is invariant to cache layout, pool size, and
+    preemption), with fewer device dispatches than per-token paged."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 17},
+        {"tokens": [9, 2, 6], "n_tokens": 11,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+        {"tokens": [7, 7], "n_tokens": 20},
+        {"tokens": [5], "n_tokens": 9, "temperature": 0.7, "top_p": 0.9,
+         "seed": 11},
+    ]
+    dense = ContinuousLMServer(paged_lm, n_slots=2, k_decode=4)
+    base = dense.serve(reqs)
+
+    per_token = PagedLMServer(paged_lm, n_slots=2)
+    per_token.serve(reqs)
+
+    roomy = PagedLMServer(paged_lm, n_slots=2, k_decode=4)
+    got = roomy.serve(reqs)
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+    assert (roomy.last_stats["decode_steps"]
+            < per_token.last_stats["decode_steps"])
+
+    # tight pool: chunked dispatch must pre-reserve every page the K
+    # writes touch, preempting as needed — outputs unchanged
+    tight = PagedLMServer(paged_lm, n_slots=2, n_pages=5, k_decode=4)
+    got = tight.serve(reqs)
+    assert tight.last_stats["preemptions"] > 0
+    assert tight.last_stats["peak_pages"] <= 4
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
 
 
 def test_paged_rows_isolated():

@@ -319,6 +319,96 @@ def bench_serve(batch_size: int = 8, new_tokens: int = 128,
     return out
 
 
+def bench_paged(batch_size: int = 8, new_tokens: int = 128,
+                window: int = 1024, page: int = 128, prompt_len: int = 64,
+                iters: int = 5, compute_dtype: str = "bfloat16") -> dict:
+    """Steady-state decode cost of the PAGED cache at a full serving
+    window, three formulations on one scanned chain: dense cache +
+    active-length Pallas kernel (the rung-4 baseline), paged cache +
+    paged Pallas kernel (block-table indirection in the index maps —
+    the claim is it matches dense-pallas: same live bytes DMAd), and
+    paged cache on the XLA gather path (correctness formulation; gathers
+    the whole logical window every step). Pages are pre-assigned
+    (shuffled) so the chain measures decode, not allocation."""
+    import dataclasses
+
+    from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
+                                          init_cache, init_paged_cache)
+
+    cfg = TransformerConfig(in_size=50304, block_size=1024, n_layer=12,
+                            n_head=12, n_embd=768,
+                            compute_dtype=compute_dtype)
+    mp = window // page
+    n_pages = batch_size * mp + 1
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.in_size, (batch_size, prompt_len), dtype=np.int32))
+    model0 = Transformer(cfg)
+    init_fn = jax.jit(lambda k, t: model0.init(k, t)["params"])
+    params = init_fn(jax.random.PRNGKey(0), prompt[:1])
+    # shuffled non-trash page assignment: the indirection is real
+    table = jnp.asarray(
+        1 + np.random.default_rng(1).permutation(n_pages - 1).reshape(
+            batch_size, mp), jnp.int32)
+    cdt = jnp.dtype(compute_dtype)
+
+    def chain(paged: bool, decode_attn: str):
+        model = Transformer(dataclasses.replace(cfg,
+                                                decode_attn=decode_attn))
+
+        def run(p, tok_prompt, tok0):
+            if paged:
+                cache = init_paged_cache(cfg, batch_size, n_pages, page,
+                                         cdt, window=window)
+                cache = tuple((pk, pv, table) for pk, pv, _ in cache)
+            else:
+                cache = init_cache(cfg, batch_size, cdt, cache_len=window)
+            pos0 = jnp.zeros(batch_size, jnp.int32)
+            _, cache = model.apply({"params": p}, tok_prompt, cache=cache,
+                                   input_pos=pos0)
+
+            def step(carry, _):
+                tok, cache, pos = carry
+                logits, cache = model.apply({"params": p}, tok[:, None],
+                                            cache=cache, input_pos=pos)
+                nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
+                                 axis=-1).astype(jnp.int32)
+                return (nxt, cache, pos + 1), ()
+
+            pos0 = jnp.full((batch_size,), prompt_len, jnp.int32)
+            (tok, _, _), _ = jax.lax.scan(
+                step, (tok0, cache, pos0), None, length=new_tokens)
+            return tok
+
+        fn = jax.jit(run)
+        return lambda tok0: fn(params, prompt, tok0)
+
+    out = {"family": "paged_decode", "batch": batch_size, "window": window,
+           "page": page, "prompt_len": prompt_len,
+           "new_tokens": new_tokens}
+    tok0 = prompt[:, -1]
+    variants = (("dense_pallas", False, "pallas"),
+                ("paged_pallas", True, "pallas"),
+                ("paged_xla", True, "xla"))
+    outs = {}
+    for name, paged, attn in variants:
+        run = chain(paged, attn)
+        outs[name] = np.asarray(run(tok0))  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            got = run(tok0)
+        int(np.asarray(got)[0])
+        dt = (time.perf_counter() - t0) / iters
+        out[f"{name}_ms_per_token"] = round(1000 * dt / new_tokens, 3)
+    # all three decode the same greedy chain mathematically; exactness is
+    # pinned on CPU (test_paged.py). Here different compilations can flip
+    # bf16 argmax near-ties, so agreement is reported, not asserted.
+    out["paged_pallas_matches_xla"] = bool(
+        (outs["paged_pallas"] == outs["paged_xla"]).all())
+    out["paged_matches_dense"] = bool(
+        (outs["dense_pallas"] == outs["paged_pallas"]).all())
+    return out
+
+
 def bench_host_decode(batch_size: int = 8, new_tokens: int = 64,
                       chunk: int = 8, iters: int = 3,
                       compute_dtype: str = "bfloat16") -> dict:
@@ -436,7 +526,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="all",
                     choices=["gpt", "moe", "diffusion", "decode", "serve",
-                             "hostloop", "all"])
+                             "hostloop", "paged", "all"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8,
                     help="GPT/MoE batch size (diffusion fixed at 64)")
@@ -475,6 +565,9 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     if args.family in ("hostloop", "all"):
         results.append(bench_host_decode(iters=max(2, args.iters // 3)))
+        print(json.dumps(results[-1]), flush=True)
+    if args.family in ("paged", "all"):
+        results.append(bench_paged(iters=max(2, args.iters // 2)))
         print(json.dumps(results[-1]), flush=True)
 
 
