@@ -314,7 +314,9 @@ def export_lm(params, config: TransformerConfig,
                             pv.at[pages].set(rv.astype(pv.dtype)), tab))
             return tuple(out)
 
-        # one scope: the pool size and batch appear in the same artifact
+        # every symbol in a scope must be solvable from each artifact's
+        # own args, so extend_paged (which adds the block length k) gets
+        # its own scope below
         p_sym, b5 = jexport.symbolic_shape("p, b")
         kvh, hd = config.kv_heads, config.head_dim
         pool_spec = jax.ShapeDtypeStruct((p_sym, page_size, kvh, hd),
@@ -333,6 +335,25 @@ def export_lm(params, config: TransformerConfig,
             paged_spec, row_spec, pages_spec)
         (out_dir / "decode_paged.stablehlo").write_bytes(dp.serialize())
         (out_dir / "admit_paged.stablehlo").write_bytes(ap.serialize())
+        # block extend over the paged cache (tokens [b, k] at positions
+        # pos..pos+k-1 through the table) — the ingest call of paged
+        # PREFIX SHARING: page-aligned prefix pages are shared read-only
+        # across rows (the gather sees them; decode never writes below
+        # its own position), and extend_paged computes the per-request
+        # tail + prompt KV conditioned on them. Same traced function as
+        # decode_paged; k is symbolic (own scope, see above).
+        p6, b6, k6 = jexport.symbolic_shape(
+            "p, b, k", constraints=[f"k <= {max_seq}"])
+        pool6 = jax.ShapeDtypeStruct((p6, page_size, kvh, hd),
+                                     config.dtype)
+        paged_spec6 = tuple(
+            (pool6, pool6, jax.ShapeDtypeStruct((b6, mp), jnp.int32))
+            for _ in range(config.n_layer))
+        tok_pk = jax.ShapeDtypeStruct((b6, k6), jnp.int32)
+        ep = jexport.export(jax.jit(decode_paged), platforms=platforms)(
+            tok_pk, paged_spec6,
+            jax.ShapeDtypeStruct((b6,), jnp.int32))
+        (out_dir / "extend_paged.stablehlo").write_bytes(ep.serialize())
         if decode_chunk > 0:
             # the fused K-token pair over the PAGED cache: decode_k /
             # decode_k_sample are cache-agnostic (the model's paged
@@ -480,6 +501,18 @@ def load_exported_paged(out_dir: Union[str, Path]):
     ap = jexport.deserialize(
         (out_dir / "admit_paged.stablehlo").read_bytes())
     return jax.jit(pre.call), jax.jit(dp.call), jax.jit(ap.call), meta
+
+
+def load_exported_extend_paged(out_dir: Union[str, Path]):
+    """extend_paged(tokens[b,k], paged_cache, pos[b]) — block extend
+    through the block table (prefix-sharing ingest). Raises
+    FileNotFoundError on artifacts exported before it existed."""
+    out_dir = Path(out_dir)
+    path = out_dir / "extend_paged.stablehlo"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"{out_dir} was exported without extend_paged")
+    return jax.jit(jexport.deserialize(path.read_bytes()).call)
 
 
 def load_exported_paged_k(out_dir: Union[str, Path]):

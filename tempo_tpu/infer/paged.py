@@ -43,25 +43,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tempo_tpu.infer.export_lm import (load_exported_paged,
+from tempo_tpu.infer.export_lm import (load_exported_extend_paged,
+                                        load_exported_paged,
                                         load_exported_paged_k)
 from tempo_tpu.infer.serving import sample_next
 
 TRASH_PAGE = 0
 
 
+def _pages_for(n_tokens: int, page: int) -> int:
+    """ceil(n_tokens / page). NOTE: `-a // -b` is floor, not ceil —
+    that exact slip once sent admission prompts to the trash page
+    (caught by the sampled-equality pins in test_paged.py)."""
+    return -(-n_tokens // page)
+
+
 class PagePool:
-    """Free-list page allocator. Page 0 is the TRASH page: never handed
-    out, it absorbs the scatter/gather traffic of parked batch rows and
-    of table slots past a row's allocation (the absolute-position mask
-    hides whatever lives there)."""
+    """Refcounting free-list page allocator. Page 0 is the TRASH page:
+    never handed out, it absorbs the scatter/gather traffic of parked
+    batch rows and of table slots past a row's allocation (the
+    absolute-position mask hides whatever lives there). Refcounts exist
+    for PREFIX SHARING: page-aligned shared-prefix pages sit in many
+    rows' tables at once (read-only — decode never writes below its own
+    position), and return to the free list only when the last holder
+    lets go."""
 
     def __init__(self, n_pages: int):
         assert n_pages >= 2, f"need >= 2 pages (1 is trash), got {n_pages}"
         self.n_pages = int(n_pages)
         # LIFO keeps recently-freed pages hot; ids 1..n_pages-1
         self._free = list(range(1, self.n_pages))
-        self._held: set = set()
+        self._rc: Dict[int, int] = {}
 
     @property
     def n_usable(self) -> int:
@@ -75,15 +87,22 @@ class PagePool:
         if not self._free:
             return None
         p = self._free.pop()
-        self._held.add(p)
+        self._rc[p] = 1
         return p
+
+    def share(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            assert p in self._rc, f"sharing unheld page {p}"
+            self._rc[p] += 1
 
     def free(self, pages: Sequence[int]) -> None:
         for p in pages:
             assert p != TRASH_PAGE, "freeing the trash page"
-            assert p in self._held, f"double free of page {p}"
-            self._held.remove(p)
-            self._free.append(p)
+            assert p in self._rc, f"double free of page {p}"
+            self._rc[p] -= 1
+            if self._rc[p] == 0:
+                del self._rc[p]
+                self._free.append(p)
 
 
 class PagedLMServer:
@@ -114,6 +133,18 @@ class PagedLMServer:
             assert self.k_decode == k_art, (
                 f"artifacts were exported with decode_chunk={k_art}, "
                 f"scheduler asked for k_decode={self.k_decode}")
+        try:
+            # block extend through the table: prefix-sharing ingest
+            # (absent on artifacts exported before it existed)
+            self.extend_paged = load_exported_extend_paged(artifacts_dir)
+        except FileNotFoundError:
+            self.extend_paged = None
+        # page-aligned shared-prefix registry: tuple(full-page tokens) ->
+        # pool pages holding their KV (refcounted; base count 1 keeps
+        # them resident across requests, idle entries evictable under
+        # pool pressure)
+        self._prefix_pages: Dict[tuple, List[int]] = {}
+        self._prefix_hits = 0
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
         self.page = int(self.meta["page_size"])
@@ -133,17 +164,22 @@ class PagedLMServer:
         for i, req in enumerate(requests):
             if "tokens" not in req:
                 raise ValueError(f"request {i}: missing 'tokens'")
-            t = len(req["tokens"])
+            pfx = list(req.get("prefix") or ())
+            if pfx and self.extend_paged is None:
+                raise ValueError(
+                    f"request {i}: 'prefix' needs the extend_paged "
+                    "artifact (re-export with a current export_lm)")
+            t = len(req["tokens"]) + len(pfx)
             n = int(req.get("n_tokens", default_new_tokens))
             if t + n > self.window:
                 raise ValueError(
                     f"request {i}: prompt {t} + {n} new tokens exceeds "
                     f"the exported serving window {self.window}")
-            if -(t + n) // -self.page > self.pool.n_usable:
+            if _pages_for(t + n, self.page) > self.pool.n_usable:
                 raise ValueError(
-                    f"request {i}: needs {-(t + n) // -self.page} pages "
+                    f"request {i}: needs {_pages_for(t + n, self.page)} pages "
                     f"but the pool holds {self.pool.n_usable}")
-            toks = np.asarray(req["tokens"], np.int64)
+            toks = np.asarray(pfx + list(req["tokens"]), np.int64)
             if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
                 raise ValueError(
                     f"request {i}: token ids outside [0, {self.vocab})")
@@ -152,8 +188,38 @@ class PagedLMServer:
         t = jnp.asarray(table)
         return tuple((pk, pv, t) for pk, pv in self._pools)
 
+    def _row_cache(self, table: np.ndarray, s: int):
+        t = jnp.asarray(table[s:s + 1])
+        return tuple((pk, pv, t) for pk, pv in self._pools)
+
     def _set_pools(self, cache) -> None:
         self._pools = [(pk, pv) for pk, pv, _ in cache]
+
+    def _prefix_registry(self, key: tuple) -> List[int]:
+        """Pool pages holding the KV of `key` (a page-ALIGNED token
+        tuple), building them once: allocate, then extend_paged the
+        tokens straight into the pool through a 1-row table. Requests
+        whose 'prefix' shares the page-aligned head share these pages
+        read-only."""
+        pages = self._prefix_pages.get(key)
+        if pages is not None:
+            self._prefix_hits += 1
+            return pages
+        n_full = len(key) // self.page
+        pages = []
+        for _ in range(n_full):
+            p = self.pool.alloc()
+            assert p is not None, "registry build must be gated on n_free"
+            pages.append(p)
+        tab = np.zeros((1, self.mp), np.int32)
+        tab[0, :n_full] = pages
+        _, cache = self.extend_paged(
+            jnp.asarray(np.asarray(key, np.int32).reshape(1, -1)),
+            tuple((pk, pv, jnp.asarray(tab)) for pk, pv in self._pools),
+            jnp.zeros(1, jnp.int32))
+        self._set_pools(cache)
+        self._prefix_pages[key] = pages
+        return pages
 
     def serve(self, requests: Sequence[Dict[str, Any]],
               default_new_tokens: int = 64) -> List[Dict[str, Any]]:
@@ -171,6 +237,7 @@ class PagedLMServer:
         toks = np.zeros((b, 1), np.int32)
         table = np.zeros((b, self.mp), np.int32)
         pages_of: List[List[int]] = [[] for _ in range(b)]
+        shared_of: List[List[int]] = [[] for _ in range(b)]
         admit_serial = 0
 
         t_start = time.perf_counter()
@@ -179,11 +246,25 @@ class PagedLMServer:
 
         def release(s: int) -> None:
             self.pool.free(pages_of[s])
+            # shared-prefix pages: drop this row's refcount; the
+            # registry's base count keeps them resident for the next hit
+            self.pool.free(shared_of[s])
             pages_of[s] = []
+            shared_of[s] = []
             table[s] = TRASH_PAGE
             slots[s] = None
             pos[s] = 0
             toks[s, 0] = 0
+
+        def evict_idle_prefix() -> bool:
+            """Free a registry entry no live row is using (all refcounts
+            at the registry's base 1). Last-resort pool pressure valve."""
+            for key, pages in list(self._prefix_pages.items()):
+                if all(self.pool._rc.get(p) == 1 for p in pages):
+                    self.pool.free(pages)
+                    del self._prefix_pages[key]
+                    return True
+            return False
 
         def finalize(s: int) -> None:
             st = slots[s]
@@ -217,8 +298,8 @@ class PagedLMServer:
             return True
 
         def ensure_page(s: int, logical: int) -> None:
-            """Allocate row s's logical page, preempting until one frees
-            up (validation guarantees a lone request always fits)."""
+            """Allocate row s's logical page, preempting (then evicting
+            idle shared prefixes) until one frees up."""
             if table[s, logical] != TRASH_PAGE:
                 return
             while True:
@@ -227,8 +308,12 @@ class PagedLMServer:
                     table[s, logical] = p
                     pages_of[s].append(p)
                     return
-                assert preempt_one(exclude=s) or slots[s] is None, \
-                    "page pool deadlock"  # unreachable under _validate
+                if preempt_one(exclude=s) or evict_idle_prefix():
+                    continue
+                raise RuntimeError(
+                    "page pool exhausted with nothing left to preempt "
+                    f"or evict — raise n_pages (usable "
+                    f"{self.pool.n_usable})")
 
         def push(s: int, st: Dict[str, Any], tok_row: np.ndarray) -> None:
             tok = int(tok_row[0, 0])
@@ -245,9 +330,16 @@ class PagedLMServer:
         while pending or any(st is not None for st in slots):
             for s in range(b):
                 while slots[s] is None and pending:
-                    need = -len(requests[pending[-1]]["tokens"]) \
-                        // -self.page
-                    if max(need, 1) > self.pool.n_free:
+                    nxt = requests[pending[-1]]
+                    pfx = tuple(nxt.get("prefix") or ())
+                    n_full = len(pfx) // self.page
+                    key = pfx[:n_full * self.page]
+                    build = n_full if (n_full and
+                                       key not in self._prefix_pages) else 0
+                    total = len(pfx) + len(nxt["tokens"])
+                    private = max(
+                        _pages_for(total, self.page) - n_full, 1)
+                    if build + private > self.pool.n_free:
                         break  # wait for pages instead of thrashing
                     i = pending.pop()
                     req = requests[i]
@@ -257,21 +349,42 @@ class PagedLMServer:
                                         len(req["tokens"]), "n_generated": 0,
                                         "slot": s, "stopped_early": False}
                         continue
-                    prompt = np.asarray(req["tokens"],
-                                        np.int32).reshape(1, -1)
-                    for j in range(max(need, 1)):
+                    if n_full:
+                        # page-aligned prefix head: shared read-only pages
+                        shared = self._prefix_registry(key)
+                        self.pool.share(shared)
+                        shared_of[s] = list(shared)
+                        table[s, :n_full] = shared
+                    for j in range(n_full,
+                                   max(_pages_for(total, self.page), 1)):
                         ensure_page(s, j)
-                    logits, row_cache = self.prefill(jnp.asarray(prompt))
-                    page_list = np.full(self.mp, TRASH_PAGE, np.int32)
-                    page_list[:len(pages_of[s])] = pages_of[s]
-                    cache = self.admit_paged(self._cache(table), row_cache,
-                                             jnp.asarray(page_list))
+                    if pfx:
+                        # ingest the unaligned prefix tail + the prompt in
+                        # one block extend through the table, conditioned
+                        # on the shared pages
+                        ingest = np.asarray(
+                            list(pfx[n_full * self.page:])
+                            + list(req["tokens"]), np.int32).reshape(1, -1)
+                        logits, cache = self.extend_paged(
+                            jnp.asarray(ingest),
+                            self._row_cache(table, s),
+                            jnp.asarray([n_full * self.page], np.int32))
+                    else:
+                        prompt = np.asarray(req["tokens"],
+                                            np.int32).reshape(1, -1)
+                        logits, row_cache = self.prefill(
+                            jnp.asarray(prompt))
+                        page_list = np.full(self.mp, TRASH_PAGE, np.int32)
+                        page_list[:len(pages_of[s])] = pages_of[s]
+                        cache = self.admit_paged(self._cache(table),
+                                                 row_cache,
+                                                 jnp.asarray(page_list))
                     self._set_pools(cache)
                     prefills += 1
                     st = {
                         "req": i,
                         "serial": admit_serial,
-                        "n_prompt": prompt.shape[1],
+                        "n_prompt": len(req["tokens"]),
                         "out": [],
                         "remaining": n_tokens,
                         "temperature": float(req.get("temperature", 0.0)),
@@ -287,7 +400,7 @@ class PagedLMServer:
                     }
                     admit_serial += 1
                     slots[s] = st
-                    pos[s] = prompt.shape[1]
+                    pos[s] = total  # prefix + prompt (absolute decode pos)
                     tok = sample_next(np.asarray(logits[:, -1]),
                                       st["temperature"], st["top_k"],
                                       st["rng"], top_p=st["top_p"])
@@ -381,6 +494,9 @@ class PagedLMServer:
             "prefills": prefills,
             "preemptions": preemptions,
             "peak_pages": peak_pages,
+            "prefix_hits": self._prefix_hits,
+            "shared_prefix_pages": sum(len(p) for p in
+                                       self._prefix_pages.values()),
             "n_pages": self.pool.n_usable,
             "n_requests": n_req,
             "n_slots": b,

@@ -267,6 +267,97 @@ def test_paged_k_decode_matches_dense_fused(paged_lm):
         assert rb["tokens"] == rp["tokens"]
 
 
+def test_paged_admission_logits_bitwise(paged_lm):
+    """Admission must land the FULL prompt KV in the allocated pages:
+    after prefill + admit_paged + one decode, the logits equal the dense
+    decode_rows path BITWISE, for a prompt longer than one page. (The
+    tiny model's greedy chains are attractors — token-level pins missed
+    a ceil/floor slip that sent admission pages to the trash; this pin
+    is the sharp version. The sampled-equality pins below also catch
+    it statistically.)"""
+    from tempo_tpu.infer.export_lm import (load_exported_continuous,
+                                           load_exported_paged)
+
+    out = paged_lm
+    pre, dp, ap, meta = load_exported_paged(out)
+    _, rows, _, _ = load_exported_continuous(out)
+    pg, mp = int(meta["page_size"]), 32 // int(meta["page_size"])
+
+    prompt = jnp.asarray([[5, 3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]], jnp.int32)
+    t0 = prompt.shape[1]           # 12 tokens -> 2 pages of 8
+    logits, row = pre(prompt)
+
+    pool_shape = (7, pg, int(meta.get("n_kv_head") or meta["n_head"]),
+                  int(meta["n_embd"]) // int(meta["n_head"]))
+    z = jnp.zeros(pool_shape, jnp.dtype(meta["compute_dtype"]))
+    table = np.zeros((1, mp), np.int32)
+    cache = tuple((z, z, jnp.asarray(table))
+                  for _ in range(int(meta["n_layer"])))
+    pages = np.asarray([4, 2, 0, 0], np.int32)  # shuffled, 2 live pages
+    cache = ap(cache, row, jnp.asarray(pages))
+    table[0, :2] = [4, 2]
+    cache = tuple((pk, pv, jnp.asarray(table)) for pk, pv, _ in cache)
+
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    pos = jnp.asarray([t0], jnp.int32)
+    l_dense, _ = rows(tok, row, pos)      # dense cache IS the row cache
+    l_paged, _ = dp(tok, cache, pos)
+    np.testing.assert_array_equal(np.asarray(l_dense), np.asarray(l_paged))
+
+
+def test_paged_prefix_sharing(paged_lm):
+    """Page-aligned shared-prefix caching: requests carrying the same
+    'prefix' share its full pages read-only (one registry build, then
+    hits), outputs equal the dense continuous server on the concatenated
+    prompts, peak page usage drops vs no sharing, preemption composes,
+    and idle shared pages are evicted under pool pressure."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    prefix = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]  # page 8: 1 shared + 2 tail
+    reqs_pfx = [
+        {"tokens": [7, 7], "n_tokens": 8, "prefix": prefix},
+        {"tokens": [1, 2, 3], "n_tokens": 6, "prefix": prefix},
+        {"tokens": [4], "n_tokens": 7, "prefix": prefix,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+    ]
+    reqs_cat = [dict({k: v for k, v in r.items() if k != "prefix"},
+                     tokens=prefix + list(r["tokens"])) for r in reqs_pfx]
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve(reqs_cat)
+
+    srv = PagedLMServer(paged_lm, n_slots=2)
+    got = srv.serve(reqs_pfx)
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+    stats = srv.last_stats
+    assert stats["shared_prefix_pages"] == 1
+    assert stats["prefix_hits"] == 2  # built once, hit twice
+
+    # memory: sharing beats serving the concatenated prompts unshared
+    unshared = PagedLMServer(paged_lm, n_slots=2)
+    unshared.serve(reqs_cat)
+    assert stats["peak_pages"] < unshared.last_stats["peak_pages"]
+
+    # a pool too tight for both rows' private pages: preemption fires,
+    # outputs unchanged (shared pages survive the preemption)
+    tight = PagedLMServer(paged_lm, n_slots=2, n_pages=5)
+    got = tight.serve(reqs_pfx)
+    assert tight.last_stats["preemptions"] > 0
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+
+    # idle shared pages are the last-resort eviction victim: a later
+    # no-prefix workload that needs the whole pool reclaims them
+    small = PagedLMServer(paged_lm, n_slots=1, n_pages=4)
+    small.serve([{"tokens": [7, 7], "n_tokens": 6, "prefix": prefix}])
+    assert small.last_stats["shared_prefix_pages"] == 1
+    want = ContinuousLMServer(paged_lm, n_slots=1).serve(
+        [{"tokens": [1] * 9, "n_tokens": 14}])[0]
+    r = small.serve([{"tokens": [1] * 9, "n_tokens": 14}])[0]
+    assert r["tokens"] == want["tokens"]
+    assert small.last_stats["shared_prefix_pages"] == 0  # evicted
+
+
 def test_paged_rows_isolated():
     """A row writing through its table never perturbs another row's
     logits (pages are disjoint; trash-page collisions are invisible)."""
