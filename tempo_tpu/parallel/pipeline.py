@@ -179,6 +179,10 @@ def pp_shardings(mesh: Mesh, rest: Dict, stage_stack: Any,
         spec = list(front) + [None] * (ndim - len(front))
         if _tp_tail(leaf) and spec[-1] is None:
             spec[-1] = MODEL_AXIS
+        while spec and spec[-1] is None:
+            # trailing Nones are semantically inert; trimming keeps the
+            # spec canonical (P('pipe',None,'data') not ...,None,None)
+            spec.pop()
         return NamedSharding(mesh, P(*spec))
 
     use_fsdp = fsdp_experts and DATA_AXIS in mesh.axis_names
