@@ -105,6 +105,7 @@ def test_ring_attention_zigzag_matches_full():
                                np.asarray(expect), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_ring_attention_zigzag_grads_match():
     q, k, v = _qkv()
     perm = zigzag_permutation(T, S)

@@ -175,6 +175,7 @@ def test_vdm_loss_parity(monkeypatch):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_vdm_learned_schedule_loss_differentiable():
     """The learned-NN schedule trains jointly: grads flow through the jvp
     into the schedule params."""
@@ -242,6 +243,7 @@ def test_vdm_sample_scan_runs():
                                   np.asarray(out))
 
 
+@pytest.mark.slow
 def test_vdm_cfg_guided_prediction():
     """w_cfg guidance: eps_u + w (eps_c - eps_u) (vdm_model.py:308-345);
     w_cfg=1 must equal the plain conditional prediction."""

@@ -6,6 +6,7 @@ never needed — SURVEY.md SS2.4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tempo_tpu.models.vae import AutoencoderKL, VAEConfig
 from tempo_tpu.parallel.mesh import (
@@ -182,6 +183,7 @@ def test_tensor_parallel_encode_matches_unsharded():
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_l2_step_matches_single_device():
     """The L2-supervised multi-task step under channel sharding: product
     heads (1-channel outputs) stay replicated by rule; everything else
@@ -424,6 +426,7 @@ def test_sharded_checkpoint_tp_roundtrip(tmp_path):
     assert int(state_next.step) == 2
 
 
+@pytest.mark.slow
 def test_tensor_parallel_with_padded_boundary():
     """Tensor parallelism must compose with the lane-padded boundary-conv
     parameterization (models/vae.py pad_boundary): the in-jit zero-pad of
@@ -471,6 +474,7 @@ def test_tensor_parallel_with_padded_boundary():
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_diffusion_data_parallel_matches_single_device():
     """The latent-diffusion step (frozen-VAE encode fused in, VDM ELBO) is
     DP-transparent too: same batch + same rng chain, sharded == unsharded.

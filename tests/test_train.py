@@ -373,6 +373,7 @@ def test_no2_probe_head():
     assert pred.shape == (2, 4, 4, 1)
 
 
+@pytest.mark.slow
 def test_trainer_sharded_format_and_metric_sinks(tmp_path):
     """checkpoint_format='sharded' writes .shards directory checkpoints the
     resume machinery recognizes, and metric sinks receive every train/val

@@ -89,6 +89,7 @@ def test_train_gpt_pipeline_parallel(tmp_path):
     assert info["pipeline_stages"] == 2
 
 
+@pytest.mark.slow
 def test_export_lm_cli_from_run(tmp_path):
     """cli/export_lm.py consumes a train_gpt run dir: fp and int8 exports
     both verify their own greedy roundtrip against the live model, and a
@@ -169,6 +170,7 @@ def test_train_gpt_expert_parallel(tmp_path):
     assert info["n_experts"] == 2
 
 
+@pytest.mark.slow
 def test_train_gpt_tensor_parallel(tmp_path):
     """parallel.tensor: 2 channel-shards the params over a 'model' mesh
     axis and still trains + generates end-to-end (XLA inserts the
@@ -203,6 +205,7 @@ def test_train_gpt_expert_parallel_validation(tmp_path):
         main(_write(tmp_path / "bad3.yaml", cfg))
 
 
+@pytest.mark.slow
 def test_train_gpt_resume_auto(tmp_path):
     """resume_from: auto re-enters the run's own output dir and continues
     from the latest checkpoint with the metric history intact."""
@@ -225,6 +228,7 @@ def test_train_gpt_resume_auto(tmp_path):
     assert 30 in steps and 35 in steps  # both phases in one history
 
 
+@pytest.mark.slow
 def test_train_gpt_context_parallel(tmp_path):
     """parallel.context: 4 shards the sequence over a 'seq' mesh axis (ring
     attention) and still trains + generates end-to-end; the decode path is
@@ -263,6 +267,7 @@ def test_train_gpt_context_parallel(tmp_path):
         main(_write(tmp_path / "cfg_bad_cp2.yaml", cfg))
 
 
+@pytest.mark.slow
 def test_train_gpt_fsdp(tmp_path):
     """parallel.fsdp: true shards the GPT train state (params + AdamW
     moments) over the 'data' axis and still trains + generates."""
@@ -284,6 +289,7 @@ def test_train_gpt_fsdp(tmp_path):
         main(_write(tmp_path / "cfg_bad_fsdp.yaml", cfg))
 
 
+@pytest.mark.slow
 def test_train_gpt_lora_finetune(tmp_path):
     """finetune.lora_rank: a short base run, then a LoRA run on top of its
     checkpoint — adapters-only state, loss keeps dropping from the base

@@ -154,6 +154,7 @@ def test_cunet_identity_at_scaled_init():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cunet_v_augment_runs():
     """Reparameterized conditioning augmentation (networks.py:85-97,
     248-254) draws through the 'v_augment' rng stream."""
