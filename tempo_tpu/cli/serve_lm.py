@@ -31,11 +31,16 @@ Two modes over either scheduler:
   "n_tokens": N, "temperature": T, "top_k": K, "top_p": P, "seed": S per line,
   plus "eos" under the continuous scheduler), write
   `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
-- `mode: http` — a stdlib single-threaded HTTP endpoint:
-  GET /healthz -> artifact metadata; POST /generate with one request
-  object or {"requests": [...]} -> completions. Single-threaded is the
-  honest policy: the chip is single-tenant and the artifacts' decode
-  chain is sequential; concurrency belongs in a fleet balancer, not here.
+- `mode: http` — a stdlib HTTP endpoint: GET /healthz -> artifact
+  metadata; POST /generate with one request object or
+  {"requests": [...]} -> completions. Single-threaded by default (the
+  chip is single-tenant and a closed batch decodes sequentially). With
+  `online: true` (continuous scheduler only) the endpoint becomes a
+  TRUE online server: a ThreadingHTTPServer front + OnlineLMServer —
+  concurrent POSTs from different clients join one running device
+  batch mid-flight (a freed slot admits the next queued request
+  between decode dispatches), which is how production
+  continuous-batching hosts work.
 
 The serving host runs from the StableHLO artifacts alone — this CLI never
 imports the model or checkpoint code. (The reference has no serving
@@ -58,6 +63,9 @@ Config:
                                     #   alternative to k_draft)
   n_pages: 0                        # paged scheduler: physical pool pages
                                     #   (0 = dense-equivalent capacity)
+  online: false                     # http + continuous: OnlineLMServer —
+                                    #   concurrent POSTs share one running
+                                    #   batch (threaded endpoint)
   prefill_chunk: 0                  # >0: prefill long prompts in chunks of
                                     #   this size via the `extend` artifact
                                     #   (exact; bounds peak prefill memory;
@@ -73,7 +81,8 @@ from __future__ import annotations
 
 import json
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 from pathlib import Path
 
 from tempo_tpu.cli import run_cli
@@ -113,7 +122,7 @@ def _serve_batch(server, config: dict, output_dir: Path,
 
 
 def _serve_http(server, config: dict, output_dir: Path,
-                default_n: int) -> None:
+                default_n: int, online: bool = False) -> None:
     host = str(config.get("host", "127.0.0.1"))
     port = int(config.get("port", 8900))
     max_requests = int(config.get("max_requests", 0))
@@ -158,10 +167,14 @@ def _serve_http(server, config: dict, output_dir: Path,
         def log_message(self, fmt, *args):
             print(f"[http] {fmt % args}")
 
-    httpd = HTTPServer((host, port), Handler)
+    # online: one handler thread per connection, all submitting into the
+    # shared engine — concurrent POSTs join one running device batch
+    httpd = (ThreadingHTTPServer if online else HTTPServer)(
+        (host, port), Handler)
     bound = httpd.server_address
     print(f"Serving on http://{bound[0]}:{bound[1]} "
-          f"(POST /generate, GET /healthz)"
+          f"(POST /generate, GET /healthz"
+          + (", online continuous batching)" if online else ")")
           + (f", exiting after {max_requests} requests" if max_requests
              else ""))
     save_yaml({"host": bound[0], "port": int(bound[1]),
@@ -169,6 +182,11 @@ def _serve_http(server, config: dict, output_dir: Path,
               output_dir / "serving_info.yaml")
     try:
         if max_requests:
+            if online:
+                # threaded handlers bump the counter asynchronously; a
+                # poll timeout keeps the accept loop from blocking on a
+                # connection that will never come after the last POST
+                httpd.timeout = 0.2
             while counter["posts"] < max_requests:
                 httpd.handle_request()
         else:
@@ -195,7 +213,22 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
 
     scheduler = str(config.get("scheduler", "bucketed"))
     chunk = int(config.get("prefill_chunk", 0)) or None
-    if scheduler == "continuous":
+    online = bool(config.get("online", False))
+    if online and scheduler != "continuous":
+        raise ValueError("FATAL: online: true is the continuous "
+                         "scheduler's open-world mode")
+    if online:
+        if config.get("draft_artifacts"):
+            raise ValueError("FATAL: online mode does not compose with "
+                             "speculative drafts yet")
+        from tempo_tpu.infer.serving import OnlineLMServer
+
+        server = OnlineLMServer(
+            artifacts, n_slots=int(config.get("slots", 8)),
+            prefill_chunk=chunk,
+            k_decode=int(config.get("k_decode", 0)),
+            default_new_tokens=int(config.get("default_n_tokens", 64)))
+    elif scheduler == "continuous":
         # draft_artifacts + k_draft > 0 compose speculation into the
         # continuous batch (per-slot draft/verify via `extend_rows`)
         draft = None
@@ -244,13 +277,19 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         default_n = min(default_n, 8)
 
     mode = str(config.get("mode", "batch"))
-    if mode == "batch":
-        require_keys(config, ["requests"])
-        _serve_batch(server, config, output_dir, default_n)
-    elif mode == "http":
-        _serve_http(server, config, output_dir, default_n)
-    else:
-        raise ValueError(f"FATAL: unknown mode {mode!r} (batch | http)")
+    try:
+        if mode == "batch":
+            require_keys(config, ["requests"])
+            _serve_batch(server, config, output_dir, default_n)
+        elif mode == "http":
+            _serve_http(server, config, output_dir, default_n,
+                        online=online)
+        else:
+            raise ValueError(
+                f"FATAL: unknown mode {mode!r} (batch | http)")
+    finally:
+        if online:
+            server.close()
     print("\nDone!")
 
 

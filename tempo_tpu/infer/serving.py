@@ -18,6 +18,7 @@ token from the training source tree.)
 
 from __future__ import annotations
 
+import threading
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
@@ -438,6 +439,177 @@ class LMServer:
         return self.serve_requests(requests, default_new_tokens)
 
 
+class LMEngine:
+    """Incremental form of ContinuousLMServer's scheduling loop — the
+    piece that makes the continuous batch ONLINE: requests may be
+    submitted while the pool is mid-decode and join the running batch at
+    the next admission sweep (a freed slot), exactly how production
+    continuous-batching hosts work. One `step()` = one admission sweep +
+    one decode dispatch (fused K-token when eligible, per-token
+    otherwise). ContinuousLMServer.serve is submit-all + drain over this
+    engine, so every closed-batch equality pin in test_export.py pins
+    the engine's scheduling too; mid-flight admission adds no new
+    numerics (per-row cache scatter + per-row absolute mask keep rows
+    independent — the same argument as admit-on-free). NOT thread-safe:
+    OnlineLMServer serializes access."""
+
+    def __init__(self, server: "ContinuousLMServer",
+                 default_new_tokens: int = 64):
+        self.s = server
+        self.default_new_tokens = int(default_new_tokens)
+        b = server.n_slots
+        self.slots: List[Optional[Dict[str, Any]]] = [None] * b
+        self.pos = np.zeros(b, np.int32)
+        self.toks = np.zeros((b, 1), np.int32)
+        _, self.cache = server.prefill(jnp.zeros((b, 1), jnp.int32))
+        self.pending: List[tuple] = []  # FIFO of (ticket, req, n_tokens)
+        self.finished: Dict[int, Dict[str, Any]] = {}
+        self._ticket = 0
+        self.decode_steps = 0
+        self.prefills = 0
+
+    def submit(self, req: Dict[str, Any]) -> int:
+        """Validate + enqueue; returns a ticket to look up in
+        `finished`. Zero-budget requests finish immediately."""
+        self.s._validate([req], self.default_new_tokens)
+        t = self._ticket
+        self._ticket += 1
+        n_tokens = int(req.get("n_tokens", self.default_new_tokens))
+        if n_tokens <= 0:
+            self.finished[t] = {"tokens": [], "n_prompt":
+                                len(req["tokens"]), "n_generated": 0,
+                                "slot": -1, "stopped_early": False}
+        else:
+            self.pending.append((t, req, n_tokens))
+        return t
+
+    def has_work(self) -> bool:
+        return bool(self.pending) or any(
+            st is not None for st in self.slots)
+
+    def _finalize(self, s: int) -> None:
+        st = self.slots[s]
+        assert st is not None
+        self.finished[st["ticket"]] = {
+            "tokens": st["out"],
+            "n_prompt": st["n_prompt"],
+            "n_generated": len(st["out"]),
+            "slot": s,
+            "stopped_early": st["eos_hit"],
+        }
+        self.slots[s] = None
+        self.pos[s] = 0
+        self.toks[s, 0] = 0
+
+    def _push(self, s: int, st: Dict[str, Any],
+              tok_row: np.ndarray) -> None:
+        tok = int(tok_row[0, 0])
+        st["out"].append(tok)
+        st["remaining"] -= 1
+        if st["eos"] is not None and tok == st["eos"]:
+            st["eos_hit"] = True
+            st["remaining"] = 0
+        if st["remaining"] <= 0:
+            self._finalize(s)
+        else:
+            self.toks[s, 0] = tok
+
+    def _admit(self) -> None:
+        for s in range(self.s.n_slots):
+            if self.slots[s] is not None or not self.pending:
+                continue
+            ticket, req, n_tokens = self.pending.pop(0)
+            prompt = np.asarray(req["tokens"], np.int32).reshape(1, -1)
+            logits, row_cache = self.s._prefill(jnp.asarray(prompt))
+            self.cache = self.s.admit(self.cache, row_cache,
+                                      jnp.int32(s))
+            self.prefills += 1
+            st = {
+                "ticket": ticket,
+                "n_prompt": prompt.shape[1],
+                "out": [],
+                "remaining": n_tokens,
+                "temperature": float(req.get("temperature", 0.0)),
+                "top_k": req.get("top_k"),
+                "top_p": req.get("top_p"),
+                "eos": req.get("eos"),
+                "eos_hit": False,
+                "rng": np.random.default_rng(int(req.get("seed", 0))),
+                # device rng root for the fused sampled path
+                "key": np.asarray(jax.random.PRNGKey(
+                    int(req.get("seed", 0))), np.uint32),
+            }
+            self.slots[s] = st
+            self.pos[s] = prompt.shape[1]
+            tok = sample_next(np.asarray(logits[:, -1]),
+                              st["temperature"], st["top_k"], st["rng"],
+                              top_p=st["top_p"])
+            self._push(s, st, tok)
+
+    def step(self) -> None:
+        """One admission sweep + (if anything is active) one decode
+        dispatch. Mid-chunk finishers discard their over-decoded tail;
+        the freed slot is refilled at the NEXT step's admission."""
+        self._admit()
+        b = self.s.n_slots
+        slots, pos, toks = self.slots, self.pos, self.toks
+        active = [s for s in range(b) if slots[s] is not None]
+        if not active:
+            return
+        k = self.s.k_decode
+        all_greedy = all(slots[s]["temperature"] == 0.0 for s in active)
+        if (self.s.decode_k_rows is not None
+                and (all_greedy or self.s.decode_k_sample is not None)
+                and all(pos[s] + k <= self.s.window for s in active)):
+            # multi-step quantum: every slot advances K tokens in one
+            # dispatch (argmax/sampling feedback on-device). Falls back
+            # to per-token when a slot sits too close to the window edge
+            # for a full chunk of writes. Sampled slots draw the DEVICE
+            # threefry stream (chunk-invariant: keyed by seed + absolute
+            # position), not the per-token host numpy stream.
+            if all_greedy:
+                chunk, self.cache = self.s.decode_k_rows(
+                    jnp.asarray(toks), self.cache, jnp.asarray(pos))
+            else:
+                keys = np.zeros((b, 2), np.uint32)
+                temp = np.zeros(b, np.float32)
+                topk = np.zeros(b, np.int32)
+                topp = np.ones(b, np.float32)
+                for s in active:
+                    st = slots[s]
+                    keys[s] = st["key"]
+                    temp[s] = st["temperature"]
+                    topk[s] = int(st["top_k"] or 0)
+                    topp[s] = float(1.0 if st["top_p"] is None
+                                    else st["top_p"])
+                chunk, self.cache = self.s.decode_k_sample(
+                    jnp.asarray(toks), self.cache, jnp.asarray(pos),
+                    jnp.asarray(keys), jnp.asarray(temp),
+                    jnp.asarray(topk), jnp.asarray(topp))
+            chunk_np = np.asarray(chunk)
+            self.decode_steps += 1
+            for s in active:
+                st = slots[s]
+                for j in range(k):
+                    pos[s] += 1
+                    self._push(s, st, chunk_np[s:s + 1, j:j + 1])
+                    if slots[s] is None:
+                        break
+            return
+        logits, self.cache = self.s.decode_rows(
+            jnp.asarray(toks), self.cache, jnp.asarray(pos))
+        logits_np = np.asarray(logits[:, -1])
+        self.decode_steps += 1
+        for s in range(b):
+            st = slots[s]
+            if st is None:
+                continue
+            tok = sample_next(logits_np[s:s + 1], st["temperature"],
+                              st["top_k"], st["rng"], top_p=st["top_p"])
+            pos[s] += 1
+            self._push(s, st, tok)
+
+
 class ContinuousLMServer:
     """Continuous batching over the exported per-row-position artifacts.
 
@@ -542,163 +714,28 @@ class ContinuousLMServer:
         id, which is kept in the output). Responses keep request order."""
         if self.draft is not None:
             return self._serve_speculative(requests, default_new_tokens)
+        # whole-list validation FIRST: a bad request fails the call
+        # before any work happens (submit re-validates per request for
+        # the online path)
         self._validate(requests, default_new_tokens)
-        n_req = len(requests)
-        responses: List[Optional[Dict[str, Any]]] = [None] * n_req
-        pending = list(range(n_req))[::-1]  # pop() preserves arrival order
-        b = self.n_slots
-
-        # a parked row is dead weight: it decodes token 0 at position 0
-        # every step and `admit` replaces its whole cache row on reuse
-        slots: List[Optional[Dict[str, Any]]] = [None] * b
-        pos = np.zeros(b, np.int32)
-        toks = np.zeros((b, 1), np.int32)
-        _, cache = self.prefill(jnp.zeros((b, 1), jnp.int32))
-
         t_start = time.perf_counter()
-        decode_steps = 0
-        prefills = 0
-
-        def finalize(s: int) -> None:
-            st = slots[s]
-            assert st is not None
-            responses[st["req"]] = {
-                "tokens": st["out"],
-                "n_prompt": st["n_prompt"],
-                "n_generated": len(st["out"]),
-                "slot": s,
-                "stopped_early": st["eos_hit"],
-            }
-            slots[s] = None
-            pos[s] = 0
-            toks[s, 0] = 0
-
-        def push(s: int, st: Dict[str, Any], tok_row: np.ndarray) -> None:
-            tok = int(tok_row[0, 0])
-            st["out"].append(tok)
-            st["remaining"] -= 1
-            if st["eos"] is not None and tok == st["eos"]:
-                st["eos_hit"] = True
-                st["remaining"] = 0
-            if st["remaining"] <= 0:
-                finalize(s)
-            else:
-                toks[s, 0] = tok
-
-        while pending or any(st is not None for st in slots):
-            for s in range(b):
-                while slots[s] is None and pending:
-                    i = pending.pop()
-                    req = requests[i]
-                    n_tokens = int(req.get("n_tokens", default_new_tokens))
-                    if n_tokens <= 0:
-                        responses[i] = {"tokens": [], "n_prompt":
-                                        len(req["tokens"]), "n_generated": 0,
-                                        "slot": s, "stopped_early": False}
-                        continue
-                    prompt = np.asarray(req["tokens"],
-                                        np.int32).reshape(1, -1)
-                    logits, row_cache = self._prefill(jnp.asarray(prompt))
-                    cache = self.admit(cache, row_cache, jnp.int32(s))
-                    prefills += 1
-                    st = {
-                        "req": i,
-                        "n_prompt": prompt.shape[1],
-                        "out": [],
-                        "remaining": n_tokens,
-                        "temperature": float(req.get("temperature", 0.0)),
-                        "top_k": req.get("top_k"),
-                        "top_p": req.get("top_p"),
-                        "eos": req.get("eos"),
-                        "eos_hit": False,
-                        "rng": np.random.default_rng(
-                            int(req.get("seed", 0))),
-                        # device rng root for the fused sampled path
-                        "key": np.asarray(jax.random.PRNGKey(
-                            int(req.get("seed", 0))), np.uint32),
-                    }
-                    slots[s] = st
-                    pos[s] = prompt.shape[1]
-                    tok = sample_next(np.asarray(logits[:, -1]),
-                                      st["temperature"], st["top_k"],
-                                      st["rng"], top_p=st["top_p"])
-                    push(s, st, tok)
-
-            if not any(st is not None for st in slots):
-                break
-            k = self.k_decode
-            active = [s for s in range(b) if slots[s] is not None]
-            all_greedy = all(slots[s]["temperature"] == 0.0
-                             for s in active)
-            if (self.decode_k_rows is not None
-                    and (all_greedy or self.decode_k_sample is not None)
-                    and all(pos[s] + k <= self.window for s in active)):
-                # multi-step quantum: every slot advances K tokens in one
-                # dispatch (argmax/sampling feedback on-device). A slot
-                # that finishes mid-chunk discards its tail tokens (≤ K-1
-                # over-decoded; its row is wholly replaced on re-admit).
-                # Falls back to per-token when a slot sits too close to
-                # the window edge for a full chunk of writes. Sampled
-                # slots draw the DEVICE threefry stream (chunk-invariant:
-                # keyed by seed + absolute position), not the per-token
-                # host numpy stream — reproducible either way.
-                if all_greedy:
-                    chunk, cache = self.decode_k_rows(
-                        jnp.asarray(toks), cache, jnp.asarray(pos))
-                else:
-                    keys = np.zeros((b, 2), np.uint32)
-                    temp = np.zeros(b, np.float32)
-                    topk = np.zeros(b, np.int32)
-                    topp = np.ones(b, np.float32)
-                    for s in active:
-                        st = slots[s]
-                        keys[s] = st["key"]
-                        temp[s] = st["temperature"]
-                        topk[s] = int(st["top_k"] or 0)
-                        topp[s] = float(1.0 if st["top_p"] is None
-                                        else st["top_p"])
-                    chunk, cache = self.decode_k_sample(
-                        jnp.asarray(toks), cache, jnp.asarray(pos),
-                        jnp.asarray(keys), jnp.asarray(temp),
-                        jnp.asarray(topk), jnp.asarray(topp))
-                chunk_np = np.asarray(chunk)
-                decode_steps += 1
-                for s in active:
-                    st = slots[s]
-                    for j in range(k):
-                        pos[s] += 1
-                        push(s, st, chunk_np[s:s + 1, j:j + 1])
-                        if slots[s] is None:
-                            break
-                continue
-            logits, cache = self.decode_rows(
-                jnp.asarray(toks), cache, jnp.asarray(pos))
-            logits_np = np.asarray(logits[:, -1])
-            decode_steps += 1
-            for s in range(b):
-                st = slots[s]
-                if st is None:
-                    continue
-                tok = sample_next(logits_np[s:s + 1], st["temperature"],
-                                  st["top_k"], st["rng"],
-                                  top_p=st["top_p"])
-                pos[s] += 1
-                push(s, st, tok)
-
+        eng = LMEngine(self, default_new_tokens)
+        tickets = [eng.submit(req) for req in requests]
+        while eng.has_work():
+            eng.step()
         dt = time.perf_counter() - t_start
-        n_generated = sum(r["n_generated"] for r in responses
-                          if r is not None)
+        responses = [eng.finished[t] for t in tickets]
+        n_generated = sum(r["n_generated"] for r in responses)
         self.last_stats = {
-            "decode_steps": decode_steps,
-            "prefills": prefills,
-            "n_requests": n_req,
-            "n_slots": b,
+            "decode_steps": eng.decode_steps,
+            "prefills": eng.prefills,
+            "n_requests": len(requests),
+            "n_slots": self.n_slots,
             "n_generated": n_generated,
             "seconds": round(dt, 4),
             "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
         }
-        assert all(r is not None for r in responses)
-        return responses  # type: ignore[return-value]
+        return responses
 
     def _serve_speculative(self, requests: Sequence[Dict[str, Any]],
                            default_new_tokens: int) -> List[Dict[str, Any]]:
@@ -1145,3 +1182,111 @@ class SpeculativeLMServer:
               default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """Scheduler-agnostic alias: hosts call either name."""
         return self.serve_requests(requests, default_new_tokens)
+
+
+class OnlineLMServer:
+    """ONLINE continuous batching: a thread-safe front over one shared
+    LMEngine. Callers submit requests from any thread at any time; a
+    single scheduler thread drives the engine, so requests from
+    different callers JOIN ONE RUNNING DEVICE BATCH mid-flight (a freed
+    slot admits the next queued request between decode dispatches) —
+    the open-world form of ContinuousLMServer, whose serve() is the
+    closed-batch special case of the same engine. Numerics are
+    identical per request (rows are independent; pinned in
+    test_export.py against solo decodes).
+
+    `generate(req)` blocks until that request finishes; `submit` +
+    `result` split the two for callers managing their own concurrency.
+    The engine is NOT internally concurrent — the condition lock
+    serializes engine access, and each decode dispatch runs under it
+    (device dispatches are ms-scale; the lock is not the bottleneck,
+    the device is). `default_new_tokens` is fixed at construction: it
+    participates in validation, which must be stable across callers.
+    """
+
+    def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
+                 prefill_chunk: Optional[int] = None, k_decode: int = 0,
+                 default_new_tokens: int = 64):
+        self._server = ContinuousLMServer(artifacts_dir, n_slots=n_slots,
+                                          prefill_chunk=prefill_chunk,
+                                          k_decode=k_decode)
+        self.meta = self._server.meta
+        self.vocab = self._server.vocab
+        self.window = self._server.window
+        self._engine = LMEngine(self._server, default_new_tokens)
+        self._cond = threading.Condition()
+        self._closing = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="lm-engine")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._engine.has_work() and not self._closing:
+                    self._cond.wait()
+                if self._closing and not self._engine.has_work():
+                    return
+                self._engine.step()
+                self._cond.notify_all()
+
+    def submit(self, req: Dict[str, Any]) -> int:
+        """Enqueue (validating) and wake the scheduler; returns a
+        ticket for `result`. Raises if the server is closing."""
+        with self._cond:
+            if self._closing:
+                raise RuntimeError("server is closed")
+            ticket = self._engine.submit(req)
+            self._cond.notify_all()
+            return ticket
+
+    def result(self, ticket: int,
+               timeout: Optional[float] = None) -> Dict[str, Any]:
+        """Block until the ticket finishes; pops and returns its
+        response."""
+        with self._cond:
+            ok = self._cond.wait_for(
+                lambda: ticket in self._engine.finished, timeout=timeout)
+            if not ok:
+                raise TimeoutError(f"ticket {ticket} not finished "
+                                   f"within {timeout}s")
+            return self._engine.finished.pop(ticket)
+
+    def generate(self, req: Dict[str, Any],
+                 timeout: Optional[float] = None) -> Dict[str, Any]:
+        return self.result(self.submit(req), timeout=timeout)
+
+    def serve_requests(self, requests: Sequence[Dict[str, Any]],
+                       default_new_tokens: int = 64
+                       ) -> List[Dict[str, Any]]:
+        """Batch-mode compatibility (submit all, collect in order).
+        NOTE: the construction-time default_new_tokens governs
+        validation and budgets, not this argument."""
+        tickets = [self.submit(r) for r in requests]
+        return [self.result(t) for t in tickets]
+
+    serve = serve_requests
+
+    def stats(self) -> Dict[str, Any]:
+        with self._cond:
+            e = self._engine
+            return {
+                "decode_steps": e.decode_steps,
+                "prefills": e.prefills,
+                "pending": len(e.pending),
+                "active": sum(st is not None for st in e.slots),
+                "n_slots": self._server.n_slots,
+            }
+
+    # hosts read .last_stats generically; the online server's stats are
+    # cumulative, not per-call
+    @property
+    def last_stats(self) -> Dict[str, Any]:
+        return self.stats()
+
+    def close(self) -> None:
+        """Drain remaining work, then stop the scheduler thread."""
+        with self._cond:
+            self._closing = True
+            self._cond.notify_all()
+        self._thread.join()

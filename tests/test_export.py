@@ -310,6 +310,124 @@ def test_serve_lm_cli_http(tmp_path, tiny_lm):
     assert not th.is_alive()
 
 
+def test_online_server_matches_solo(tmp_path, tiny_lm):
+    """OnlineLMServer: requests submitted from concurrent threads —
+    including one submitted MID-FLIGHT while the pool is already
+    decoding — join the shared running batch and come back identical to
+    solo per-request decodes (greedy and host-sampled alike); the
+    cumulative engine stats show the batch sharing."""
+    import threading
+    import time as _t
+
+    from tempo_tpu.infer.serving import LMServer, OnlineLMServer
+
+    out, model, params, cfg = tiny_lm
+    solo = LMServer(out)
+    online = OnlineLMServer(out, n_slots=2)
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 17},
+        {"tokens": [9, 2, 6], "n_tokens": 11,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+        {"tokens": [7, 7], "n_tokens": 20},
+        {"tokens": [1, 2, 3, 4], "n_tokens": 5},
+    ]
+    results: list = [None] * len(reqs)
+
+    def worker(i):
+        results[i] = online.generate(reqs[i], timeout=300)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    # a genuinely mid-flight submission: wait until decoding started
+    deadline = _t.time() + 300
+    while online.stats()["decode_steps"] == 0 and _t.time() < deadline:
+        _t.sleep(0.01)
+    late = {"tokens": [5], "n_tokens": 9, "temperature": 0.7,
+            "top_p": 0.9, "seed": 11}
+    late_resp = online.generate(late, timeout=300)
+    for t in threads:
+        t.join(300)
+    stats = online.stats()
+    online.close()
+
+    for i, req in enumerate(reqs):
+        want = solo.generate_batch(
+            np.asarray([req["tokens"]], np.int32), req["n_tokens"],
+            temperature=req.get("temperature", 0.0),
+            top_k=req.get("top_k"), top_p=req.get("top_p"),
+            seed=req.get("seed", 0))
+        np.testing.assert_array_equal(
+            np.asarray([results[i]["tokens"]]), want)
+    want_late = solo.generate_batch(
+        np.asarray([late["tokens"]], np.int32), 9, temperature=0.7,
+        top_p=0.9, seed=11)
+    assert late_resp["tokens"] == want_late[0].tolist()
+    assert stats["prefills"] == 5 and stats["pending"] == 0
+    # shared batch: fewer dispatches than serial per-token decode
+    serial = sum(r["n_tokens"] - 1 for r in reqs) + late["n_tokens"] - 1
+    assert stats["decode_steps"] < serial
+
+
+def test_serve_lm_cli_http_online(tmp_path, tiny_lm):
+    """`online: true` + mode http: the ThreadingHTTPServer front — two
+    concurrent POSTs land in one running batch and both complete with
+    correct outputs (pinned against the solo server)."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.infer.serving import LMServer
+    from tempo_tpu.utils.config import load_config, save_yaml
+
+    out, model, params, cfg = tiny_lm
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(out), "mode": "http", "port": 0,
+               "scheduler": "continuous", "online": True, "slots": 2,
+               "max_requests": 2}, cfg_path)
+
+    th = threading.Thread(target=serve_main, args=(str(cfg_path),),
+                          daemon=True)
+    th.start()
+    info_path = tmp_path / "served" / "serving_info.yaml"
+    for _ in range(600):
+        if info_path.exists():
+            break
+        time.sleep(0.05)
+    port = int(load_config(str(info_path))["port"])
+    base = f"http://127.0.0.1:{port}"
+
+    payloads = [{"tokens": [3, 1, 4, 1, 5], "n_tokens": 6},
+                {"tokens": [9, 2, 6], "n_tokens": 4}]
+    got: list = [None, None]
+
+    def post(i):
+        body = json.dumps(payloads[i]).encode()
+        req = urllib.request.Request(
+            f"{base}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got[i] = json.loads(r.read())
+
+    posters = [threading.Thread(target=post, args=(i,)) for i in (0, 1)]
+    for p in posters:
+        p.start()
+    for p in posters:
+        p.join(120)
+    th.join(timeout=120)
+    assert not th.is_alive()
+
+    solo = LMServer(out)
+    for i, pl in enumerate(payloads):
+        want = solo.generate_batch(
+            np.asarray([pl["tokens"]], np.int32), pl["n_tokens"])
+        assert got[i]["tokens"] == want[0].tolist()
+
+
 def test_lm_export_continuous_batching(tmp_path, tiny_lm):
     """decode_rows + admit: slot-scheduled continuous batching reproduces
     per-request greedy decode exactly across mixed prompt and generation
