@@ -29,7 +29,9 @@ Two modes over either scheduler:
 
 - `mode: batch` — read a JSONL request file ({"tokens": [...],
   "n_tokens": N, "temperature": T, "top_k": K, "top_p": P, "seed": S per line,
-  plus "eos" under the continuous scheduler), write
+  plus "eos" — kept in the output — and "stop": [[ids...], ...] —
+  multi-token stop sequences, excluded from the output — under the
+  continuous/online/paged schedulers), write
   `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
 - `mode: http` — a stdlib HTTP endpoint: GET /healthz -> artifact
   metadata; POST /generate with one request object or

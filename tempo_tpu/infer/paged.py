@@ -46,7 +46,8 @@ import numpy as np
 from tempo_tpu.infer.export_lm import (load_exported_extend_paged,
                                         load_exported_paged,
                                         load_exported_paged_k)
-from tempo_tpu.infer.serving import sample_next
+from tempo_tpu.infer.serving import (check_stops, parse_stops,
+                                      sample_next)
 
 TRASH_PAGE = 0
 
@@ -183,6 +184,10 @@ class PagedLMServer:
             if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
                 raise ValueError(
                     f"request {i}: token ids outside [0, {self.vocab})")
+            try:
+                parse_stops(req, self.vocab)
+            except ValueError as exc:
+                raise ValueError(f"request {i}: {exc}") from None
 
     def _cache(self, table: np.ndarray):
         t = jnp.asarray(table)
@@ -322,6 +327,7 @@ class PagedLMServer:
             if st["eos"] is not None and tok == st["eos"]:
                 st["eos_hit"] = True
                 st["remaining"] = 0
+            check_stops(st)
             if st["remaining"] <= 0:
                 finalize(s)
             else:
@@ -394,6 +400,7 @@ class PagedLMServer:
                         "eos_hit": False,
                         "rng": np.random.default_rng(
                             int(req.get("seed", 0))),
+                        "stops": parse_stops(req, self.vocab),
                         # device rng root for the fused sampled path
                         "key": np.asarray(jax.random.PRNGKey(
                             int(req.get("seed", 0))), np.uint32),

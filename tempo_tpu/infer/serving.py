@@ -84,6 +84,41 @@ def _truncate_support(logits: np.ndarray, top_k: Optional[int],
     return logits
 
 
+def parse_stops(req: Dict[str, Any], vocab: int) -> List[tuple]:
+    """Normalize a request's 'stop' field into a list of token tuples.
+    Accepts one sequence ([ids...]) or several ([[ids...], ...]);
+    validates ids against the vocab. Empty/absent -> []."""
+    raw = req.get("stop")
+    if not raw:
+        return []
+    if isinstance(raw[0], int):
+        raw = [raw]
+    stops = []
+    for s in raw:
+        s = [int(x) for x in s]
+        if not s:
+            raise ValueError("empty stop sequence")
+        if min(s) < 0 or max(s) >= vocab:
+            raise ValueError(f"stop token ids outside [0, {vocab})")
+        stops.append(tuple(s))
+    return stops
+
+
+def check_stops(st: Dict[str, Any]) -> bool:
+    """Multi-token stop rule, applied after a token lands in st['out']:
+    if the output now ENDS WITH any stop sequence, trim the matched
+    tokens (the OpenAI convention — stop text excluded, unlike the
+    single-token 'eos', which is kept) and mark the slot finished."""
+    for stop in st.get("stops", ()):
+        n = len(stop)
+        if len(st["out"]) >= n and tuple(st["out"][-n:]) == stop:
+            del st["out"][len(st["out"]) - n:]
+            st["eos_hit"] = True
+            st["remaining"] = 0
+            return True
+    return False
+
+
 def sample_next(logits_last: np.ndarray, temperature: float,
                 top_k: Optional[int], rng: np.random.Generator,
                 top_p: Optional[float] = None) -> np.ndarray:
@@ -509,6 +544,7 @@ class LMEngine:
         if st["eos"] is not None and tok == st["eos"]:
             st["eos_hit"] = True
             st["remaining"] = 0
+        check_stops(st)
         if st["remaining"] <= 0:
             self._finalize(s)
         else:
@@ -535,6 +571,7 @@ class LMEngine:
                 "eos": req.get("eos"),
                 "eos_hit": False,
                 "rng": np.random.default_rng(int(req.get("seed", 0))),
+                "stops": parse_stops(req, self.s.vocab),
                 # device rng root for the fused sampled path
                 "key": np.asarray(jax.random.PRNGKey(
                     int(req.get("seed", 0))), np.uint32),
@@ -706,13 +743,23 @@ class ContinuousLMServer:
             if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
                 raise ValueError(
                     f"request {i}: token ids outside [0, {self.vocab})")
+            try:
+                parse_stops(req, self.vocab)
+            except ValueError as exc:
+                raise ValueError(f"request {i}: {exc}") from None
 
     def serve(self, requests: Sequence[Dict[str, Any]],
               default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """requests: dicts with 'tokens' and optional 'n_tokens',
-        'temperature', 'top_k', 'top_p', 'seed', 'eos' (early stop on this token
-        id, which is kept in the output). Responses keep request order."""
+        'temperature', 'top_k', 'top_p', 'seed', 'eos' (early stop on this
+        token id, which is KEPT in the output) and 'stop' (one or more
+        multi-token stop sequences, EXCLUDED from the output — the
+        OpenAI convention). Responses keep request order."""
         if self.draft is not None:
+            if any(req.get("stop") for req in requests):
+                raise ValueError(
+                    "multi-token 'stop' is not supported by the "
+                    "speculative scheduler yet (use 'eos')")
             return self._serve_speculative(requests, default_new_tokens)
         # whole-list validation FIRST: a bad request fails the call
         # before any work happens (submit re-validates per request for

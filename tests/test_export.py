@@ -428,6 +428,44 @@ def test_serve_lm_cli_http_online(tmp_path, tiny_lm):
         assert got[i]["tokens"] == want[0].tolist()
 
 
+def test_stop_sequences(tmp_path, tiny_lm):
+    """Multi-token 'stop' sequences: generation halts the first time the
+    output ends with any stop sequence, the matched tokens are EXCLUDED
+    (OpenAI convention; 'eos' keeps its token), per-token and fused
+    chunked schedulers agree, and invalid stop ids fail fast."""
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    out, model, params, cfg = tiny_lm
+    server = ContinuousLMServer(out, n_slots=2)
+    req = {"tokens": [3, 1, 4, 1, 5], "n_tokens": 17}
+    base = server.serve([req])[0]["tokens"]
+
+    stop = base[3:5]
+    i0 = next(i for i in range(len(base) - 1)
+              if base[i:i + 2] == stop)
+    want = base[:i0]
+
+    r = server.serve([dict(req, stop=stop)])[0]
+    assert r["tokens"] == want and r["stopped_early"]
+
+    # list-of-sequences form: the earlier match wins
+    r = server.serve([dict(req, stop=[stop, base[1:3]])])[0]
+    j0 = next(i for i in range(len(base) - 1)
+              if base[i:i + 2] in (stop, base[1:3]))
+    assert r["tokens"] == base[:j0] and r["stopped_early"]
+
+    # the fused chunked scheduler discards its over-decoded tail the
+    # same way
+    fused = ContinuousLMServer(out, n_slots=2, k_decode=8)
+    r = fused.serve([dict(req, stop=stop)])[0]
+    assert r["tokens"] == want and r["stopped_early"]
+
+    with pytest.raises(ValueError, match="stop token ids"):
+        server.serve([dict(req, stop=[99])])
+    with pytest.raises(ValueError, match="empty stop"):
+        server.serve([dict(req, stop=[[]])])
+
+
 def test_lm_export_continuous_batching(tmp_path, tiny_lm):
     """decode_rows + admit: slot-scheduled continuous batching reproduces
     per-request greedy decode exactly across mixed prompt and generation

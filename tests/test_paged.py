@@ -358,6 +358,22 @@ def test_paged_prefix_sharing(paged_lm):
     assert small.last_stats["shared_prefix_pages"] == 0  # evicted
 
 
+def test_paged_stop_sequences(paged_lm):
+    """Multi-token 'stop' through the paged scheduler (incl. the fused
+    chunked path): same truncation as the dense continuous server."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    req = {"tokens": [3, 1, 4, 1, 5], "n_tokens": 17}
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve([req])[0]["tokens"]
+    stop = base[3:5]
+    i0 = next(i for i in range(len(base) - 1) if base[i:i + 2] == stop)
+    for kw in ({}, {"k_decode": 4}):
+        r = PagedLMServer(paged_lm, n_slots=2, **kw).serve(
+            [dict(req, stop=stop)])[0]
+        assert r["tokens"] == base[:i0] and r["stopped_early"]
+
+
 def test_paged_rows_isolated():
     """A row writing through its table never perturbs another row's
     logits (pages are disjoint; trash-page collisions are invisible)."""
