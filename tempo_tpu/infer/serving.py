@@ -203,6 +203,14 @@ class LMServer:
                 artifacts_dir)
         except FileNotFoundError:
             self.decode_k, self.k_decode = None, 0
+        try:
+            # fused K-token SAMPLED decode: a bucketed batch shares one
+            # sampling policy, so the whole bucket rides the on-device
+            # sampler (per-row threefry keys fold_in(seed-key, row))
+            self.decode_k_sample, _ = load_exported_decode_k_sample(
+                artifacts_dir)
+        except FileNotFoundError:
+            self.decode_k_sample = None
         # prefix cache: tuple(prefix tokens) -> batch-1 KV cache pytree
         self._prefix_caches: Dict[tuple, Any] = {}
         # beam decode: jitted cache expand (per beam width) / reorder —
@@ -274,23 +282,63 @@ class LMServer:
             t = n_prefix + t  # decode continues from the absolute position
         else:
             logits, cache = self._prefill(jnp.asarray(prompts))
-        tok = sample_next(np.asarray(logits[:, -1]), temperature, top_k,
-                          rng, top_p=top_p)
-        out = [tok]
         pos = int(t)
         remaining = max_new_tokens - 1
-        if temperature == 0.0 and self.decode_k is not None:
-            # greedy rides the fused decode_k artifact: the argmax
-            # feedback runs on-device, one dispatch per K tokens
-            # (bit-equal to the per-token loop; pinned in test_export.py)
-            while remaining >= self.k_decode:
-                chunk, cache = self.decode_k(
-                    jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
-                chunk = np.asarray(chunk)
+        if temperature > 0.0 and self.decode_k_sample is not None:
+            # a bucketed batch shares ONE sampling policy, so the whole
+            # bucket rides the fused on-device sampler: per-row threefry
+            # keys fold_in(PRNGKey(seed), row), step keys folded with the
+            # ABSOLUTE position (max_new/chunk-invariant stream). The
+            # first draw (prefill logits) uses the same schedule via the
+            # host-side jax twin, so the entire chain is one device
+            # stream. A surplus final chunk is trimmed host-side — its
+            # extra writes are re-overwritten contiguously before any
+            # step can attend to them (never true at the window edge,
+            # where the rare tail falls back to host numpy draws).
+            from tempo_tpu.infer.export_lm import sample_rows
+
+            base = jax.random.PRNGKey(seed)
+            keys = jax.vmap(lambda r: jax.random.fold_in(base, r))(
+                jnp.arange(b))
+            temp_v = jnp.full((b,), float(temperature), jnp.float32)
+            topk_v = jnp.full((b,), int(top_k or 0), jnp.int32)
+            topp_v = jnp.full((b,), 1.0 if top_p is None else
+                              float(top_p), jnp.float32)
+            first_keys = jax.vmap(jax.random.fold_in)(
+                keys, jnp.full((b,), pos - 1, jnp.int32))
+            tok = np.asarray(sample_rows(
+                jnp.asarray(logits[:, -1]), first_keys, temp_v, topk_v,
+                topp_v))[:, None].astype(np.int32)
+            out = [tok]
+            while remaining > 0 and pos + self.k_decode <= self.window:
+                chunk, cache = self.decode_k_sample(
+                    jnp.asarray(tok, jnp.int32), cache,
+                    jnp.full((b,), pos, jnp.int32), keys, temp_v,
+                    topk_v, topp_v)
+                take = min(self.k_decode, remaining)
+                chunk = np.asarray(chunk)[:, :take]
                 out.append(chunk)
                 tok = chunk[:, -1:]
-                pos += self.k_decode
-                remaining -= self.k_decode
+                pos += take
+                remaining -= take
+        else:
+            tok = sample_next(np.asarray(logits[:, -1]), temperature,
+                              top_k, rng, top_p=top_p)
+            out = [tok]
+            if temperature == 0.0 and self.decode_k is not None:
+                # greedy rides the fused decode_k artifact: the argmax
+                # feedback runs on-device, one dispatch per K tokens
+                # (bit-equal to the per-token loop; pinned in
+                # test_export.py)
+                while remaining >= self.k_decode:
+                    chunk, cache = self.decode_k(
+                        jnp.asarray(tok, jnp.int32), cache,
+                        jnp.int32(pos))
+                    chunk = np.asarray(chunk)
+                    out.append(chunk)
+                    tok = chunk[:, -1:]
+                    pos += self.k_decode
+                    remaining -= self.k_decode
         for _ in range(remaining):
             logits, cache = self.decode_step(
                 jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))

@@ -161,6 +161,22 @@ def test_lm_server_policies_and_bucketing(tmp_path, tiny_lm):
     np.testing.assert_array_equal(s1, s2)
     assert s1.min() >= 0 and s1.max() < cfg.in_size
 
+    # the fused sampled path (decode_k_sample): top_k=1 collapses the
+    # support to the argmax, so the device-sampled chain must equal the
+    # greedy chain exactly — a functional pin on the fused sampler
+    assert server.decode_k_sample is not None
+    g = server.generate_batch(prompt, 12)
+    k1 = server.generate_batch(prompt, 12, temperature=1.0, top_k=1,
+                               seed=9)
+    np.testing.assert_array_equal(g, k1)
+    # absolute-position key schedule: a longer call extends the shorter
+    # one (the stream does not depend on max_new_tokens or chunking)
+    long = server.generate_batch(prompt, 20, temperature=1.0, top_k=5,
+                                 seed=7)
+    short = server.generate_batch(prompt, 12, temperature=1.0, top_k=5,
+                                  seed=7)
+    np.testing.assert_array_equal(long[:, :12], short)
+
     # guards
     with pytest.raises(ValueError, match="serving window"):
         server.generate_batch(prompt, 28)
