@@ -79,9 +79,9 @@ row's sampled stream depends only on (seed, prompt) — not on chunk
 boundaries, admission order, or batch composition (pinned in
 test_export.py). Support truncation mirrors serving.sample_next
 (top-k, then nucleus keeping the boundary-crossing token); the sampled
-stream itself is the device threefry draw, NOT the host numpy draw —
-reproducible, but a different (equally distributed) stream than the
-per-token host path.
+stream is the CANONICAL device threefry stream every scheduler draws
+(serving.device_sample is the host-side twin for per-token steps), so
+chunked and per-token decode emit identical sampled chains.
 
 With `page_size` set, two more artifacts serve a PAGED KV cache
 (nn/transformer.py paged branch; allocator + scheduler in

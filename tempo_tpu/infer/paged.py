@@ -16,10 +16,12 @@ coupling:
   admit-on-free) and PREEMPTS when the pool runs dry: the most recently
   admitted slot is evicted, its pages freed, and its request requeued at
   the front. Re-admission replays the request from its prompt — greedy
-  trivially, and sampled requests too, because the per-request numpy
-  generator restarts from the request seed and redraws the identical
-  stream. Per-request outputs are therefore EXACTLY the dense continuous
-  server's on any workload, preemption or not (pinned in test_paged.py).
+  trivially, and sampled requests too, because every scheduler draws the
+  canonical device stream (serving.device_sample: per-request threefry
+  key folded with the absolute position — a pure function of
+  (seed, prompt, positions)). Per-request outputs are therefore EXACTLY
+  the dense continuous server's on any workload, preemption or not
+  (pinned in test_paged.py).
 
 Decode compute: the model's paged branch (nn/transformer.py) — one flat
 scatter through the table + gathered-window attention on the XLA path,
@@ -46,8 +48,7 @@ import numpy as np
 from tempo_tpu.infer.export_lm import (load_exported_extend_paged,
                                         load_exported_paged,
                                         load_exported_paged_k)
-from tempo_tpu.infer.serving import (check_stops, parse_stops,
-                                      sample_next)
+from tempo_tpu.infer.serving import check_stops, device_sample, parse_stops
 
 TRASH_PAGE = 0
 
@@ -398,19 +399,21 @@ class PagedLMServer:
                         "top_p": req.get("top_p"),
                         "eos": req.get("eos"),
                         "eos_hit": False,
-                        "rng": np.random.default_rng(
-                            int(req.get("seed", 0))),
                         "stops": parse_stops(req, self.vocab),
-                        # device rng root for the fused sampled path
+                        # the canonical per-request rng root
+                        # (serving.device_sample)
                         "key": np.asarray(jax.random.PRNGKey(
                             int(req.get("seed", 0))), np.uint32),
                     }
                     admit_serial += 1
                     slots[s] = st
                     pos[s] = total  # prefix + prompt (absolute decode pos)
-                    tok = sample_next(np.asarray(logits[:, -1]),
-                                      st["temperature"], st["top_k"],
-                                      st["rng"], top_p=st["top_p"])
+                    tok = device_sample(
+                        np.asarray(logits[:, -1]), st["key"][None],
+                        [total - 1], [st["temperature"]],
+                        [int(st["top_k"] or 0)],
+                        [1.0 if st["top_p"] is None
+                         else float(st["top_p"])])
                     push(s, st, tok)
 
             if not any(st is not None for st in slots):
@@ -483,15 +486,26 @@ class PagedLMServer:
             self._set_pools(cache)
             logits_np = np.asarray(logits[:, -1])
             decode_steps += 1
-            for s in range(b):
+            # one batched draw of the canonical stream (keys fold the
+            # FED position — identical to the in-artifact scan schedule)
+            keys = np.zeros((b, 2), np.uint32)
+            temp = np.zeros(b, np.float32)
+            topk = np.zeros(b, np.int32)
+            topp = np.ones(b, np.float32)
+            live = [s for s in range(b) if slots[s] is not None]
+            for s in live:
                 st = slots[s]
-                if st is None:
-                    continue
-                tok = sample_next(logits_np[s:s + 1], st["temperature"],
-                                  st["top_k"], st["rng"],
-                                  top_p=st["top_p"])
+                keys[s] = st["key"]
+                temp[s] = st["temperature"]
+                topk[s] = int(st["top_k"] or 0)
+                topp[s] = float(1.0 if st["top_p"] is None
+                                else st["top_p"])
+            drawn = device_sample(logits_np, keys, pos.copy(), temp,
+                                  topk, topp)
+            for s in live:
+                st = slots[s]
                 pos[s] += 1
-                push(s, st, tok)
+                push(s, st, drawn[s:s + 1])
 
         dt = time.perf_counter() - t_start
         n_generated = sum(r["n_generated"] for r in responses

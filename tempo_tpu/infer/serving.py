@@ -119,12 +119,40 @@ def check_stops(st: Dict[str, Any]) -> bool:
     return False
 
 
+def device_sample(logits: np.ndarray, keys: np.ndarray, pos,
+                  temperature, top_k, top_p) -> np.ndarray:
+    """The ONE canonical sampled stream every scheduler draws: the
+    on-device sampler (export_lm.sample_rows) with per-row threefry keys
+    folded with the ABSOLUTE position of the fed token. Greedy rows
+    (temperature 0) take the argmax. Bucketed, continuous per-token,
+    fused decode_k chunks, paged, and online paths all call this (or the
+    in-artifact scan with the same schedule), so a request's sampled
+    output depends only on (seed, prompt, positions) — never on the
+    scheduler, chunk size, batch composition, or preemption. logits
+    [b, V]; keys [b, 2] uint32; pos/temperature/top_k/top_p length-b
+    vectors (top_k 0 and top_p >= 1 disable truncation). Returns
+    [b, 1] int64."""
+    from tempo_tpu.infer.export_lm import sample_rows
+
+    step_keys = jax.vmap(jax.random.fold_in)(
+        jnp.asarray(np.asarray(keys, np.uint32)),
+        jnp.asarray(np.asarray(pos, np.int32)))
+    out = sample_rows(jnp.asarray(np.asarray(logits, np.float32)),
+                      step_keys,
+                      jnp.asarray(np.asarray(temperature, np.float32)),
+                      jnp.asarray(np.asarray(top_k, np.int32)),
+                      jnp.asarray(np.asarray(top_p, np.float32)))
+    return np.asarray(out)[:, None].astype(np.int64)
+
+
 def sample_next(logits_last: np.ndarray, temperature: float,
                 top_k: Optional[int], rng: np.random.Generator,
                 top_p: Optional[float] = None) -> np.ndarray:
-    """Host-side sampling policy on the last-position logits [b, V] ->
-    next token [b, 1]. temperature 0 = greedy; top_k / top_p limit the
-    support."""
+    """Host-side numpy sampling policy on the last-position logits
+    [b, V] -> next token [b, 1]. temperature 0 = greedy; top_k / top_p
+    limit the support. Retained for the speculative scheduler's
+    rejection sampling (policy_probs shares its truncation); the
+    batch schedulers draw `device_sample`'s stream instead."""
     logits = np.asarray(logits_last, np.float32)
     if temperature <= 0.0:
         return np.argmax(logits, axis=-1, keepdims=True)
@@ -284,61 +312,63 @@ class LMServer:
             logits, cache = self._prefill(jnp.asarray(prompts))
         pos = int(t)
         remaining = max_new_tokens - 1
-        if temperature > 0.0 and self.decode_k_sample is not None:
-            # a bucketed batch shares ONE sampling policy, so the whole
-            # bucket rides the fused on-device sampler: per-row threefry
-            # keys fold_in(PRNGKey(seed), row), step keys folded with the
-            # ABSOLUTE position (max_new/chunk-invariant stream). The
-            # first draw (prefill logits) uses the same schedule via the
-            # host-side jax twin, so the entire chain is one device
-            # stream. A surplus final chunk is trimmed host-side — its
-            # extra writes are re-overwritten contiguously before any
-            # step can attend to them (never true at the window edge,
-            # where the rare tail falls back to host numpy draws).
-            from tempo_tpu.infer.export_lm import sample_rows
-
-            base = jax.random.PRNGKey(seed)
-            keys = jax.vmap(lambda r: jax.random.fold_in(base, r))(
-                jnp.arange(b))
-            temp_v = jnp.full((b,), float(temperature), jnp.float32)
-            topk_v = jnp.full((b,), int(top_k or 0), jnp.int32)
-            topp_v = jnp.full((b,), 1.0 if top_p is None else
-                              float(top_p), jnp.float32)
-            first_keys = jax.vmap(jax.random.fold_in)(
-                keys, jnp.full((b,), pos - 1, jnp.int32))
-            tok = np.asarray(sample_rows(
-                jnp.asarray(logits[:, -1]), first_keys, temp_v, topk_v,
-                topp_v))[:, None].astype(np.int32)
+        if temperature > 0.0:
+            # the canonical device stream (see device_sample): one key
+            # per request SEED — identical (seed, prompt) requests yield
+            # identical outputs on every scheduler, and chunked vs
+            # per-token decode agree because step keys fold the ABSOLUTE
+            # position. Fused decode_k_sample chunks when the artifact
+            # exists and the window allows a full chunk of writes (a
+            # surplus final chunk is trimmed — its extra writes are
+            # never attended, the loop exits right after); the per-token
+            # tail draws the same stream via the host-side jax twin.
+            keys = np.tile(np.asarray(jax.random.PRNGKey(seed),
+                                      np.uint32)[None], (b, 1))
+            temp_v = np.full(b, float(temperature), np.float32)
+            topk_v = np.full(b, int(top_k or 0), np.int32)
+            topp_v = np.full(b, 1.0 if top_p is None else float(top_p),
+                             np.float32)
+            tok = device_sample(np.asarray(logits[:, -1]), keys,
+                                np.full(b, pos - 1), temp_v, topk_v,
+                                topp_v).astype(np.int32)
             out = [tok]
-            while remaining > 0 and pos + self.k_decode <= self.window:
+            while (self.decode_k_sample is not None and remaining > 0
+                   and pos + self.k_decode <= self.window):
                 chunk, cache = self.decode_k_sample(
                     jnp.asarray(tok, jnp.int32), cache,
-                    jnp.full((b,), pos, jnp.int32), keys, temp_v,
-                    topk_v, topp_v)
+                    jnp.full((b,), pos, jnp.int32), jnp.asarray(keys),
+                    jnp.asarray(temp_v), jnp.asarray(topk_v),
+                    jnp.asarray(topp_v))
                 take = min(self.k_decode, remaining)
                 chunk = np.asarray(chunk)[:, :take]
                 out.append(chunk)
                 tok = chunk[:, -1:]
                 pos += take
                 remaining -= take
-        else:
-            tok = sample_next(np.asarray(logits[:, -1]), temperature,
-                              top_k, rng, top_p=top_p)
-            out = [tok]
-            if temperature == 0.0 and self.decode_k is not None:
-                # greedy rides the fused decode_k artifact: the argmax
-                # feedback runs on-device, one dispatch per K tokens
-                # (bit-equal to the per-token loop; pinned in
-                # test_export.py)
-                while remaining >= self.k_decode:
-                    chunk, cache = self.decode_k(
-                        jnp.asarray(tok, jnp.int32), cache,
-                        jnp.int32(pos))
-                    chunk = np.asarray(chunk)
-                    out.append(chunk)
-                    tok = chunk[:, -1:]
-                    pos += self.k_decode
-                    remaining -= self.k_decode
+            for _ in range(remaining):
+                logits, cache = self.decode_step(
+                    jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
+                tok = device_sample(np.asarray(logits[:, -1]), keys,
+                                    np.full(b, pos), temp_v, topk_v,
+                                    topp_v).astype(np.int32)
+                out.append(tok)
+                pos += 1
+            return np.concatenate(out, axis=1).astype(np.int32)
+        tok = sample_next(np.asarray(logits[:, -1]), temperature,
+                          top_k, rng, top_p=top_p)
+        out = [tok]
+        if self.decode_k is not None:
+            # greedy rides the fused decode_k artifact: the argmax
+            # feedback runs on-device, one dispatch per K tokens
+            # (bit-equal to the per-token loop; pinned in test_export.py)
+            while remaining >= self.k_decode:
+                chunk, cache = self.decode_k(
+                    jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
+                chunk = np.asarray(chunk)
+                out.append(chunk)
+                tok = chunk[:, -1:]
+                pos += self.k_decode
+                remaining -= self.k_decode
         for _ in range(remaining):
             logits, cache = self.decode_step(
                 jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
@@ -618,17 +648,18 @@ class LMEngine:
                 "top_p": req.get("top_p"),
                 "eos": req.get("eos"),
                 "eos_hit": False,
-                "rng": np.random.default_rng(int(req.get("seed", 0))),
                 "stops": parse_stops(req, self.s.vocab),
-                # device rng root for the fused sampled path
+                # the canonical per-request rng root (device_sample)
                 "key": np.asarray(jax.random.PRNGKey(
                     int(req.get("seed", 0))), np.uint32),
             }
             self.slots[s] = st
             self.pos[s] = prompt.shape[1]
-            tok = sample_next(np.asarray(logits[:, -1]),
-                              st["temperature"], st["top_k"], st["rng"],
-                              top_p=st["top_p"])
+            tok = device_sample(
+                np.asarray(logits[:, -1]), st["key"][None],
+                [prompt.shape[1] - 1], [st["temperature"]],
+                [int(st["top_k"] or 0)],
+                [1.0 if st["top_p"] is None else float(st["top_p"])])
             self._push(s, st, tok)
 
     def step(self) -> None:
@@ -649,9 +680,9 @@ class LMEngine:
             # multi-step quantum: every slot advances K tokens in one
             # dispatch (argmax/sampling feedback on-device). Falls back
             # to per-token when a slot sits too close to the window edge
-            # for a full chunk of writes. Sampled slots draw the DEVICE
-            # threefry stream (chunk-invariant: keyed by seed + absolute
-            # position), not the per-token host numpy stream.
+            # for a full chunk of writes. Sampled slots draw the same
+            # canonical stream either way (see device_sample), so the
+            # fallback emits identical tokens.
             if all_greedy:
                 chunk, self.cache = self.s.decode_k_rows(
                     jnp.asarray(toks), self.cache, jnp.asarray(pos))
@@ -685,14 +716,26 @@ class LMEngine:
             jnp.asarray(toks), self.cache, jnp.asarray(pos))
         logits_np = np.asarray(logits[:, -1])
         self.decode_steps += 1
-        for s in range(b):
+        # one batched draw of the canonical stream: keys fold with the
+        # FED position (pos before advancing), matching the in-artifact
+        # scan's schedule exactly, so per-token and fused chunks emit
+        # identical sampled chains
+        keys = np.zeros((b, 2), np.uint32)
+        temp = np.zeros(b, np.float32)
+        topk = np.zeros(b, np.int32)
+        topp = np.ones(b, np.float32)
+        for s in active:
             st = slots[s]
-            if st is None:
-                continue
-            tok = sample_next(logits_np[s:s + 1], st["temperature"],
-                              st["top_k"], st["rng"], top_p=st["top_p"])
+            keys[s] = st["key"]
+            temp[s] = st["temperature"]
+            topk[s] = int(st["top_k"] or 0)
+            topp[s] = float(1.0 if st["top_p"] is None else st["top_p"])
+        drawn = device_sample(logits_np, keys, pos.copy(), temp, topk,
+                              topp)
+        for s in active:
+            st = slots[s]
             pos[s] += 1
-            self._push(s, st, tok)
+            self._push(s, st, drawn[s:s + 1])
 
 
 class ContinuousLMServer:
