@@ -29,8 +29,10 @@ Two modes over either scheduler:
 
 - `mode: batch` — read a JSONL request file ({"tokens": [...],
   "n_tokens": N, "temperature": T, "top_k": K, "top_p": P, "seed": S per line,
-  plus "eos" — kept in the output — and "stop": [[ids...], ...] —
-  multi-token stop sequences, excluded from the output — under the
+  plus "eos" — kept in the output — "stop": [[ids...], ...] —
+  multi-token stop sequences, excluded from the output — and
+  "logprobs": true — per-token raw-model logprobs in the response
+  (forces per-token decode for that request) — under the
   continuous/online/paged schedulers), write
   `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
 - `mode: http` — a stdlib HTTP endpoint: GET /healthz -> artifact

@@ -48,7 +48,8 @@ import numpy as np
 from tempo_tpu.infer.export_lm import (load_exported_extend_paged,
                                         load_exported_paged,
                                         load_exported_paged_k)
-from tempo_tpu.infer.serving import check_stops, device_sample, parse_stops
+from tempo_tpu.infer.serving import (check_stops, device_sample,
+                                      parse_stops, token_logprob)
 
 TRASH_PAGE = 0
 
@@ -275,13 +276,16 @@ class PagedLMServer:
         def finalize(s: int) -> None:
             st = slots[s]
             assert st is not None
-            responses[st["req"]] = {
+            resp = {
                 "tokens": st["out"],
                 "n_prompt": st["n_prompt"],
                 "n_generated": len(st["out"]),
                 "slot": s,
                 "stopped_early": st["eos_hit"],
             }
+            if st["lps"] is not None:
+                resp["logprobs"] = st["lps"][:len(st["out"])]
+            responses[st["req"]] = resp
             release(s)
 
         def preempt_one(exclude: int) -> bool:
@@ -400,6 +404,8 @@ class PagedLMServer:
                         "eos": req.get("eos"),
                         "eos_hit": False,
                         "stops": parse_stops(req, self.vocab),
+                        # per-token logprobs force the per-token path
+                        "lps": [] if req.get("logprobs") else None,
                         # the canonical per-request rng root
                         # (serving.device_sample)
                         "key": np.asarray(jax.random.PRNGKey(
@@ -414,6 +420,9 @@ class PagedLMServer:
                         [int(st["top_k"] or 0)],
                         [1.0 if st["top_p"] is None
                          else float(st["top_p"])])
+                    if st["lps"] is not None:
+                        st["lps"].append(token_logprob(
+                            np.asarray(logits[0, -1]), int(tok[0, 0])))
                     push(s, st, tok)
 
             if not any(st is not None for st in slots):
@@ -427,6 +436,8 @@ class PagedLMServer:
             k = self.k_decode
             active = [s for s in range(b) if slots[s] is not None]
             if (self.decode_paged_k is not None
+                    and not any(slots[s]["lps"] is not None
+                                for s in active)
                     and all(pos[s] + k <= self.window for s in active)):
                 # fused K-token dispatch over the paged cache: every page
                 # the K writes may touch must exist BEFORE the dispatch
@@ -504,6 +515,9 @@ class PagedLMServer:
                                   topk, topp)
             for s in live:
                 st = slots[s]
+                if st["lps"] is not None:
+                    st["lps"].append(token_logprob(logits_np[s],
+                                                   int(drawn[s, 0])))
                 pos[s] += 1
                 push(s, st, drawn[s:s + 1])
 

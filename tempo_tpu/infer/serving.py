@@ -145,6 +145,14 @@ def device_sample(logits: np.ndarray, keys: np.ndarray, pos,
     return np.asarray(out)[:, None].astype(np.int64)
 
 
+def token_logprob(logits_row: np.ndarray, tok: int) -> float:
+    """log p(tok) under the RAW model distribution (no temperature /
+    truncation — the OpenAI logprobs convention) for one [V] row."""
+    x = np.asarray(logits_row, np.float64).reshape(-1)
+    x = x - x.max()
+    return float(x[tok] - np.log(np.exp(x).sum()))
+
+
 def sample_next(logits_last: np.ndarray, temperature: float,
                 top_k: Optional[int], rng: np.random.Generator,
                 top_p: Optional[float] = None) -> np.ndarray:
@@ -603,13 +611,17 @@ class LMEngine:
     def _finalize(self, s: int) -> None:
         st = self.slots[s]
         assert st is not None
-        self.finished[st["ticket"]] = {
+        resp = {
             "tokens": st["out"],
             "n_prompt": st["n_prompt"],
             "n_generated": len(st["out"]),
             "slot": s,
             "stopped_early": st["eos_hit"],
         }
+        if st["lps"] is not None:
+            # stop-sequence trimming shortened `out`; keep lps in step
+            resp["logprobs"] = st["lps"][:len(st["out"])]
+        self.finished[st["ticket"]] = resp
         self.slots[s] = None
         self.pos[s] = 0
         self.toks[s, 0] = 0
@@ -649,6 +661,10 @@ class LMEngine:
                 "eos": req.get("eos"),
                 "eos_hit": False,
                 "stops": parse_stops(req, self.s.vocab),
+                # per-token logprobs of the RAW model distribution
+                # (forces the per-token path: fused chunks return only
+                # tokens)
+                "lps": [] if req.get("logprobs") else None,
                 # the canonical per-request rng root (device_sample)
                 "key": np.asarray(jax.random.PRNGKey(
                     int(req.get("seed", 0))), np.uint32),
@@ -660,6 +676,9 @@ class LMEngine:
                 [prompt.shape[1] - 1], [st["temperature"]],
                 [int(st["top_k"] or 0)],
                 [1.0 if st["top_p"] is None else float(st["top_p"])])
+            if st["lps"] is not None:
+                st["lps"].append(token_logprob(np.asarray(logits[0, -1]),
+                                               int(tok[0, 0])))
             self._push(s, st, tok)
 
     def step(self) -> None:
@@ -676,6 +695,7 @@ class LMEngine:
         all_greedy = all(slots[s]["temperature"] == 0.0 for s in active)
         if (self.s.decode_k_rows is not None
                 and (all_greedy or self.s.decode_k_sample is not None)
+                and not any(slots[s]["lps"] is not None for s in active)
                 and all(pos[s] + k <= self.s.window for s in active)):
             # multi-step quantum: every slot advances K tokens in one
             # dispatch (argmax/sampling feedback on-device). Falls back
@@ -734,6 +754,9 @@ class LMEngine:
                               topp)
         for s in active:
             st = slots[s]
+            if st["lps"] is not None:
+                st["lps"].append(token_logprob(logits_np[s],
+                                               int(drawn[s, 0])))
             pos[s] += 1
             self._push(s, st, drawn[s:s + 1])
 
@@ -847,10 +870,11 @@ class ContinuousLMServer:
         multi-token stop sequences, EXCLUDED from the output — the
         OpenAI convention). Responses keep request order."""
         if self.draft is not None:
-            if any(req.get("stop") for req in requests):
-                raise ValueError(
-                    "multi-token 'stop' is not supported by the "
-                    "speculative scheduler yet (use 'eos')")
+            for key in ("stop", "logprobs"):
+                if any(req.get(key) for req in requests):
+                    raise ValueError(
+                        f"{key!r} is not supported by the speculative "
+                        "scheduler yet")
             return self._serve_speculative(requests, default_new_tokens)
         # whole-list validation FIRST: a bad request fails the call
         # before any work happens (submit re-validates per request for

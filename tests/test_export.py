@@ -482,6 +482,50 @@ def test_stop_sequences(tmp_path, tiny_lm):
         server.serve([dict(req, stop=[[]])])
 
 
+def test_logprobs(tmp_path, tiny_lm):
+    """'logprobs': per-token RAW-model logprobs of the emitted tokens,
+    verified against an independent per-token recompute through the
+    decode_step artifact; present under a fused-k server (the request
+    forces the per-token path); absent unless requested; stays in step
+    with 'stop' trimming."""
+    from tempo_tpu.infer.export_lm import load_exported_lm
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    out, model, params, cfg = tiny_lm
+    server = ContinuousLMServer(out, n_slots=2, k_decode=8)
+    req = {"tokens": [3, 1, 4, 1, 5], "n_tokens": 8, "logprobs": True}
+    r = server.serve([req])[0]
+    assert len(r["logprobs"]) == len(r["tokens"]) == 8
+
+    pre, dec, meta = load_exported_lm(out)
+    logits, cache = pre(jnp.asarray([req["tokens"]], jnp.int32))
+    toks = r["tokens"]
+
+    def lp(row, tok):
+        x = np.asarray(row, np.float64)
+        x -= x.max()
+        return float(x[tok] - np.log(np.exp(x).sum()))
+
+    want = [lp(logits[0, -1], toks[0])]
+    pos = 5
+    for i in range(1, 8):
+        logits, cache = dec(jnp.asarray([[toks[i - 1]]], jnp.int32),
+                            cache, jnp.int32(pos))
+        want.append(lp(logits[0, -1], toks[i]))
+        pos += 1
+    np.testing.assert_allclose(r["logprobs"], want, rtol=1e-5, atol=1e-6)
+
+    r2 = server.serve([{"tokens": [3, 1, 4, 1, 5], "n_tokens": 4}])[0]
+    assert "logprobs" not in r2
+
+    base = server.serve([{"tokens": [3, 1, 4, 1, 5],
+                          "n_tokens": 17}])[0]["tokens"]
+    stop = base[3:5]
+    r3 = server.serve([dict(req, n_tokens=17, stop=stop)])[0]
+    assert r3["stopped_early"]
+    assert len(r3["logprobs"]) == len(r3["tokens"])
+
+
 def test_lm_export_continuous_batching(tmp_path, tiny_lm):
     """decode_rows + admit: slot-scheduled continuous batching reproduces
     per-request greedy decode exactly across mixed prompt and generation

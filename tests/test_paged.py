@@ -374,6 +374,21 @@ def test_paged_stop_sequences(paged_lm):
         assert r["tokens"] == base[:i0] and r["stopped_early"]
 
 
+def test_paged_logprobs(paged_lm):
+    """'logprobs' through the paged scheduler equals the dense
+    continuous server's (paged logits are pinned bitwise to dense, so
+    the logprobs follow)."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    req = {"tokens": [3, 1, 4, 1, 5], "n_tokens": 8, "logprobs": True}
+    r_d = ContinuousLMServer(paged_lm, n_slots=2).serve([req])[0]
+    r_p = PagedLMServer(paged_lm, n_slots=2, k_decode=4).serve([req])[0]
+    assert r_p["tokens"] == r_d["tokens"]
+    np.testing.assert_allclose(r_p["logprobs"], r_d["logprobs"],
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_paged_rows_isolated():
     """A row writing through its table never perturbs another row's
     logits (pages are disjoint; trash-page collisions are invisible)."""
