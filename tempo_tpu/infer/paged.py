@@ -263,10 +263,13 @@ class PagedLMServer:
             pos[s] = 0
             toks[s, 0] = 0
 
-        def evict_idle_prefix() -> bool:
+        def evict_idle_prefix(keep: Optional[tuple] = None) -> bool:
             """Free a registry entry no live row is using (all refcounts
-            at the registry's base 1). Last-resort pool pressure valve."""
+            at the registry's base 1). Last-resort pool pressure valve.
+            `keep` protects the entry an admission is about to reuse."""
             for key, pages in list(self._prefix_pages.items()):
+                if key == keep:
+                    continue
                 if all(self.pool._rc.get(p) == 1 for p in pages):
                     self.pool.free(pages)
                     del self._prefix_pages[key]
@@ -350,6 +353,15 @@ class PagedLMServer:
                     total = len(pfx) + len(nxt["tokens"])
                     private = max(
                         _pages_for(total, self.page) - n_full, 1)
+                    # idle registry prefixes (base refcount 1) hold pool
+                    # capacity across serve() calls: evict them before
+                    # concluding the pool is too tight to admit — without
+                    # this, a _validate-accepted request can starve with
+                    # every slot free (the round-4 advisor repro)
+                    while (build + private > self.pool.n_free
+                           and evict_idle_prefix(
+                               keep=key if n_full else None)):
+                        pass
                     if build + private > self.pool.n_free:
                         break  # wait for pages instead of thrashing
                     i = pending.pop()
@@ -427,9 +439,11 @@ class PagedLMServer:
 
             if not any(st is not None for st in slots):
                 if pending:
-                    # every slot idle yet nothing admitted: the pool is
-                    # too fragmented across... impossible with all slots
-                    # free (all pages are free too) — defensive guard
+                    # every slot idle yet nothing admitted: only idle
+                    # registry prefixes can be holding pages — evict one
+                    # and retry; anything else is a genuine bug
+                    if evict_idle_prefix():
+                        continue
                     raise RuntimeError("scheduler stalled with free slots")
                 break
 
@@ -446,6 +460,11 @@ class PagedLMServer:
                 # sampled artifact (device threefry streams, chunk- and
                 # pool-invariant); all-greedy pools the cheaper one.
                 for s in active:
+                    if slots[s] is None:
+                        # a preceding ensure_page preempted this slot:
+                        # reserving into its (now trashed) table row
+                        # would leak unevictable pages
+                        continue
                     for j in range(int(pos[s]) // self.page,
                                    (int(pos[s]) + k - 1) // self.page + 1):
                         ensure_page(s, j)

@@ -242,7 +242,12 @@ class LMServer:
         try:
             # fused K-token SAMPLED decode: a bucketed batch shares one
             # sampling policy, so the whole bucket rides the on-device
-            # sampler (per-row threefry keys fold_in(seed-key, row))
+            # sampler. Key schedule (the canonical stream): every row
+            # gets the IDENTICAL PRNGKey(seed); the per-step key folds
+            # in only the fed token's ABSOLUTE position. Identical
+            # prompts at one seed therefore return byte-identical
+            # completions — N diverse samples of one prompt need N
+            # distinct per-request seeds.
             self.decode_k_sample, _ = load_exported_decode_k_sample(
                 artifacts_dir)
         except FileNotFoundError:
@@ -293,7 +298,13 @@ class LMServer:
         computed once per distinct prefix and reused across calls and
         batch rows — each call then prefills only the [b, t] suffixes
         through the `extend` artifact at position len(prefix). Pinned
-        bit-equal (greedy) to prefilling the concatenated prompts."""
+        bit-equal (greedy) to prefilling the concatenated prompts.
+
+        Sampling: the canonical stream ties the draw to (seed, prompt,
+        positions) only — identical rows at one `seed` emit identical
+        tokens. For N diverse samples of one prompt, make N calls with
+        distinct seeds (or distinct per-request 'seed's in the batch
+        schedulers)."""
         prompts = np.asarray(prompts, np.int32)
         assert prompts.ndim == 2, prompts.shape
         b, t = prompts.shape
@@ -1378,6 +1389,7 @@ class OnlineLMServer:
         self._engine = LMEngine(self._server, default_new_tokens)
         self._cond = threading.Condition()
         self._closing = False
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="lm-engine")
         self._thread.start()
@@ -1389,13 +1401,25 @@ class OnlineLMServer:
                     self._cond.wait()
                 if self._closing and not self._engine.has_work():
                     return
-                self._engine.step()
+                try:
+                    self._engine.step()
+                except BaseException as exc:  # noqa: BLE001 — a dead
+                    # scheduler thread would otherwise hang every
+                    # result() caller forever and keep accepting
+                    # submits that can never run
+                    self._error = exc
+                    self._closing = True
+                    self._cond.notify_all()
+                    return
                 self._cond.notify_all()
 
     def submit(self, req: Dict[str, Any]) -> int:
         """Enqueue (validating) and wake the scheduler; returns a
         ticket for `result`. Raises if the server is closing."""
         with self._cond:
+            if self._error is not None:
+                raise RuntimeError(
+                    "server scheduler died") from self._error
             if self._closing:
                 raise RuntimeError("server is closed")
             ticket = self._engine.submit(req)
@@ -1405,13 +1429,19 @@ class OnlineLMServer:
     def result(self, ticket: int,
                timeout: Optional[float] = None) -> Dict[str, Any]:
         """Block until the ticket finishes; pops and returns its
-        response."""
+        response. Raises (instead of hanging) if the scheduler thread
+        died before finishing the ticket."""
         with self._cond:
             ok = self._cond.wait_for(
-                lambda: ticket in self._engine.finished, timeout=timeout)
+                lambda: ticket in self._engine.finished
+                or self._error is not None, timeout=timeout)
             if not ok:
                 raise TimeoutError(f"ticket {ticket} not finished "
                                    f"within {timeout}s")
+            if ticket not in self._engine.finished:
+                raise RuntimeError(
+                    f"server scheduler died before ticket {ticket} "
+                    "finished") from self._error
             return self._engine.finished.pop(ticket)
 
     def generate(self, req: Dict[str, Any],

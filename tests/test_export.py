@@ -386,6 +386,31 @@ def test_online_server_matches_solo(tmp_path, tiny_lm):
     assert stats["decode_steps"] < serial
 
 
+def test_online_server_scheduler_death_raises(tmp_path, tiny_lm):
+    """Regression (round-4 advisor): an exception inside engine.step()
+    must not kill the scheduler thread silently — blocked result()
+    callers raise instead of hanging forever, and later submits are
+    refused."""
+    import pytest
+
+    from tempo_tpu.infer.serving import OnlineLMServer
+
+    out, model, params, cfg = tiny_lm
+    online = OnlineLMServer(out, n_slots=2)
+    try:
+        with online._cond:
+            def boom():
+                raise RuntimeError("transport died mid-dispatch")
+            online._engine.step = boom
+        ticket = online.submit({"tokens": [3, 1, 4], "n_tokens": 4})
+        with pytest.raises(RuntimeError, match="scheduler died"):
+            online.result(ticket, timeout=60)
+        with pytest.raises(RuntimeError, match="scheduler died"):
+            online.submit({"tokens": [1, 2], "n_tokens": 2})
+    finally:
+        online.close()
+
+
 def test_serve_lm_cli_http_online(tmp_path, tiny_lm):
     """`online: true` + mode http: the ThreadingHTTPServer front — two
     concurrent POSTs land in one running batch and both complete with

@@ -374,6 +374,29 @@ def test_paged_stop_sequences(paged_lm):
         assert r["tokens"] == base[:i0] and r["stopped_early"]
 
 
+def test_paged_admission_evicts_idle_prefix(paged_lm):
+    """Regression (round-4 advisor, high): idle shared-prefix registry
+    pages survive across serve() calls at the registry's base refcount.
+    On a tight pool they can hold enough pages that a _validate-accepted
+    plain request cannot clear the admission gate — the sweep must evict
+    the idle registry instead of stalling the whole batch."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    prefix = [2] * 16  # exactly 2 full pages at page_size=8
+    srv = PagedLMServer(paged_lm, n_slots=2, n_pages=4)  # 3 usable
+    srv.serve([{"tokens": [7, 3], "n_tokens": 4, "prefix": prefix}])
+    assert srv.last_stats["shared_prefix_pages"] == 2
+
+    # n_free is now 1 < the 2 private pages this prompt needs: before
+    # the fix this raised 'scheduler stalled with free slots'
+    req = {"tokens": [1] * 12, "n_tokens": 6}
+    want = ContinuousLMServer(paged_lm, n_slots=2).serve([req])[0]
+    got = srv.serve([req])[0]
+    assert got["tokens"] == want["tokens"]
+    assert srv.last_stats["shared_prefix_pages"] == 0  # evicted
+
+
 def test_paged_logprobs(paged_lm):
     """'logprobs' through the paged scheduler equals the dense
     continuous server's (paged logits are pinned bitwise to dense, so
