@@ -53,8 +53,8 @@ A seventh pair amortizes HOST DISPATCH, the dominant per-token cost of
 serving decode on this transport (7-14 ms round-trip vs ~1 ms of kernel
 time — and a real ~ms tax on any production host loop):
 
-  decode_k(tok[b,1], cache, pos)          -> (tokens[b, K], cache)
-  decode_k_rows(tok[b,1], cache, pos[b])  -> (tokens[b, K], cache)
+  decode_k(tok[b,1], cache, pos)         -> (tokens[b,K], logprobs[b,K], cache)
+  decode_k_rows(tok[b,1], cache, pos[b]) -> (tokens[b,K], logprobs[b,K], cache)
 
 K GREEDY decode steps run as ONE `lax.scan` inside one dispatch — the
 argmax feedback happens on-device, so the host sees K tokens per
@@ -70,7 +70,15 @@ An eighth artifact moves the SAMPLING policy on-device so sampled
 requests ride the fused chunks too:
 
   decode_k_sample(tok[b,1], cache, pos[b], keys[b,2],
-                  temperature[b], top_k[b], top_p[b]) -> (tokens[b,K], cache)
+                  temperature[b], top_k[b], top_p[b])
+      -> (tokens[b,K], logprobs[b,K], cache)
+
+Each fused artifact also emits the CHOSEN token's logprob under the raw
+model distribution per step ([b,K] float32 — ~V-free extra fetch), so
+`logprobs: true` requests ride the fused chunks instead of falling back
+to per-token decode (meta key `decode_k_logprobs`; loaders normalize
+older two-tuple artifacts to logprobs=None and schedulers then fall
+back).
 
 Per-row policy (temperature 0 rows decode greedily; top_k <= 0 / top_p
 >= 1 disable truncation), per-row rng keys, and a CHUNK-INVARIANT key
@@ -188,6 +196,15 @@ def export_lm(params, config: TransformerConfig,
         return model.apply({"params": params}, tokens, cache=cache,
                            input_pos=pos)
 
+    def _chosen_logprob(x, nxt):
+        # log p(chosen) under the RAW model distribution (no temperature
+        # / truncation — the OpenAI logprobs convention; host twin:
+        # serving.token_logprob). ~V-free extra bytes per step: fetching
+        # [b, K] floats keeps `logprobs: true` requests on the fused
+        # chunks instead of forcing [b, V] per-token logits round-trips.
+        return jnp.take_along_axis(jax.nn.log_softmax(x, axis=-1),
+                                   nxt, axis=-1)
+
     def decode_k(tok, cache, pos):
         # K greedy steps fused into one dispatch: the argmax->next-token
         # feedback runs on-device inside a lax.scan, so a serving host
@@ -195,17 +212,19 @@ def export_lm(params, config: TransformerConfig,
         # decode_step contract), step i writes KV at pos+i and emits
         # token i+1; the final emitted token is NOT yet in the cache —
         # exactly the per-token loop's state, so the host continues with
-        # decode_k(out[:, -1:], cache, pos + K).
+        # decode_k(out[:, -1:], cache, pos + K). Also emits each chosen
+        # token's raw-model logprob [b, K].
         def body(carry, _):
             t, c, p = carry
             logits, c = model.apply({"params": params}, t, cache=c,
                                     input_pos=p)
-            nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
-                             axis=-1).astype(jnp.int32)[:, None]
-            return (nxt, c, p + 1), nxt
-        (_, cache, _), steps = jax.lax.scan(
+            x = logits[:, -1].astype(jnp.float32)
+            nxt = jnp.argmax(x, axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, c, p + 1), (nxt, _chosen_logprob(x, nxt))
+        (_, cache, _), (steps, lps) = jax.lax.scan(
             body, (tok, cache, pos), None, length=decode_chunk)
-        return jnp.swapaxes(steps[..., 0], 0, 1), cache  # [b, K]
+        return (jnp.swapaxes(steps[..., 0], 0, 1),        # [b, K]
+                jnp.swapaxes(lps[..., 0], 0, 1), cache)   # [b, K]
 
     def decode_k_sample(tok, cache, pos, keys, temperature, top_k, top_p):
         # the sampled sibling of decode_k: per-row policy + per-row rng,
@@ -218,10 +237,12 @@ def export_lm(params, config: TransformerConfig,
             step_keys = jax.vmap(jax.random.fold_in)(keys, p)
             nxt = sample_rows(logits[:, -1], step_keys, temperature,
                               top_k, top_p)[:, None]
-            return (nxt, c, p + 1), nxt
-        (_, cache, _), steps = jax.lax.scan(
+            lp = _chosen_logprob(logits[:, -1].astype(jnp.float32), nxt)
+            return (nxt, c, p + 1), (nxt, lp)
+        (_, cache, _), (steps, lps) = jax.lax.scan(
             body, (tok, cache, pos), None, length=decode_chunk)
-        return jnp.swapaxes(steps[..., 0], 0, 1), cache
+        return (jnp.swapaxes(steps[..., 0], 0, 1),
+                jnp.swapaxes(lps[..., 0], 0, 1), cache)
 
     def admit(cache, row_cache, slot):
         # splice a prefilled batch-1 cache into row `slot` of the serving
@@ -396,6 +417,9 @@ def export_lm(params, config: TransformerConfig,
         "continuous": True,
         "speculative": True,
         "decode_chunk": int(decode_chunk),
+        # the fused decode_k family returns (tokens, logprobs, cache);
+        # loaders normalize older two-tuple artifacts to logprobs=None
+        "decode_k_logprobs": decode_chunk > 0,
         "page_size": int(page_size),
     }, indent=2))
     return out_dir
@@ -451,28 +475,45 @@ def load_exported_extend_rows(out_dir: Union[str, Path]):
     return jax.jit(ext.call)
 
 
+def _norm_fused(fn, has_lps: bool):
+    """Normalize a fused decode_k-family artifact to the
+    (tokens, logprobs|None, cache) contract (older artifacts returned
+    (tokens, cache) — their logprobs slot is None and schedulers fall
+    back to per-token decode for logprob requests)."""
+    if has_lps:
+        return fn
+
+    def call(*args):
+        toks, cache = fn(*args)
+        return toks, None, cache
+    return call
+
+
 def load_exported_decode_k(out_dir: Union[str, Path]):
     """(decode_k, decode_k_rows, K) — the fused K-token greedy decode
-    pair (one dispatch emits K tokens). Raises FileNotFoundError on
-    artifacts exported before it existed or with decode_chunk=0."""
+    pair (one dispatch emits K tokens + their raw-model logprobs).
+    Raises FileNotFoundError on artifacts exported before it existed or
+    with decode_chunk=0."""
     out_dir = Path(out_dir)
     meta = json.loads((out_dir / "meta.json").read_text())
     k = int(meta.get("decode_chunk", 0))
     if k <= 0:
         raise FileNotFoundError(
             f"{out_dir} was exported without the decode_k pair")
+    has_lps = bool(meta.get("decode_k_logprobs"))
     dk = jexport.deserialize(
         (out_dir / "decode_k.stablehlo").read_bytes())
     dkr = jexport.deserialize(
         (out_dir / "decode_k_rows.stablehlo").read_bytes())
-    return jax.jit(dk.call), jax.jit(dkr.call), k
+    return (_norm_fused(jax.jit(dk.call), has_lps),
+            _norm_fused(jax.jit(dkr.call), has_lps), k)
 
 
 def load_exported_decode_k_sample(out_dir: Union[str, Path]):
     """(decode_k_sample, K) — the fused K-token SAMPLED decode (per-row
     temperature/top-k/top-p policy + per-row threefry keys on-device;
-    chunk-invariant key schedule). Raises FileNotFoundError on artifacts
-    exported before it existed."""
+    chunk-invariant key schedule; chosen-token logprobs). Raises
+    FileNotFoundError on artifacts exported before it existed."""
     out_dir = Path(out_dir)
     meta = json.loads((out_dir / "meta.json").read_text())
     k = int(meta.get("decode_chunk", 0))
@@ -480,7 +521,9 @@ def load_exported_decode_k_sample(out_dir: Union[str, Path]):
     if k <= 0 or not path.exists():
         raise FileNotFoundError(
             f"{out_dir} was exported without decode_k_sample")
-    return jax.jit(jexport.deserialize(path.read_bytes()).call), k
+    has_lps = bool(meta.get("decode_k_logprobs"))
+    return _norm_fused(jax.jit(jexport.deserialize(
+        path.read_bytes()).call), has_lps), k
 
 
 def load_exported_paged(out_dir: Union[str, Path]):
@@ -517,8 +560,9 @@ def load_exported_extend_paged(out_dir: Union[str, Path]):
 
 def load_exported_paged_k(out_dir: Union[str, Path]):
     """(decode_paged_k, decode_paged_k_sample, K) — the fused K-token
-    pair over the paged cache. Raises FileNotFoundError on artifacts
-    exported without both page_size and decode_chunk."""
+    pair over the paged cache ((tokens, logprobs|None, cache) like the
+    dense pair). Raises FileNotFoundError on artifacts exported without
+    both page_size and decode_chunk."""
     out_dir = Path(out_dir)
     meta = json.loads((out_dir / "meta.json").read_text())
     k = int(meta.get("decode_chunk", 0))
@@ -526,10 +570,12 @@ def load_exported_paged_k(out_dir: Union[str, Path]):
     if k <= 0 or not path.exists():
         raise FileNotFoundError(
             f"{out_dir} was exported without the paged decode_k pair")
+    has_lps = bool(meta.get("decode_k_logprobs"))
     dk = jexport.deserialize(path.read_bytes())
     dks = jexport.deserialize(
         (out_dir / "decode_paged_k_sample.stablehlo").read_bytes())
-    return jax.jit(dk.call), jax.jit(dks.call), k
+    return (_norm_fused(jax.jit(dk.call), has_lps),
+            _norm_fused(jax.jit(dks.call), has_lps), k)
 
 
 def load_exported_speculative(out_dir: Union[str, Path]):

@@ -151,6 +151,7 @@ class PagedLMServer:
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
         self.page = int(self.meta["page_size"])
+        self.fused_lps = bool(self.meta.get("decode_k_logprobs"))
         self.mp = self.window // self.page
         # default pool = the dense reservation (no oversubscription);
         # smaller n_pages is the point
@@ -416,7 +417,8 @@ class PagedLMServer:
                         "eos": req.get("eos"),
                         "eos_hit": False,
                         "stops": parse_stops(req, self.vocab),
-                        # per-token logprobs force the per-token path
+                        # logprobs ride the fused chunks when the
+                        # artifacts emit them; per-token fallback else
                         "lps": [] if req.get("logprobs") else None,
                         # the canonical per-request rng root
                         # (serving.device_sample)
@@ -450,8 +452,9 @@ class PagedLMServer:
             k = self.k_decode
             active = [s for s in range(b) if slots[s] is not None]
             if (self.decode_paged_k is not None
-                    and not any(slots[s]["lps"] is not None
-                                for s in active)
+                    and (self.fused_lps
+                         or not any(slots[s]["lps"] is not None
+                                    for s in active))
                     and all(pos[s] + k <= self.window for s in active)):
                 # fused K-token dispatch over the paged cache: every page
                 # the K writes may touch must exist BEFORE the dispatch
@@ -472,7 +475,7 @@ class PagedLMServer:
                 peak_pages = max(peak_pages,
                                  self.pool.n_usable - self.pool.n_free)
                 if all(slots[s]["temperature"] == 0.0 for s in active):
-                    chunk, cache = self.decode_paged_k(
+                    chunk, lps, cache = self.decode_paged_k(
                         jnp.asarray(toks), self._cache(table),
                         jnp.asarray(pos))
                 else:
@@ -487,18 +490,21 @@ class PagedLMServer:
                         topk[s] = int(st["top_k"] or 0)
                         topp[s] = float(1.0 if st["top_p"] is None
                                         else st["top_p"])
-                    chunk, cache = self.decode_paged_k_sample(
+                    chunk, lps, cache = self.decode_paged_k_sample(
                         jnp.asarray(toks), self._cache(table),
                         jnp.asarray(pos), jnp.asarray(keys),
                         jnp.asarray(temp), jnp.asarray(topk),
                         jnp.asarray(topp))
                 self._set_pools(cache)
                 chunk_np = np.asarray(chunk)
+                lps_np = None if lps is None else np.asarray(lps)
                 decode_steps += 1
                 for s in active:
                     st = slots[s]
                     for j in range(k):
                         pos[s] += 1
+                        if st["lps"] is not None:
+                            st["lps"].append(float(lps_np[s, j]))
                         push(s, st, chunk_np[s:s + 1, j:j + 1])
                         if slots[s] is None:
                             break

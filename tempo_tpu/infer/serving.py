@@ -353,7 +353,7 @@ class LMServer:
             out = [tok]
             while (self.decode_k_sample is not None and remaining > 0
                    and pos + self.k_decode <= self.window):
-                chunk, cache = self.decode_k_sample(
+                chunk, _lps, cache = self.decode_k_sample(
                     jnp.asarray(tok, jnp.int32), cache,
                     jnp.full((b,), pos, jnp.int32), jnp.asarray(keys),
                     jnp.asarray(temp_v), jnp.asarray(topk_v),
@@ -381,7 +381,7 @@ class LMServer:
             # feedback runs on-device, one dispatch per K tokens
             # (bit-equal to the per-token loop; pinned in test_export.py)
             while remaining >= self.k_decode:
-                chunk, cache = self.decode_k(
+                chunk, _lps, cache = self.decode_k(
                     jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
                 chunk = np.asarray(chunk)
                 out.append(chunk)
@@ -673,8 +673,8 @@ class LMEngine:
                 "eos_hit": False,
                 "stops": parse_stops(req, self.s.vocab),
                 # per-token logprobs of the RAW model distribution
-                # (forces the per-token path: fused chunks return only
-                # tokens)
+                # (rides the fused chunks when the artifacts emit
+                # chosen-token logprobs; per-token fallback otherwise)
                 "lps": [] if req.get("logprobs") else None,
                 # the canonical per-request rng root (device_sample)
                 "key": np.asarray(jax.random.PRNGKey(
@@ -706,16 +706,20 @@ class LMEngine:
         all_greedy = all(slots[s]["temperature"] == 0.0 for s in active)
         if (self.s.decode_k_rows is not None
                 and (all_greedy or self.s.decode_k_sample is not None)
-                and not any(slots[s]["lps"] is not None for s in active)
+                and (self.s.fused_lps
+                     or not any(slots[s]["lps"] is not None
+                                for s in active))
                 and all(pos[s] + k <= self.s.window for s in active)):
             # multi-step quantum: every slot advances K tokens in one
-            # dispatch (argmax/sampling feedback on-device). Falls back
-            # to per-token when a slot sits too close to the window edge
-            # for a full chunk of writes. Sampled slots draw the same
-            # canonical stream either way (see device_sample), so the
-            # fallback emits identical tokens.
+            # dispatch (argmax/sampling feedback on-device; chosen-token
+            # logprobs ride along as [b,K] floats, so `logprobs: true`
+            # requests keep the fused path). Falls back to per-token
+            # when a slot sits too close to the window edge for a full
+            # chunk of writes. Sampled slots draw the same canonical
+            # stream either way (see device_sample), so the fallback
+            # emits identical tokens.
             if all_greedy:
-                chunk, self.cache = self.s.decode_k_rows(
+                chunk, lps, self.cache = self.s.decode_k_rows(
                     jnp.asarray(toks), self.cache, jnp.asarray(pos))
             else:
                 keys = np.zeros((b, 2), np.uint32)
@@ -729,16 +733,19 @@ class LMEngine:
                     topk[s] = int(st["top_k"] or 0)
                     topp[s] = float(1.0 if st["top_p"] is None
                                     else st["top_p"])
-                chunk, self.cache = self.s.decode_k_sample(
+                chunk, lps, self.cache = self.s.decode_k_sample(
                     jnp.asarray(toks), self.cache, jnp.asarray(pos),
                     jnp.asarray(keys), jnp.asarray(temp),
                     jnp.asarray(topk), jnp.asarray(topp))
             chunk_np = np.asarray(chunk)
+            lps_np = None if lps is None else np.asarray(lps)
             self.decode_steps += 1
             for s in active:
                 st = slots[s]
                 for j in range(k):
                     pos[s] += 1
+                    if st["lps"] is not None:
+                        st["lps"].append(float(lps_np[s, j]))
                     self._push(s, st, chunk_np[s:s + 1, j:j + 1])
                     if slots[s] is None:
                         break
@@ -825,6 +832,10 @@ class ContinuousLMServer:
                     artifacts_dir)
             except FileNotFoundError:
                 self.decode_k_sample = None
+        # fused chunks carry chosen-token logprobs ([b,K] extra fetch):
+        # logprob requests ride them; older artifacts force the
+        # per-token fallback for those rows
+        self.fused_lps = bool(self.meta.get("decode_k_logprobs"))
         self.window = int(self.meta.get("max_seq", self.meta["block_size"]))
         self.vocab = int(self.meta["vocab_size"])
         self.last_stats: Dict[str, Any] = {}

@@ -510,9 +510,10 @@ def test_stop_sequences(tmp_path, tiny_lm):
 def test_logprobs(tmp_path, tiny_lm):
     """'logprobs': per-token RAW-model logprobs of the emitted tokens,
     verified against an independent per-token recompute through the
-    decode_step artifact; present under a fused-k server (the request
-    forces the per-token path); absent unless requested; stays in step
-    with 'stop' trimming."""
+    decode_step artifact; the request RIDES the fused decode_k chunks
+    (the artifacts return chosen-token logprobs, so no per-token
+    fallback — pinned via the dispatch count); absent unless requested;
+    stays in step with 'stop' trimming."""
     from tempo_tpu.infer.export_lm import load_exported_lm
     from tempo_tpu.infer.serving import ContinuousLMServer
 
@@ -521,6 +522,9 @@ def test_logprobs(tmp_path, tiny_lm):
     req = {"tokens": [3, 1, 4, 1, 5], "n_tokens": 8, "logprobs": True}
     r = server.serve([req])[0]
     assert len(r["logprobs"]) == len(r["tokens"]) == 8
+    # 7 post-prefill tokens in ONE fused dispatch — the logprob request
+    # must not force 7 per-token dispatches
+    assert server.last_stats["decode_steps"] == 1
 
     pre, dec, meta = load_exported_lm(out)
     logits, cache = pre(jnp.asarray([req["tokens"]], jnp.int32))
@@ -710,10 +714,14 @@ def test_decode_k_sample_policy_support(tmp_path, tiny_lm):
     keys = jnp.asarray(np.stack([jax.random.PRNGKey(1),
                                  jax.random.PRNGKey(2)]), jnp.uint32)
     zeros = jnp.zeros(2, jnp.float32)
-    g_toks, _ = dkr(tok, cache, pos)
-    s_toks, _ = dks(tok, cache, pos, keys, zeros,
-                    jnp.zeros(2, jnp.int32), jnp.ones(2, jnp.float32))
+    g_toks, g_lps, _ = dkr(tok, cache, pos)
+    s_toks, s_lps, _ = dks(tok, cache, pos, keys, zeros,
+                           jnp.zeros(2, jnp.int32),
+                           jnp.ones(2, jnp.float32))
     np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(s_toks))
+    # both fused artifacts report the SAME raw-model chosen-token
+    # logprobs for the same chain
+    np.testing.assert_array_equal(np.asarray(g_lps), np.asarray(s_lps))
 
 
 def test_lm_export_continuous_rope(tmp_path):

@@ -400,16 +400,21 @@ def test_paged_admission_evicts_idle_prefix(paged_lm):
 def test_paged_logprobs(paged_lm):
     """'logprobs' through the paged scheduler equals the dense
     continuous server's (paged logits are pinned bitwise to dense, so
-    the logprobs follow)."""
+    the logprobs follow). The fused-k paged server keeps logprob
+    requests on the chunked dispatch (device-f32 chosen-token logprobs
+    vs the per-token host-f64 recompute — same values to fp rounding)."""
     from tempo_tpu.infer.paged import PagedLMServer
     from tempo_tpu.infer.serving import ContinuousLMServer
 
     req = {"tokens": [3, 1, 4, 1, 5], "n_tokens": 8, "logprobs": True}
     r_d = ContinuousLMServer(paged_lm, n_slots=2).serve([req])[0]
-    r_p = PagedLMServer(paged_lm, n_slots=2, k_decode=4).serve([req])[0]
+    fused = PagedLMServer(paged_lm, n_slots=2, k_decode=4)
+    r_p = fused.serve([req])[0]
     assert r_p["tokens"] == r_d["tokens"]
     np.testing.assert_allclose(r_p["logprobs"], r_d["logprobs"],
-                               rtol=1e-6, atol=1e-7)
+                               rtol=1e-5, atol=1e-6)
+    # 7 post-prefill tokens / 4-token chunks = 2 fused dispatches
+    assert fused.last_stats["decode_steps"] == 2
 
 
 def test_paged_rows_isolated():
