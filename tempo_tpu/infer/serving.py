@@ -153,34 +153,15 @@ def token_logprob(logits_row: np.ndarray, tok: int) -> float:
     return float(x[tok] - np.log(np.exp(x).sum()))
 
 
-def sample_next(logits_last: np.ndarray, temperature: float,
-                top_k: Optional[int], rng: np.random.Generator,
-                top_p: Optional[float] = None) -> np.ndarray:
-    """Host-side numpy sampling policy on the last-position logits
-    [b, V] -> next token [b, 1]. temperature 0 = greedy; top_k / top_p
-    limit the support. Retained for the speculative scheduler's
-    rejection sampling (policy_probs shares its truncation); the
-    batch schedulers draw `device_sample`'s stream instead."""
-    logits = np.asarray(logits_last, np.float32)
-    if temperature <= 0.0:
-        return np.argmax(logits, axis=-1, keepdims=True)
-    logits = _truncate_support(logits / float(temperature), top_k, top_p)
-    logits -= logits.max(axis=-1, keepdims=True)
-    probs = np.exp(logits)
-    probs /= probs.sum(axis=-1, keepdims=True)
-    out = np.empty((logits.shape[0], 1), np.int64)
-    for i in range(logits.shape[0]):
-        out[i, 0] = rng.choice(logits.shape[-1], p=probs[i])
-    return out
-
-
 def policy_probs(logits_row: np.ndarray, temperature: float,
                  top_k: Optional[int],
                  top_p: Optional[float] = None) -> np.ndarray:
-    """The sampling policy of `sample_next` as an explicit probability
-    vector [V] (temperature scaling + top-k/top-p support truncation).
-    This is the distribution speculative decoding must preserve, so the
-    verify math (`speculative_accept`) runs on exactly this."""
+    """The serving sampling policy as an explicit probability vector [V]
+    (temperature scaling + top-k/top-p support truncation — the same
+    support `export_lm.truncate_support_rows` keeps on-device; pinned by
+    test_decode_k_sample_policy_support). This is the distribution every
+    canonical-stream draw follows, and the one the classical rejection-
+    sampling reference (`speculative_accept`) preserves."""
     logits = np.asarray(logits_row, np.float64).reshape(-1)
     assert temperature > 0.0, "policy_probs is the sampled path"
     logits = _truncate_support(logits / float(temperature), top_k, top_p)
@@ -191,11 +172,18 @@ def policy_probs(logits_row: np.ndarray, temperature: float,
 
 def speculative_accept(p: np.ndarray, q: np.ndarray, draft_tok: int,
                        u: float) -> tuple:
-    """One rejection-sampling step of speculative decoding: the draft
-    token was sampled from q; accept it with probability min(1, p/q) and
-    otherwise resample from the residual max(p - q, 0) (normalized).
-    Marginalized over draft_tok ~ q, the emitted token is EXACTLY ~ p —
-    pinned analytically by test_export.py::test_speculative_accept_math.
+    """One rejection-sampling step of CLASSICAL (Leviathan) speculative
+    decoding: the draft token was sampled from q; accept it with
+    probability min(1, p/q) and otherwise resample from the residual
+    max(p - q, 0) (normalized). Marginalized over draft_tok ~ q, the
+    emitted token is EXACTLY ~ p — pinned analytically by
+    test_export.py::test_speculative_accept_math.
+
+    The live schedulers no longer draw this path: they verify against
+    the canonical device stream instead (accept iff draft == the
+    fold_in(key, position) draw), which strengthens the marginal
+    guarantee into exact per-token STREAM equality across schedulers.
+    Kept as the distribution-correctness reference.
 
     Returns (accepted: bool, residual: Optional[np.ndarray]) — residual
     is the normalized distribution to resample from on rejection (falls
@@ -317,7 +305,6 @@ class LMServer:
                 f"tokens exceeds the exported serving window {self.window}")
         if prompts.size and (prompts.min() < 0 or prompts.max() >= self.vocab):
             raise ValueError(f"token ids outside [0, {self.vocab})")
-        rng = np.random.default_rng(seed)
         if n_prefix:
             assert t >= 1, "prefix mode needs at least one suffix token"
             pfx_cache = self._prefix_cache(tuple(int(x) for x in prefix))
@@ -373,8 +360,10 @@ class LMServer:
                 out.append(tok)
                 pos += 1
             return np.concatenate(out, axis=1).astype(np.int32)
-        tok = sample_next(np.asarray(logits[:, -1]), temperature,
-                          top_k, rng, top_p=top_p)
+        # greedy (temperature <= 0): host argmax — identical first-max
+        # tie-break to the device argmax in the fused chunks
+        tok = np.argmax(np.asarray(logits[:, -1], np.float32), axis=-1,
+                        keepdims=True)
         out = [tok]
         if self.decode_k is not None:
             # greedy rides the fused decode_k artifact: the argmax
@@ -391,8 +380,8 @@ class LMServer:
         for _ in range(remaining):
             logits, cache = self.decode_step(
                 jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
-            tok = sample_next(np.asarray(logits[:, -1]), temperature,
-                              top_k, rng, top_p=top_p)
+            tok = np.argmax(np.asarray(logits[:, -1], np.float32),
+                            axis=-1, keepdims=True)
             out.append(tok)
             pos = pos + 1
         return np.concatenate(out, axis=1).astype(np.int32)
@@ -932,12 +921,15 @@ class ContinuousLMServer:
         + (k_draft-1) draft `decode_rows` proposing the rest
         + ONE target `extend_rows` verifying every row's
         [last_committed, d_1..d_k] block at the row's own position.
-        Host-side accept/commit is per row: greedy rows commit exactly
-        the target-argmax prefix (output == target-only greedy), sampled
-        rows run `speculative_accept` against their own rng. Parked rows
-        ride along on token 0 / position 0; `admit` replaces their whole
-        cache row (target AND draft) on reuse, so the garbage never
-        survives into a request."""
+        Accept/commit is per row against the CANONICAL stream: a draft
+        token is accepted iff it equals device_sample's draw on the
+        target logits at that absolute position (greedy = the
+        temperature-0 argmax case), and the correction/bonus token IS
+        that draw — so every request's output equals target-only decode
+        under the same (seed, prompt), like every other scheduler.
+        Parked rows ride along on token 0 / position 0; `admit` replaces
+        their whole cache row (target AND draft) on reuse, so the
+        garbage never survives into a request."""
         self._validate(requests, default_new_tokens)
         n_req = len(requests)
         responses: List[Optional[Dict[str, Any]]] = [None] * n_req
@@ -992,17 +984,22 @@ class ContinuousLMServer:
                         "top_p": req.get("top_p"),
                         "eos": req.get("eos"),
                         "eos_hit": False,
-                        "rng": np.random.default_rng(
-                            int(req.get("seed", 0))),
+                        # the canonical per-request rng root
+                        # (serving.device_sample)
+                        "key": np.asarray(jax.random.PRNGKey(
+                            int(req.get("seed", 0))), np.uint32),
                         # committed-token bookkeeping for the round loop
                         "n_committed": prompt.shape[1],  # absolute count
                         "last": None,                    # last committed tok
                         "lag": [],   # committed toks the draft hasn't seen
                     }
                     slots[s] = st
-                    tok = int(sample_next(
-                        np.asarray(logits[:, -1]), st["temperature"],
-                        st["top_k"], st["rng"], top_p=st["top_p"])[0, 0])
+                    tok = int(device_sample(
+                        np.asarray(logits[:, -1]), st["key"][None],
+                        [prompt.shape[1] - 1], [st["temperature"]],
+                        [int(st["top_k"] or 0)],
+                        [1.0 if st["top_p"] is None
+                         else float(st["top_p"])])[0, 0])
                     st["out"].append(tok)
                     st["remaining"] -= 1
                     st["last"] = tok
@@ -1035,40 +1032,81 @@ class ContinuousLMServer:
             d_logits_np = np.asarray(d_logits)  # [b, W, V]
 
             drafts = np.zeros((b, k), np.int32)
-            qdists: List[List[Optional[np.ndarray]]] = [
-                [None] * k for _ in range(b)]
 
-            def propose(s: int, row_logits: np.ndarray, i: int) -> int:
-                st = slots[s]
-                if st["temperature"] <= 0.0:
-                    d = int(np.argmax(row_logits.astype(np.float32)))
-                else:
-                    q = policy_probs(row_logits, st["temperature"],
-                                     st["top_k"], top_p=st["top_p"])
-                    qdists[s][i] = q
-                    d = int(st["rng"].choice(q.shape[0], p=q))
-                drafts[s, i] = d
-                return d
-
-            step_tok = np.zeros((b, 1), np.int32)
-            step_pos = np.zeros(b, np.int32)
-            for s in range(b):
-                st = slots[s]
-                if st is None:
-                    continue
-                d = propose(s, d_logits_np[s, len(st["lag"]) - 1], 0)
-                step_tok[s, 0] = d
-                step_pos[s] = st["n_committed"]
-            for i in range(1, k):
-                d_logits, d_cache = self.d_decode_rows(
-                    jnp.asarray(step_tok), d_cache, jnp.asarray(step_pos))
-                d_step_np = np.asarray(d_logits[:, -1])
+            def draw_block(logits_bmv: np.ndarray,
+                           offset: int = 0) -> np.ndarray:
+                """Canonical-stream draws for every active row over m
+                consecutive emitted positions: logits [b, m, V], where
+                row s's column i sits at absolute fed-position
+                n_committed[s] - 1 + offset + i. Greedy rows take the
+                host argmax (same first-max tie-break as the device
+                argmax); sampled rows ride ONE batched device_sample
+                over all (row, position) pairs."""
+                m = logits_bmv.shape[1]
+                drawn = np.zeros((b, m), np.int64)
+                sampled = []
                 for s in range(b):
                     st = slots[s]
                     if st is None:
                         continue
-                    d = propose(s, d_step_np[s], i)
-                    step_tok[s, 0] = d
+                    if st["temperature"] <= 0.0:
+                        drawn[s] = np.argmax(
+                            logits_bmv[s].astype(np.float32), axis=-1)
+                    else:
+                        sampled.append(s)
+                if sampled:
+                    n = len(sampled)
+                    flat = np.asarray(
+                        logits_bmv[sampled], np.float32).reshape(n * m, -1)
+                    keys = np.repeat(np.stack(
+                        [slots[s]["key"] for s in sampled]), m, axis=0)
+                    pos = np.concatenate(
+                        [slots[s]["n_committed"] - 1 + offset
+                         + np.arange(m) for s in sampled])
+                    temp = np.repeat(np.asarray(
+                        [slots[s]["temperature"] for s in sampled],
+                        np.float32), m)
+                    topk = np.repeat(np.asarray(
+                        [int(slots[s]["top_k"] or 0) for s in sampled],
+                        np.int32), m)
+                    topp = np.repeat(np.asarray(
+                        [1.0 if slots[s]["top_p"] is None
+                         else float(slots[s]["top_p"]) for s in sampled],
+                        np.float32), m)
+                    out = device_sample(flat, keys, pos, temp, topk, topp)
+                    drawn[sampled] = out[:, 0].reshape(n, m)
+                return drawn
+
+            # proposals draw the canonical key schedule on the DRAFT
+            # logits (common-random-numbers coupling with the verify
+            # draws — close distributions, shared threefry noise, high
+            # acceptance); one batched draw per draft step
+            step_tok = np.zeros((b, 1), np.int32)
+            step_pos = np.zeros(b, np.int32)
+            prop = np.zeros((b, 1, self.vocab), np.float32)
+            for s in range(b):
+                st = slots[s]
+                if st is None:
+                    continue
+                prop[s, 0] = d_logits_np[s, len(st["lag"]) - 1]
+            di = draw_block(prop, offset=0)
+            for s in range(b):
+                st = slots[s]
+                if st is None:
+                    continue
+                drafts[s, 0] = di[s, 0]
+                step_tok[s, 0] = di[s, 0]
+                step_pos[s] = st["n_committed"]
+            for i in range(1, k):
+                d_logits, d_cache = self.d_decode_rows(
+                    jnp.asarray(step_tok), d_cache, jnp.asarray(step_pos))
+                di = draw_block(np.asarray(d_logits[:, -1:]), offset=i)
+                for s in range(b):
+                    st = slots[s]
+                    if st is None:
+                        continue
+                    drafts[s, i] = di[s, 0]
+                    step_tok[s, 0] = di[s, 0]
                     step_pos[s] = st["n_committed"] + i
             active = [s for s in range(b) if slots[s] is not None]
             drafted += k * len(active)
@@ -1084,42 +1122,19 @@ class ContinuousLMServer:
             t_logits, cache = self.t_extend_rows(
                 jnp.asarray(block_t), cache, jnp.asarray(pos_t))
             t_logits_np = np.asarray(t_logits)  # [b, k+1, V]
+            draws = draw_block(t_logits_np)  # canonical chain, [b, k+1]
             rounds += 1
 
-            # ---- host accept/commit, per row ----
+            # ---- accept/commit, per row, against the canonical chain:
+            # accept the longest draft prefix equal to the draws; the
+            # correction (or full-accept bonus) token IS the next draw —
+            # so the committed chain is exactly target-only decode's ----
             for s in active:
                 st = slots[s]
                 j = 0
-                next_tok: Optional[int] = None
-                for i in range(k):
-                    if st["temperature"] <= 0.0:
-                        argmax = int(np.argmax(
-                            t_logits_np[s, i].astype(np.float32)))
-                        if int(drafts[s, i]) == argmax:
-                            j += 1
-                            continue
-                        next_tok = argmax
-                        break
-                    p = policy_probs(t_logits_np[s, i], st["temperature"],
-                                     st["top_k"], top_p=st["top_p"])
-                    ok, residual = speculative_accept(
-                        p, qdists[s][i], int(drafts[s, i]),
-                        float(st["rng"].uniform()))
-                    if ok:
-                        j += 1
-                        continue
-                    next_tok = int(st["rng"].choice(residual.shape[0],
-                                                    p=residual))
-                    break
-                if next_tok is None:  # full acceptance: bonus token free
-                    if st["temperature"] <= 0.0:
-                        next_tok = int(np.argmax(
-                            t_logits_np[s, k].astype(np.float32)))
-                    else:
-                        p = policy_probs(t_logits_np[s, k],
-                                         st["temperature"], st["top_k"],
-                                         top_p=st["top_p"])
-                        next_tok = int(st["rng"].choice(p.shape[0], p=p))
+                while j < k and int(drafts[s, j]) == int(draws[s, j]):
+                    j += 1
+                next_tok = int(draws[s, j])
                 accepted += j
                 commit = [int(d) for d in drafts[s, :j]] + [next_tok]
                 # tokens d_1..d_{min(j, k-1)} are already in the draft
@@ -1175,13 +1190,21 @@ class SpeculativeLMServer:
     is the per-round accepted count — the latency lever the big model's
     sequential decode cannot reach alone.
 
-    Numerics: greedy (temperature 0) acceptance is `draft == target
-    argmax` and rejection emits the target argmax, so the output is
-    EXACTLY the target-only greedy sequence (pinned by test_export.py).
-    Sampled requests use Leviathan-style rejection sampling
-    (`speculative_accept`): marginally the emitted tokens follow exactly
-    the target policy (temperature, top_k), pinned analytically by
-    test_speculative_accept_math.
+    Numerics: acceptance is "draft token == the CANONICAL-STREAM draw on
+    the target logits" (device_sample's fold_in(key, absolute position)
+    schedule; greedy is the temperature-0 case, where the draw is the
+    argmax) and rejection emits that canonical draw itself — so the
+    output is EXACTLY the chain target-only decode emits under the same
+    (seed, prompt) on EVERY scheduler (pinned by test_export.py).
+    Speculation is a transparent accelerator: marginal correctness is
+    inherited from the canonical stream (one exact policy draw per
+    position), and the draft proposes through the SAME key schedule, so
+    shared threefry noise couples the draws (common random numbers) and
+    close draft/target distributions accept at high rates. (Classical
+    Leviathan rejection sampling — `speculative_accept`, analytically
+    pinned by test_speculative_accept_math — is kept as the reference
+    for the distribution-only guarantee this design strengthens into
+    stream equality.)
 
     Cache discipline: each round the target writes KV for
     [last, d_1..d_k] at absolute positions n..n+k. After accepting j < k
@@ -1215,18 +1238,37 @@ class SpeculativeLMServer:
         self.vocab = int(self.meta["vocab_size"])
         self.last_stats: Dict[str, Any] = {}
 
+    def _draw(self, logits: np.ndarray, key: np.ndarray, pos0: int,
+              temperature: float, top_k: Optional[int],
+              top_p: Optional[float]) -> np.ndarray:
+        """Canonical-stream draws for a contiguous block: logits [m, V]
+        at absolute fed-positions pos0..pos0+m-1 -> [m] tokens. Greedy
+        (temperature 0) short-circuits to the host argmax (identical
+        tie-break to the device argmax: first max index)."""
+        logits = np.asarray(logits, np.float32).reshape(-1, self.vocab)
+        m = logits.shape[0]
+        if temperature <= 0.0:
+            return np.argmax(logits, axis=-1)
+        drawn = device_sample(
+            logits, np.tile(np.asarray(key, np.uint32)[None], (m, 1)),
+            pos0 + np.arange(m), np.full(m, temperature, np.float32),
+            np.full(m, int(top_k or 0), np.int32),
+            np.full(m, 1.0 if top_p is None else float(top_p),
+                    np.float32))
+        return drawn[:, 0]
+
     def _generate(self, prompt: Sequence[int], n_tokens: int,
                   temperature: float, top_k: Optional[int],
-                  rng: np.random.Generator,
+                  key: np.ndarray,
                   top_p: Optional[float] = None) -> tuple:
         t = len(prompt)
         prompt_arr = jnp.asarray(np.asarray(prompt, np.int32).reshape(1, -1))
         tg_logits, tg_cache = self.t_prefill(prompt_arr)
         dr_logits, dr_cache = self.d_prefill(prompt_arr)
-        first = sample_next(np.asarray(tg_logits[:, -1]), temperature,
-                            top_k, rng, top_p=top_p)
-        all_toks = list(map(int, prompt)) + [int(first[0, 0])]
-        out = [int(first[0, 0])]
+        first = self._draw(np.asarray(tg_logits[:, -1]), key, t - 1,
+                           temperature, top_k, top_p)
+        all_toks = list(map(int, prompt)) + [int(first[0])]
+        out = [int(first[0])]
         dr_done = t  # draft cache is correct through position dr_done-1
         rounds = drafted = accepted = 0
 
@@ -1236,64 +1278,48 @@ class SpeculativeLMServer:
 
             # draft phase: sync the draft cache (committed tokens it has
             # not seen — the round's correction token, plus d_k after a
-            # fully accepted round), then propose k tokens
+            # fully accepted round), then propose k tokens. Proposals
+            # draw the SAME canonical key schedule on the DRAFT's
+            # logits: when draft and target distributions are close, the
+            # shared threefry noise makes the draws coincide (common-
+            # random-numbers coupling), which is what gets accepted.
             for pos in range(dr_done, n_committed):
                 dr_logits, dr_cache = self.d_decode(
                     jnp.asarray([[all_toks[pos]]], jnp.int32), dr_cache,
                     jnp.int32(pos))
             dr_done = n_committed
             drafts: List[int] = []
-            qdists: List[Optional[np.ndarray]] = []
             for i in range(k):
-                row = np.asarray(dr_logits[:, -1]).reshape(-1)
-                if temperature <= 0.0:
-                    d = int(np.argmax(row.astype(np.float32)))
-                    q = None
-                else:
-                    q = policy_probs(row, temperature, top_k, top_p=top_p)
-                    d = int(rng.choice(q.shape[0], p=q))
+                row = np.asarray(dr_logits[:, -1]).reshape(1, -1)
+                d = int(self._draw(row, key, n_committed - 1 + i,
+                                   temperature, top_k, top_p)[0])
                 drafts.append(d)
-                qdists.append(q)
                 if i < k - 1:
                     dr_logits, dr_cache = self.d_decode(
                         jnp.asarray([[d]], jnp.int32), dr_cache,
                         jnp.int32(dr_done + i))
             drafted += k
 
-            # verify phase: ONE target pass over [last, d_1..d_k]
+            # verify phase: ONE target pass over [last, d_1..d_k], then
+            # the canonical draws for all k+1 positions in one batch.
+            # Acceptance = "draft token EQUALS the canonical draw", so
+            # the committed chain is EXACTLY the chain target-only
+            # decode would emit under the same (seed, prompt) — the
+            # cross-scheduler stream invariant extends to speculation
+            # (greedy is the temperature-0 special case: draw = argmax).
             block = np.asarray([[all_toks[n_committed - 1]] + drafts],
                                np.int32)
             tg_logits, tg_cache = self.t_extend(
                 jnp.asarray(block), tg_cache, jnp.int32(n_committed - 1))
             logits_np = np.asarray(tg_logits[0])  # [k+1, V]
+            draws = self._draw(logits_np, key, n_committed - 1,
+                               temperature, top_k, top_p)
 
             j = 0
-            next_tok: Optional[int] = None
-            for i in range(k):
-                if temperature <= 0.0:
-                    argmax = int(np.argmax(logits_np[i].astype(np.float32)))
-                    if drafts[i] == argmax:
-                        j += 1
-                        continue
-                    next_tok = argmax
-                    break
-                p = policy_probs(logits_np[i], temperature, top_k,
-                                 top_p=top_p)
-                ok, residual = speculative_accept(
-                    p, qdists[i], drafts[i], float(rng.uniform()))
-                if ok:
-                    j += 1
-                    continue
-                next_tok = int(rng.choice(residual.shape[0], p=residual))
-                break
-            if next_tok is None:  # full acceptance: bonus token for free
-                if temperature <= 0.0:
-                    next_tok = int(np.argmax(
-                        logits_np[k].astype(np.float32)))
-                else:
-                    p = policy_probs(logits_np[k], temperature, top_k,
-                                     top_p=top_p)
-                    next_tok = int(rng.choice(p.shape[0], p=p))
+            while j < k and drafts[j] == int(draws[j]):
+                j += 1
+            # j == k: full acceptance — draws[k] is the free bonus token
+            next_tok = int(draws[j])
             accepted += j
             commit = drafts[:j] + [next_tok]
             out.extend(commit)
@@ -1334,10 +1360,11 @@ class SpeculativeLMServer:
                                   "n_generated": 0, "rounds": 0,
                                   "accept_rate": None})
                 continue
-            rng = np.random.default_rng(int(req.get("seed", 0)))
+            key = np.asarray(jax.random.PRNGKey(int(req.get("seed", 0))),
+                             np.uint32)
             out, stats = self._generate(
                 req["tokens"], n, float(req.get("temperature", 0.0)),
-                req.get("top_k"), rng, top_p=req.get("top_p"))
+                req.get("top_k"), key, top_p=req.get("top_p"))
             responses.append({
                 "tokens": out,
                 "n_prompt": len(req["tokens"]),

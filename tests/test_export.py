@@ -828,11 +828,16 @@ def test_lm_export_speculative_greedy(tmp_path, tiny_lm, draft_lm):
 
 
 def test_lm_export_speculative_sampled(tmp_path, tiny_lm, draft_lm):
-    """Sampled speculative decoding: seeded-reproducible, in-vocab, and
-    the guards hold (window = min of target/draft, shared vocab)."""
+    """Sampled speculative decoding draws the CANONICAL stream: the
+    emitted chain is IDENTICAL to target-only sampled decode under the
+    same (seed, prompt) — speculation is a transparent accelerator, not
+    merely distribution-preserving. Also: seeded-reproducible, in-vocab,
+    guards hold (window = min of target/draft, shared vocab), and a
+    self-draft accepts every sampled proposal (the draft proposes
+    through the same key schedule on identical logits)."""
     import pytest
 
-    from tempo_tpu.infer.serving import SpeculativeLMServer
+    from tempo_tpu.infer.serving import LMServer, SpeculativeLMServer
 
     out, model, params, cfg = tiny_lm
     draft = draft_lm
@@ -846,6 +851,30 @@ def test_lm_export_speculative_sampled(tmp_path, tiny_lm, draft_lm):
     assert len(r1["tokens"]) == 8
     assert min(r1["tokens"]) >= 0 and max(r1["tokens"]) < cfg.in_size
     assert server.last_stats["tokens_per_target_pass"] is not None
+
+    # the cross-scheduler stream pin, now including speculation: the
+    # sampled chain equals the target-only canonical chain exactly
+    solo = LMServer(out)
+    want = solo.generate_batch(np.asarray([req["tokens"]], np.int32), 8,
+                               temperature=1.0, top_k=5, seed=11)
+    assert r1["tokens"] == want[0].tolist()
+    # ... at other policies/depths too
+    for k_draft in (1, 3):
+        srv = SpeculativeLMServer(out, draft, k_draft=k_draft)
+        req2 = {"tokens": [9, 2, 6], "n_tokens": 7, "temperature": 0.7,
+                "top_p": 0.9, "seed": 3}
+        got = srv.serve([req2])[0]["tokens"]
+        want2 = solo.generate_batch(
+            np.asarray([req2["tokens"]], np.int32), 7, temperature=0.7,
+            top_p=0.9, seed=3)
+        assert got == want2[0].tolist(), k_draft
+
+    # self-draft: identical logits + shared threefry noise => every
+    # sampled proposal matches the canonical draw, acceptance 1.0
+    self_srv = SpeculativeLMServer(out, out, k_draft=3)
+    r = self_srv.serve([req])[0]
+    assert r["accept_rate"] == 1.0
+    assert r["tokens"] == want[0].tolist()
 
     with pytest.raises(ValueError, match="serving window"):
         server.serve([{"tokens": [1] * 30, "n_tokens": 6}])
@@ -922,8 +951,10 @@ def test_continuous_speculative_beats_both_levers(tmp_path, tiny_lm):
 
 def test_continuous_speculative_sampled_reproducible(tmp_path, tiny_lm,
                                                      draft_lm):
-    """Sampled rows under the composed scheduler: seeded-reproducible,
-    in-vocab, eos early-stop still honored."""
+    """Sampled rows under the composed scheduler draw the CANONICAL
+    stream: per-request outputs equal the plain continuous (and solo)
+    sampled chains exactly; seeded-reproducible, in-vocab, eos
+    early-stop still honored."""
     from tempo_tpu.infer.serving import ContinuousLMServer
 
     out, model, params, cfg = tiny_lm
@@ -939,6 +970,10 @@ def test_continuous_speculative_sampled_reproducible(tmp_path, tiny_lm,
     assert len(r1[0]["tokens"]) == 8 and len(r1[1]["tokens"]) == 6
     for r in r1:
         assert min(r["tokens"]) >= 0 and max(r["tokens"]) < cfg.in_size
+
+    # the cross-scheduler sampled-equality pin now covers speculation
+    plain = ContinuousLMServer(out, n_slots=2).serve(reqs)
+    assert [r["tokens"] for r in r1] == [r["tokens"] for r in plain]
 
     # eos: find a token the greedy continuation emits, stop there
     greedy = server.serve([{"tokens": [3, 1, 4, 1, 5], "n_tokens": 6}])[0]
@@ -1090,10 +1125,11 @@ def test_continuous_server_chunked_prefill(tmp_path, tiny_lm):
 
 
 def test_serving_top_p_policy():
-    """top-p (nucleus) truncation in the host sampling policy: exact
-    support on a crafted distribution, same semantics as the live
-    nucleus_mask, and a tiny top_p reduces to greedy."""
-    from tempo_tpu.infer.serving import policy_probs, sample_next
+    """top-p (nucleus) truncation in the serving policy: exact support
+    on a crafted distribution (the reference probability vector the
+    on-device truncation is pinned against), top_p=1.0 a no-op in the
+    canonical device stream, and a tiny top_p reduces to greedy."""
+    from tempo_tpu.infer.serving import device_sample, policy_probs
 
     logits = np.log(np.array([0.4, 0.05, 0.35, 0.2], np.float64))
     # sorted probs 0.4, 0.35, 0.2, 0.05; top_p=0.5 keeps {0.4, 0.35}
@@ -1105,13 +1141,21 @@ def test_serving_top_p_policy():
     p2 = policy_probs(logits, 1.0, 2, top_p=0.9)
     np.testing.assert_allclose(
         p2, [0.4 / 0.75, 0.0, 0.35 / 0.75, 0.0], atol=1e-12)
-    # top_p=1.0 is a no-op (identical rng stream => identical samples)
-    batch = np.tile(logits, (5, 1))
-    a = sample_next(batch, 1.0, None, np.random.default_rng(0))
-    b = sample_next(batch, 1.0, None, np.random.default_rng(0), top_p=1.0)
+    # top_p=1.0 is a no-op (identical threefry stream => identical
+    # draws through the canonical device sampler)
+    batch = np.tile(logits, (5, 1)).astype(np.float32)
+    keys = np.stack([np.asarray(jax.random.PRNGKey(i), np.uint32)
+                     for i in range(5)])
+    pos = np.arange(5)
+    ones = np.ones(5, np.float32)
+    a = device_sample(batch, keys, pos, ones, np.zeros(5, np.int32),
+                      np.full(5, 2.0, np.float32))
+    b = device_sample(batch, keys, pos, ones, np.zeros(5, np.int32),
+                      ones)
     np.testing.assert_array_equal(a, b)
     # a tiny nucleus is the argmax
-    g = sample_next(batch, 1.0, None, np.random.default_rng(1), top_p=1e-9)
+    g = device_sample(batch, keys, pos, ones, np.zeros(5, np.int32),
+                      np.full(5, 1e-9, np.float32))
     np.testing.assert_array_equal(g, np.zeros((5, 1), np.int64))
 
 
