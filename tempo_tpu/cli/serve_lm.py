@@ -15,15 +15,23 @@ Two schedulers (infer/serving.py):
   lever (speculation).
 - `scheduler: speculative` — SpeculativeLMServer: a small draft model
   (`draft_artifacts`, a second exported dir) proposes `k_draft` tokens,
-  the target verifies the block in one `extend` pass. Greedy output is
-  exactly the target-only greedy sequence; sampling is distribution-
-  preserving rejection sampling. A latency lever (per-request decode).
+  the target verifies the block in one `extend` pass. Output — greedy
+  AND sampled — is exactly the target-only canonical chain (acceptance
+  is against the canonical device stream), so speculation is a
+  transparent latency lever (per-request decode).
 - `scheduler: paged` — PagedLMServer (infer/paged.py): continuous
   batching over a PAGED KV cache (`n_pages` physical pages of the
   exported `page_size`, shared across slots, preemption when the pool
   runs dry) — the memory lever: slots oversubscribe cache HBM instead
   of reserving window-sized rows. Requires artifacts exported with
   `page_size > 0`. Outputs are per-request identical to `continuous`.
+
+The rungs are ORTHOGONAL: `prefill_chunk` (long prompts) applies to
+every scheduler; `draft_artifacts` + `k_draft` (speculation) compose
+with continuous, paged, and online; `k_decode` (fused chunks) with
+bucketed, continuous, paged, and online; `logprobs` requests ride the
+fused chunks everywhere. The only exclusion is k_decode vs k_draft —
+alternative decode loops for the same dispatch budget.
 
 Two modes over either scheduler:
 
@@ -32,14 +40,15 @@ Two modes over either scheduler:
   plus "eos" — kept in the output — "stop": [[ids...], ...] —
   multi-token stop sequences, excluded from the output — and
   "logprobs": true — per-token raw-model logprobs in the response
-  (forces per-token decode for that request) — under the
-  continuous/online/paged schedulers), write
+  (rides the fused decode chunks on current artifacts) — under the
+  continuous/online/paged/speculative schedulers), write
   `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
 - `mode: http` — a stdlib HTTP endpoint: GET /healthz -> artifact
   metadata; POST /generate with one request object or
   {"requests": [...]} -> completions. Single-threaded by default (the
   chip is single-tenant and a closed batch decodes sequentially). With
-  `online: true` (continuous scheduler only) the endpoint becomes a
+  `online: true` (continuous scheduler, optionally with speculation)
+  the endpoint becomes a
   TRUE online server: a ThreadingHTTPServer front + OnlineLMServer —
   concurrent POSTs from different clients join one running device
   batch mid-flight (a freed slot admits the next queued request
@@ -57,8 +66,9 @@ Config:
   mode: batch | http
   scheduler: bucketed | continuous | speculative
   slots: 8                          # continuous scheduler: batch rows
-  draft_artifacts: <exported draft lm dir>  # speculative scheduler
-  k_draft: 4                        # speculative scheduler: block size
+  draft_artifacts: <exported draft lm dir>  # speculation (speculative /
+                                    #   continuous / paged / online)
+  k_draft: 4                        # speculation: draft block size
   k_decode: 0                       # continuous/paged schedulers: >0 advances
                                     #   every slot K tokens per dispatch via
                                     #   the fused decode_k artifacts (greedy
@@ -69,11 +79,13 @@ Config:
                                     #   (0 = dense-equivalent capacity)
   online: false                     # http + continuous: OnlineLMServer —
                                     #   concurrent POSTs share one running
-                                    #   batch (threaded endpoint)
+                                    #   batch (threaded endpoint); composes
+                                    #   with k_decode OR draft speculation
   prefill_chunk: 0                  # >0: prefill long prompts in chunks of
-                                    #   this size via the `extend` artifact
+                                    #   this size via the `extend` (dense) /
+                                    #   extend_paged (paged) artifact
                                     #   (exact; bounds peak prefill memory;
-                                    #   bucketed + continuous schedulers)
+                                    #   every scheduler)
   requests: <jsonl path>            # batch mode
   host: 127.0.0.1                   # http mode
   port: 8900                        # http mode
@@ -222,15 +234,22 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
         raise ValueError("FATAL: online: true is the continuous "
                          "scheduler's open-world mode")
     if online:
-        if config.get("draft_artifacts"):
-            raise ValueError("FATAL: online mode does not compose with "
-                             "speculative drafts yet")
         from tempo_tpu.infer.serving import OnlineLMServer
 
+        # draft_artifacts + k_draft > 0: concurrent callers join one
+        # running SPECULATIVE batch (SpecLMEngine behind the front)
+        draft = None
+        k_draft = int(config.get("k_draft", 0))
+        if config.get("draft_artifacts") and k_draft > 0:
+            draft = Path(config["draft_artifacts"])
+            if not (draft / "meta.json").exists():
+                raise ValueError(
+                    f"FATAL: no exported draft artifacts at {draft}")
         server = OnlineLMServer(
             artifacts, n_slots=int(config.get("slots", 8)),
             prefill_chunk=chunk,
             k_decode=int(config.get("k_decode", 0)),
+            draft_dir=draft, k_draft=k_draft,
             default_new_tokens=int(config.get("default_n_tokens", 64)))
     elif scheduler == "continuous":
         # draft_artifacts + k_draft > 0 compose speculation into the
@@ -248,25 +267,31 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
                                     draft_dir=draft, k_draft=k_draft,
                                     k_decode=int(config.get("k_decode", 0)))
     elif scheduler == "speculative":
-        if chunk:
-            raise ValueError("FATAL: prefill_chunk applies to the bucketed "
-                             "and continuous schedulers")
         require_keys(config, ["draft_artifacts"])
         draft = Path(config["draft_artifacts"])
         if not (draft / "meta.json").exists():
             raise ValueError(f"FATAL: no exported draft artifacts at {draft}")
         server = SpeculativeLMServer(artifacts, draft,
-                                     k_draft=int(config.get("k_draft", 4)))
+                                     k_draft=int(config.get("k_draft", 4)),
+                                     prefill_chunk=chunk)
     elif scheduler == "paged":
-        if chunk:
-            raise ValueError("FATAL: prefill_chunk applies to the bucketed "
-                             "and continuous schedulers")
         from tempo_tpu.infer.paged import PagedLMServer
 
+        # speculation (draft_artifacts + k_draft) and chunked prefill
+        # compose with the paged pool
+        draft = None
+        k_draft = int(config.get("k_draft", 0))
+        if config.get("draft_artifacts") and k_draft > 0:
+            draft = Path(config["draft_artifacts"])
+            if not (draft / "meta.json").exists():
+                raise ValueError(
+                    f"FATAL: no exported draft artifacts at {draft}")
         server = PagedLMServer(artifacts,
                                n_slots=int(config.get("slots", 8)),
                                n_pages=int(config.get("n_pages", 0)),
-                               k_decode=int(config.get("k_decode", 0)))
+                               k_decode=int(config.get("k_decode", 0)),
+                               draft_dir=draft, k_draft=k_draft,
+                               prefill_chunk=chunk)
     elif scheduler == "bucketed":
         server = LMServer(artifacts, prefill_chunk=chunk)
     else:

@@ -45,11 +45,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tempo_tpu.infer.export_lm import (load_exported_extend_paged,
+from tempo_tpu.infer.export_lm import (load_exported_continuous,
+                                        load_exported_extend_paged,
+                                        load_exported_extend_rows,
                                         load_exported_paged,
                                         load_exported_paged_k)
 from tempo_tpu.infer.serving import (check_stops, device_sample,
-                                      parse_stops, token_logprob)
+                                      parse_stops, spec_draw_block,
+                                      token_logprob)
 
 TRASH_PAGE = 0
 
@@ -118,10 +121,25 @@ class PagedLMServer:
     decode positions, host sampling policy); when a slot's next write
     needs a page and the pool is dry, the most recently admitted OTHER
     slot is preempted (pages freed, request requeued front). Outputs are
-    per-request identical to the dense continuous server."""
+    per-request identical to the dense continuous server.
+
+    The other serving rungs COMPOSE here (every pairing pinned in
+    test_paged.py):
+    - `k_decode` — fused K-token dispatch over pages (pre-reserved
+      writes);
+    - `prefill_chunk` — long prompts ingest straight into the row's
+      pages through extend_paged in fixed chunks (bounded score
+      memory, no dense row cache);
+    - `draft_dir` + `k_draft` — speculation: a dense-cache draft model
+      proposes per-slot k-token blocks, the paged target verifies them
+      in one extend_paged at per-row positions; acceptance is against
+      the canonical stream (serving.spec_draw_block), so outputs stay
+      identical to every other scheduler, preemption included."""
 
     def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
-                 n_pages: int = 0, k_decode: int = 0):
+                 n_pages: int = 0, k_decode: int = 0,
+                 draft_dir: Optional[Union[str, Path]] = None,
+                 k_draft: int = 0, prefill_chunk: Optional[int] = None):
         (self.prefill, self.decode_paged, self.admit_paged,
          self.meta) = load_exported_paged(artifacts_dir)
         assert n_slots >= 1, n_slots
@@ -162,6 +180,40 @@ class PagedLMServer:
         dt = jnp.dtype(self.meta["compute_dtype"])
         z = jnp.zeros((self.pool.n_pages, self.page, kv, hd), dt)
         self._pools = [(z, z) for _ in range(int(self.meta["n_layer"]))]
+        # chunked prefill: long prompts ingest straight into the row's
+        # pages through extend_paged in fixed chunks — exact (absolute-
+        # position mask), peak prefill score memory bounded by the chunk
+        self.prefill_chunk = (int(prefill_chunk)
+                              if prefill_chunk else None)
+        if self.prefill_chunk is not None and self.extend_paged is None:
+            raise ValueError(
+                "prefill_chunk needs the extend_paged artifact "
+                "(re-export with a current export_lm)")
+        # speculation over the paged cache: a dense-cache DRAFT model
+        # proposes k-token blocks per slot, the paged target verifies
+        # them through extend_paged at per-row positions (stale KV from
+        # rejected drafts is masked, then overwritten)
+        self.k_draft = int(k_draft)
+        self.draft = None
+        if draft_dir is not None and self.k_draft > 0:
+            assert self.k_decode == 0, \
+                "k_decode (fused chunks) and k_draft (speculative " \
+                "draft/verify) are alternative decode loops — pick one"
+            if self.extend_paged is None:
+                raise ValueError(
+                    "speculation needs the extend_paged artifact "
+                    "(re-export with a current export_lm)")
+            (self.d_prefill, self.d_decode_rows, self.d_admit,
+             self.d_meta) = load_exported_continuous(draft_dir)
+            self.d_extend_rows = load_exported_extend_rows(draft_dir)
+            if int(self.d_meta["vocab_size"]) != self.vocab:
+                raise ValueError(
+                    f"draft vocab {self.d_meta['vocab_size']} != target "
+                    f"vocab {self.vocab} — speculative decoding needs a "
+                    "shared token space")
+            self.window = min(self.window, int(
+                self.d_meta.get("max_seq", self.d_meta["block_size"])))
+            self.draft = draft_dir
 
     def _validate(self, requests: Sequence[Dict[str, Any]],
                   default_new_tokens: int) -> None:
@@ -175,13 +227,20 @@ class PagedLMServer:
                     "artifact (re-export with a current export_lm)")
             t = len(req["tokens"]) + len(pfx)
             n = int(req.get("n_tokens", default_new_tokens))
-            if t + n > self.window:
+            # speculative verify writes up to k_draft positions past the
+            # last committed token (rejected-draft KV — masked but
+            # WRITTEN, so the window and page budget must cover it;
+            # beyond-window writes would alias through the block table)
+            slack = self.k_draft if self.draft is not None else 0
+            if t + n + slack > self.window:
                 raise ValueError(
-                    f"request {i}: prompt {t} + {n} new tokens exceeds "
-                    f"the exported serving window {self.window}")
-            if _pages_for(t + n, self.page) > self.pool.n_usable:
+                    f"request {i}: prompt {t} + {n} new tokens "
+                    + (f"+ {slack} draft slack " if slack else "")
+                    + f"exceeds the exported serving window {self.window}")
+            if _pages_for(t + n + slack, self.page) > self.pool.n_usable:
                 raise ValueError(
-                    f"request {i}: needs {_pages_for(t + n, self.page)} pages "
+                    f"request {i}: needs "
+                    f"{_pages_for(t + n + slack, self.page)} pages "
                     f"but the pool holds {self.pool.n_usable}")
             toks = np.asarray(pfx + list(req["tokens"]), np.int64)
             if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
@@ -202,6 +261,25 @@ class PagedLMServer:
 
     def _set_pools(self, cache) -> None:
         self._pools = [(pk, pv) for pk, pv, _ in cache]
+
+    def _ingest_row(self, table: np.ndarray, s: int, toks: np.ndarray,
+                    pos0: int):
+        """Feed `toks` into row s's (pre-allocated) pages through
+        extend_paged at absolute positions pos0..pos0+len-1, in chunks
+        of prefill_chunk when set — exact (absolute-position mask), and
+        peak prefill score memory is bounded by the chunk. Returns the
+        logits of the last chunk [1, c, V]."""
+        toks = np.asarray(toks, np.int32).reshape(-1)
+        c = self.prefill_chunk or len(toks)
+        logits = None
+        for off in range(0, len(toks), c):
+            part = toks[off:off + c]
+            logits, cache = self.extend_paged(
+                jnp.asarray(part.reshape(1, -1)),
+                self._row_cache(table, s),
+                jnp.asarray([pos0 + off], np.int32))
+            self._set_pools(cache)
+        return logits
 
     def _prefix_registry(self, key: tuple) -> List[int]:
         """Pool pages holding the KV of `key` (a page-ALIGNED token
@@ -244,12 +322,23 @@ class PagedLMServer:
         pos = np.zeros(b, np.int32)
         toks = np.zeros((b, 1), np.int32)
         table = np.zeros((b, self.mp), np.int32)
+        d_cache = None
+        if self.draft is not None:
+            _, d_cache = self.d_prefill(jnp.zeros((b, 1), jnp.int32))
+        # requests that have been preempted once re-admit only when
+        # their FULL remaining page need fits the free pool: preemption
+        # loses all progress (the replay is deterministic), so cheap
+        # re-admission can ping-pong two growing rows forever — each
+        # preempting the other before it finishes. The conservative
+        # re-gate guarantees the replayed row runs to completion.
+        preempted_reqs: set = set()
         pages_of: List[List[int]] = [[] for _ in range(b)]
         shared_of: List[List[int]] = [[] for _ in range(b)]
         admit_serial = 0
 
         t_start = time.perf_counter()
         decode_steps = prefills = preemptions = 0
+        rounds = drafted = accepted = 0
         peak_pages = 0
 
         def release(s: int) -> None:
@@ -307,6 +396,7 @@ class PagedLMServer:
             if victim is None:
                 return False
             pending.append(slots[victim]["req"])  # pop() takes it next
+            preempted_reqs.add(slots[victim]["req"])
             release(victim)
             preemptions += 1
             return True
@@ -352,8 +442,18 @@ class PagedLMServer:
                     build = n_full if (n_full and
                                        key not in self._prefix_pages) else 0
                     total = len(pfx) + len(nxt["tokens"])
-                    private = max(
-                        _pages_for(total, self.page) - n_full, 1)
+                    if pending[-1] in preempted_reqs:
+                        # full-lifetime need (see preempted_reqs above):
+                        # prompt + budget + the speculative write slack
+                        slack = (self.k_draft if self.draft is not None
+                                 else 0)
+                        life = total + int(nxt.get(
+                            "n_tokens", default_new_tokens)) + slack
+                        private = max(
+                            _pages_for(life, self.page) - n_full, 1)
+                    else:
+                        private = max(
+                            _pages_for(total, self.page) - n_full, 1)
                     # idle registry prefixes (base refcount 1) hold pool
                     # capacity across serve() calls: evict them before
                     # concluding the pool is too tight to admit — without
@@ -383,16 +483,20 @@ class PagedLMServer:
                                    max(_pages_for(total, self.page), 1)):
                         ensure_page(s, j)
                     if pfx:
-                        # ingest the unaligned prefix tail + the prompt in
-                        # one block extend through the table, conditioned
-                        # on the shared pages
+                        # ingest the unaligned prefix tail + the prompt
+                        # through the table (chunked when prefill_chunk
+                        # is set), conditioned on the shared pages
                         ingest = np.asarray(
                             list(pfx[n_full * self.page:])
-                            + list(req["tokens"]), np.int32).reshape(1, -1)
-                        logits, cache = self.extend_paged(
-                            jnp.asarray(ingest),
-                            self._row_cache(table, s),
-                            jnp.asarray([n_full * self.page], np.int32))
+                            + list(req["tokens"]), np.int32)
+                        logits = self._ingest_row(
+                            table, s, ingest, n_full * self.page)
+                    elif (self.prefill_chunk is not None
+                          and len(req["tokens"]) > self.prefill_chunk):
+                        # long prompt: chunk straight into the row's
+                        # pages (no dense row cache, bounded score mem)
+                        logits = self._ingest_row(
+                            table, s, np.asarray(req["tokens"]), 0)
                     else:
                         prompt = np.asarray(req["tokens"],
                                             np.int32).reshape(1, -1)
@@ -403,7 +507,15 @@ class PagedLMServer:
                         cache = self.admit_paged(self._cache(table),
                                                  row_cache,
                                                  jnp.asarray(page_list))
-                    self._set_pools(cache)
+                        self._set_pools(cache)
+                    if self.draft is not None:
+                        # the draft sees the FULL context (prefix +
+                        # prompt) in its own dense continuous cache
+                        full = np.asarray(list(pfx) + list(req["tokens"]),
+                                          np.int32).reshape(1, -1)
+                        _, d_row = self.d_prefill(jnp.asarray(full))
+                        d_cache = self.d_admit(d_cache, d_row,
+                                               jnp.int32(s))
                     prefills += 1
                     st = {
                         "req": i,
@@ -437,6 +549,12 @@ class PagedLMServer:
                     if st["lps"] is not None:
                         st["lps"].append(token_logprob(
                             np.asarray(logits[0, -1]), int(tok[0, 0])))
+                    # draft/verify bookkeeping (spec mode): sequence
+                    # length incl. generated = pos + 1, last committed
+                    # token, and the lag the draft cache hasn't seen
+                    st["last"] = int(tok[0, 0])
+                    st["lag"] = [int(tok[0, 0])]
+                    st["n_committed"] = total + 1
                     push(s, st, tok)
 
             if not any(st is not None for st in slots):
@@ -448,6 +566,106 @@ class PagedLMServer:
                         continue
                     raise RuntimeError("scheduler stalled with free slots")
                 break
+
+            if self.draft is not None:
+                # ---- speculative round over the paged cache: the same
+                # draft/verify quantum as SpecLMEngine.step, with the
+                # target verify riding extend_paged at per-row positions
+                # (rejected-draft KV is masked by the absolute-position
+                # mask, then overwritten; its pages are reserved up
+                # front — _validate budgets the k_draft write slack) ----
+                k = self.k_draft
+                for s in range(b):
+                    if slots[s] is None:
+                        continue
+                    for j in range(int(pos[s]) // self.page,
+                                   (int(pos[s]) + k) // self.page + 1):
+                        if slots[s] is None:
+                            break  # preempted by an earlier ensure_page
+                        ensure_page(s, j)
+                active = [s for s in range(b) if slots[s] is not None]
+                if not active:
+                    continue  # everyone preempted: re-admit first
+                peak_pages = max(peak_pages,
+                                 self.pool.n_usable - self.pool.n_free)
+
+                # draft phase: ingest lag + propose k tokens, batched
+                W = 2  # max lag: [d_k, correction] after a full accept
+                block_d = np.zeros((b, W), np.int32)
+                pos_d = np.zeros(b, np.int32)
+                for s in active:
+                    st = slots[s]
+                    lag = st["lag"]
+                    assert 1 <= len(lag) <= W, lag
+                    block_d[s] = lag + [lag[-1]] * (W - len(lag))
+                    pos_d[s] = st["n_committed"] - len(lag)
+                d_logits, d_cache = self.d_extend_rows(
+                    jnp.asarray(block_d), d_cache, jnp.asarray(pos_d))
+                d_logits_np = np.asarray(d_logits)  # [b, W, V]
+
+                drafts = np.zeros((b, k), np.int32)
+                step_tok = np.zeros((b, 1), np.int32)
+                step_pos = np.zeros(b, np.int32)
+                prop = np.zeros((b, 1, self.vocab), np.float32)
+                for s in active:
+                    prop[s, 0] = d_logits_np[s, len(slots[s]["lag"]) - 1]
+                di = spec_draw_block(slots, prop, offset=0)
+                for s in active:
+                    drafts[s, 0] = di[s, 0]
+                    step_tok[s, 0] = di[s, 0]
+                    step_pos[s] = slots[s]["n_committed"]
+                for i in range(1, k):
+                    d_logits, d_cache = self.d_decode_rows(
+                        jnp.asarray(step_tok), d_cache,
+                        jnp.asarray(step_pos))
+                    di = spec_draw_block(slots,
+                                         np.asarray(d_logits[:, -1:]),
+                                         offset=i)
+                    for s in active:
+                        drafts[s, i] = di[s, 0]
+                        step_tok[s, 0] = di[s, 0]
+                        step_pos[s] = slots[s]["n_committed"] + i
+                drafted += k * len(active)
+
+                # verify phase: ONE paged target pass per round
+                block_t = np.zeros((b, k + 1), np.int32)
+                pos_t = np.zeros(b, np.int32)
+                for s in active:
+                    st = slots[s]
+                    block_t[s, 0] = st["last"]
+                    block_t[s, 1:] = drafts[s]
+                    pos_t[s] = st["n_committed"] - 1
+                t_logits, cache = self.extend_paged(
+                    jnp.asarray(block_t), self._cache(table),
+                    jnp.asarray(pos_t))
+                self._set_pools(cache)
+                t_logits_np = np.asarray(t_logits)  # [b, k+1, V]
+                draws = spec_draw_block(slots, t_logits_np)
+                decode_steps += 1
+                rounds += 1
+
+                # accept/commit per row against the canonical chain
+                for s in active:
+                    st = slots[s]
+                    j = 0
+                    while j < k and int(drafts[s, j]) == int(draws[s, j]):
+                        j += 1
+                    next_tok = int(draws[s, j])
+                    accepted += j
+                    commit = [int(d) for d in drafts[s, :j]] + [next_tok]
+                    in_draft = min(j, k - 1)
+                    st["lag"] = commit[in_draft:]
+                    for i, tok in enumerate(commit):
+                        if st["lps"] is not None:
+                            st["lps"].append(token_logprob(
+                                t_logits_np[s, i], tok))
+                        st["last"] = tok
+                        st["n_committed"] += 1
+                        pos[s] += 1
+                        push(s, st, np.asarray([[tok]]))
+                        if slots[s] is None:
+                            break
+                continue
 
             k = self.k_decode
             active = [s for s in range(b) if slots[s] is not None]
@@ -554,6 +772,11 @@ class PagedLMServer:
             "prefills": prefills,
             "preemptions": preemptions,
             "peak_pages": peak_pages,
+            **({"rounds": rounds, "drafted": drafted,
+                "accepted": accepted, "k_draft": self.k_draft,
+                "accept_rate": (round(accepted / drafted, 4)
+                                if drafted else None)}
+               if self.draft is not None else {}),
             "prefix_hits": self._prefix_hits,
             "shared_prefix_pages": sum(len(p) for p in
                                        self._prefix_pages.values()),

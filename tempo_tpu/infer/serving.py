@@ -145,6 +145,52 @@ def device_sample(logits: np.ndarray, keys: np.ndarray, pos,
     return np.asarray(out)[:, None].astype(np.int64)
 
 
+def spec_draw_block(slots: Sequence[Optional[Dict[str, Any]]],
+                    logits_bmv: np.ndarray,
+                    offset: int = 0) -> np.ndarray:
+    """Canonical-stream draws for every active slot over m consecutive
+    emitted positions: logits [b, m, V], where slot s's column i sits at
+    absolute fed-position n_committed[s] - 1 + offset + i. Greedy slots
+    take the host argmax (same first-max tie-break as the device
+    argmax); sampled slots ride ONE batched device_sample over all
+    (slot, position) pairs. Shared by the speculative schedulers (dense
+    SpecLMEngine and the paged composition): the draft proposes and the
+    target verifies through this same schedule, so accepted chains are
+    exactly the canonical stream's."""
+    b, m = logits_bmv.shape[0], logits_bmv.shape[1]
+    drawn = np.zeros((b, m), np.int64)
+    sampled = []
+    for s in range(b):
+        st = slots[s]
+        if st is None:
+            continue
+        if st["temperature"] <= 0.0:
+            drawn[s] = np.argmax(logits_bmv[s].astype(np.float32),
+                                 axis=-1)
+        else:
+            sampled.append(s)
+    if sampled:
+        n = len(sampled)
+        flat = np.asarray(logits_bmv[sampled],
+                          np.float32).reshape(n * m, -1)
+        keys = np.repeat(np.stack(
+            [slots[s]["key"] for s in sampled]), m, axis=0)
+        pos = np.concatenate(
+            [slots[s]["n_committed"] - 1 + offset + np.arange(m)
+             for s in sampled])
+        temp = np.repeat(np.asarray(
+            [slots[s]["temperature"] for s in sampled], np.float32), m)
+        topk = np.repeat(np.asarray(
+            [int(slots[s]["top_k"] or 0) for s in sampled], np.int32), m)
+        topp = np.repeat(np.asarray(
+            [1.0 if slots[s]["top_p"] is None
+             else float(slots[s]["top_p"]) for s in sampled],
+            np.float32), m)
+        out = device_sample(flat, keys, pos, temp, topk, topp)
+        drawn[sampled] = out[:, 0].reshape(n, m)
+    return drawn
+
+
 def token_logprob(logits_row: np.ndarray, tok: int) -> float:
     """log p(tok) under the RAW model distribution (no temperature /
     truncation — the OpenAI logprobs convention) for one [V] row."""
@@ -768,6 +814,257 @@ class LMEngine:
             self._push(s, st, drawn[s:s + 1])
 
 
+class SpecLMEngine:
+    """Stepper form of the speculative x continuous composition — the
+    same submit/has_work/step/finished surface as LMEngine, so
+    OnlineLMServer drives draft/verify pools exactly like plain
+    continuous pools (concurrent callers join one running speculative
+    batch mid-flight). One step() = one admission sweep + one
+    draft/verify round:
+
+    - draft `extend_rows` (width 2: each row ingests the committed
+      tokens its draft cache hasn't seen — at most [d_k, correction]
+      after a fully-accepted round — and the logits at the row's last
+      real token propose draft 1) + (k_draft-1) draft `decode_rows`
+      proposing the rest;
+    - ONE target `extend_rows` verifying every row's
+      [last_committed, d_1..d_k] block at the row's own position;
+    - accept/commit per row against the CANONICAL stream: a draft token
+      is accepted iff it equals device_sample's draw on the target
+      logits at that absolute position (greedy = the temperature-0
+      argmax case), and the correction/bonus token IS that draw — so
+      every request's output equals target-only decode under the same
+      (seed, prompt), like every other scheduler.
+
+    'stop' sequences and 'logprobs' compose (the verify pass already
+    holds every committed token's target logits, so logprobs are free).
+    Parked rows ride along on token 0 / position 0; `admit` replaces
+    their whole cache row (target AND draft) on reuse, so the garbage
+    never survives into a request. NOT thread-safe: OnlineLMServer
+    serializes access."""
+
+    def __init__(self, server: "ContinuousLMServer",
+                 default_new_tokens: int = 64):
+        assert server.draft is not None and server.k_draft > 0
+        self.s = server
+        self.default_new_tokens = int(default_new_tokens)
+        b = server.n_slots
+        self.slots: List[Optional[Dict[str, Any]]] = [None] * b
+        _, self.cache = server.prefill(jnp.zeros((b, 1), jnp.int32))
+        _, self.d_cache = server.d_prefill(jnp.zeros((b, 1), jnp.int32))
+        self.pending: List[tuple] = []  # FIFO of (ticket, req, n_tokens)
+        self.finished: Dict[int, Dict[str, Any]] = {}
+        self._ticket = 0
+        self.rounds = 0
+        self.prefills = 0
+        self.drafted = 0
+        self.accepted = 0
+
+    # LMEngine-compatible alias: hosts report decode dispatch counts
+    @property
+    def decode_steps(self) -> int:
+        return self.rounds
+
+    def submit(self, req: Dict[str, Any]) -> int:
+        self.s._validate([req], self.default_new_tokens)
+        t = self._ticket
+        self._ticket += 1
+        n_tokens = int(req.get("n_tokens", self.default_new_tokens))
+        if n_tokens <= 0:
+            self.finished[t] = {"tokens": [], "n_prompt":
+                                len(req["tokens"]), "n_generated": 0,
+                                "slot": -1, "stopped_early": False}
+        else:
+            self.pending.append((t, req, n_tokens))
+        return t
+
+    def has_work(self) -> bool:
+        return bool(self.pending) or any(
+            st is not None for st in self.slots)
+
+    def _finalize(self, s: int) -> None:
+        st = self.slots[s]
+        assert st is not None
+        resp = {
+            "tokens": st["out"],
+            "n_prompt": st["n_prompt"],
+            "n_generated": len(st["out"]),
+            "slot": s,
+            "stopped_early": st["eos_hit"],
+        }
+        if st["lps"] is not None:
+            resp["logprobs"] = st["lps"][:len(st["out"])]
+        self.finished[st["ticket"]] = resp
+        self.slots[s] = None
+
+    def _admit(self) -> None:
+        for s in range(self.s.n_slots):
+            while self.slots[s] is None and self.pending:
+                ticket, req, n_tokens = self.pending.pop(0)
+                prompt = np.asarray(req["tokens"], np.int32).reshape(1, -1)
+                logits, row_cache = self.s._prefill(jnp.asarray(prompt))
+                self.cache = self.s.admit(self.cache, row_cache,
+                                          jnp.int32(s))
+                _, d_row = self.s.d_prefill(jnp.asarray(prompt))
+                self.d_cache = self.s.d_admit(self.d_cache, d_row,
+                                              jnp.int32(s))
+                self.prefills += 1
+                st = {
+                    "ticket": ticket,
+                    "n_prompt": prompt.shape[1],
+                    "out": [],
+                    "remaining": n_tokens,
+                    "temperature": float(req.get("temperature", 0.0)),
+                    "top_k": req.get("top_k"),
+                    "top_p": req.get("top_p"),
+                    "eos": req.get("eos"),
+                    "eos_hit": False,
+                    "stops": parse_stops(req, self.s.vocab),
+                    "lps": [] if req.get("logprobs") else None,
+                    # the canonical per-request rng root (device_sample)
+                    "key": np.asarray(jax.random.PRNGKey(
+                        int(req.get("seed", 0))), np.uint32),
+                    # committed-token bookkeeping for the round loop
+                    "n_committed": prompt.shape[1],  # absolute count
+                    "last": None,                    # last committed tok
+                    "lag": [],   # committed toks the draft hasn't seen
+                }
+                self.slots[s] = st
+                tok = int(device_sample(
+                    np.asarray(logits[:, -1]), st["key"][None],
+                    [prompt.shape[1] - 1], [st["temperature"]],
+                    [int(st["top_k"] or 0)],
+                    [1.0 if st["top_p"] is None
+                     else float(st["top_p"])])[0, 0])
+                if st["lps"] is not None:
+                    st["lps"].append(token_logprob(
+                        np.asarray(logits[0, -1]), tok))
+                st["out"].append(tok)
+                st["remaining"] -= 1
+                st["last"] = tok
+                st["n_committed"] += 1
+                st["lag"] = [tok]
+                if st["eos"] is not None and tok == st["eos"]:
+                    st["eos_hit"] = True
+                    st["remaining"] = 0
+                check_stops(st)
+                if st["remaining"] <= 0:
+                    self._finalize(s)
+
+    def step(self) -> None:
+        """One admission sweep + (if anything is active) one
+        draft/verify round."""
+        self._admit()
+        b, k = self.s.n_slots, self.s.k_draft
+        slots = self.slots
+        if not any(st is not None for st in slots):
+            return
+
+        # ---- draft phase: ingest lag + propose k tokens, batched ----
+        W = 2  # max lag: [d_k, correction] after a full accept
+        block_d = np.zeros((b, W), np.int32)
+        pos_d = np.zeros(b, np.int32)
+        for s in range(b):
+            st = slots[s]
+            if st is None:
+                continue
+            lag = st["lag"]
+            assert 1 <= len(lag) <= W, lag
+            padded = lag + [lag[-1]] * (W - len(lag))
+            block_d[s] = padded
+            pos_d[s] = st["n_committed"] - len(lag)
+        d_logits, self.d_cache = self.s.d_extend_rows(
+            jnp.asarray(block_d), self.d_cache, jnp.asarray(pos_d))
+        d_logits_np = np.asarray(d_logits)  # [b, W, V]
+
+        drafts = np.zeros((b, k), np.int32)
+
+        def draw_block(logits_bmv, offset=0):
+            return spec_draw_block(slots, logits_bmv, offset)
+
+        # proposals draw the canonical key schedule on the DRAFT logits
+        # (common-random-numbers coupling with the verify draws — close
+        # distributions, shared threefry noise, high acceptance); one
+        # batched draw per draft step
+        step_tok = np.zeros((b, 1), np.int32)
+        step_pos = np.zeros(b, np.int32)
+        prop = np.zeros((b, 1, self.s.vocab), np.float32)
+        for s in range(b):
+            st = slots[s]
+            if st is None:
+                continue
+            prop[s, 0] = d_logits_np[s, len(st["lag"]) - 1]
+        di = draw_block(prop, offset=0)
+        for s in range(b):
+            st = slots[s]
+            if st is None:
+                continue
+            drafts[s, 0] = di[s, 0]
+            step_tok[s, 0] = di[s, 0]
+            step_pos[s] = st["n_committed"]
+        for i in range(1, k):
+            d_logits, self.d_cache = self.s.d_decode_rows(
+                jnp.asarray(step_tok), self.d_cache,
+                jnp.asarray(step_pos))
+            di = draw_block(np.asarray(d_logits[:, -1:]), offset=i)
+            for s in range(b):
+                st = slots[s]
+                if st is None:
+                    continue
+                drafts[s, i] = di[s, 0]
+                step_tok[s, 0] = di[s, 0]
+                step_pos[s] = st["n_committed"] + i
+        active = [s for s in range(b) if slots[s] is not None]
+        self.drafted += k * len(active)
+
+        # ---- verify phase: ONE target pass over every row's block ----
+        block_t = np.zeros((b, k + 1), np.int32)
+        pos_t = np.zeros(b, np.int32)
+        for s in active:
+            st = slots[s]
+            block_t[s, 0] = st["last"]
+            block_t[s, 1:] = drafts[s]
+            pos_t[s] = st["n_committed"] - 1
+        t_logits, self.cache = self.s.t_extend_rows(
+            jnp.asarray(block_t), self.cache, jnp.asarray(pos_t))
+        t_logits_np = np.asarray(t_logits)  # [b, k+1, V]
+        draws = draw_block(t_logits_np)  # canonical chain, [b, k+1]
+        self.rounds += 1
+
+        # ---- accept/commit, per row, against the canonical chain:
+        # accept the longest draft prefix equal to the draws; the
+        # correction (or full-accept bonus) token IS the next draw — so
+        # the committed chain is exactly target-only decode's ----
+        for s in active:
+            st = slots[s]
+            j = 0
+            while j < k and int(drafts[s, j]) == int(draws[s, j]):
+                j += 1
+            next_tok = int(draws[s, j])
+            self.accepted += j
+            commit = [int(d) for d in drafts[s, :j]] + [next_tok]
+            # tokens d_1..d_{min(j, k-1)} are already in the draft
+            # cache (proposal feeds); the rest are the next round's lag
+            in_draft = min(j, k - 1)
+            st["lag"] = commit[in_draft:]
+            for i, tok in enumerate(commit):
+                if st["lps"] is not None:
+                    st["lps"].append(token_logprob(t_logits_np[s, i],
+                                                   tok))
+                st["out"].append(tok)
+                st["remaining"] -= 1
+                st["last"] = tok
+                st["n_committed"] += 1
+                if st["eos"] is not None and tok == st["eos"]:
+                    st["eos_hit"] = True
+                    st["remaining"] = 0
+                check_stops(st)
+                if st["remaining"] <= 0:
+                    break
+            if st["remaining"] <= 0:
+                self._finalize(s)
+
+
 class ContinuousLMServer:
     """Continuous batching over the exported per-row-position artifacts.
 
@@ -881,11 +1178,6 @@ class ContinuousLMServer:
         multi-token stop sequences, EXCLUDED from the output — the
         OpenAI convention). Responses keep request order."""
         if self.draft is not None:
-            for key in ("stop", "logprobs"):
-                if any(req.get(key) for req in requests):
-                    raise ValueError(
-                        f"{key!r} is not supported by the speculative "
-                        "scheduler yet")
             return self._serve_speculative(requests, default_new_tokens)
         # whole-list validation FIRST: a bad request fails the call
         # before any work happens (submit re-validates per request for
@@ -912,268 +1204,36 @@ class ContinuousLMServer:
 
     def _serve_speculative(self, requests: Sequence[Dict[str, Any]],
                            default_new_tokens: int) -> List[Dict[str, Any]]:
-        """Per-slot draft/verify rounds over one shared device batch.
-
-        One round = draft `extend_rows` (width 2: each row ingests the
-        tokens committed since its draft cache last saw the sequence —
-        at most [d_k, correction] after a fully-accepted round — and the
-        logits at the row's last real token propose draft 1)
-        + (k_draft-1) draft `decode_rows` proposing the rest
-        + ONE target `extend_rows` verifying every row's
-        [last_committed, d_1..d_k] block at the row's own position.
-        Accept/commit is per row against the CANONICAL stream: a draft
-        token is accepted iff it equals device_sample's draw on the
-        target logits at that absolute position (greedy = the
-        temperature-0 argmax case), and the correction/bonus token IS
-        that draw — so every request's output equals target-only decode
-        under the same (seed, prompt), like every other scheduler.
-        Parked rows ride along on token 0 / position 0; `admit` replaces
-        their whole cache row (target AND draft) on reuse, so the
-        garbage never survives into a request."""
+        """Closed-batch speculation: submit-all + drain over a
+        SpecLMEngine (the stepper that OnlineLMServer also drives for
+        open-world speculative pools) — per-slot draft/verify rounds in
+        one shared device batch, outputs equal to target-only decode
+        per request (the canonical stream; see SpecLMEngine)."""
         self._validate(requests, default_new_tokens)
-        n_req = len(requests)
-        responses: List[Optional[Dict[str, Any]]] = [None] * n_req
-        pending = list(range(n_req))[::-1]
-        b, k = self.n_slots, self.k_draft
-
-        slots: List[Optional[Dict[str, Any]]] = [None] * b
-        _, cache = self.prefill(jnp.zeros((b, 1), jnp.int32))
-        _, d_cache = self.d_prefill(jnp.zeros((b, 1), jnp.int32))
-
         t_start = time.perf_counter()
-        rounds = prefills = drafted = accepted = 0
-        n_generated = 0
-
-        def finalize(s: int) -> None:
-            st = slots[s]
-            assert st is not None
-            responses[st["req"]] = {
-                "tokens": st["out"],
-                "n_prompt": st["n_prompt"],
-                "n_generated": len(st["out"]),
-                "slot": s,
-                "stopped_early": st["eos_hit"],
-            }
-            slots[s] = None
-
-        while pending or any(st is not None for st in slots):
-            for s in range(b):
-                while slots[s] is None and pending:
-                    i = pending.pop()
-                    req = requests[i]
-                    n_tokens = int(req.get("n_tokens", default_new_tokens))
-                    if n_tokens <= 0:
-                        responses[i] = {"tokens": [], "n_prompt":
-                                        len(req["tokens"]), "n_generated": 0,
-                                        "slot": s, "stopped_early": False}
-                        continue
-                    prompt = np.asarray(req["tokens"],
-                                        np.int32).reshape(1, -1)
-                    logits, row_cache = self._prefill(jnp.asarray(prompt))
-                    cache = self.admit(cache, row_cache, jnp.int32(s))
-                    _, d_row = self.d_prefill(jnp.asarray(prompt))
-                    d_cache = self.d_admit(d_cache, d_row, jnp.int32(s))
-                    prefills += 1
-                    st = {
-                        "req": i,
-                        "n_prompt": prompt.shape[1],
-                        "out": [],
-                        "remaining": n_tokens,
-                        "temperature": float(req.get("temperature", 0.0)),
-                        "top_k": req.get("top_k"),
-                        "top_p": req.get("top_p"),
-                        "eos": req.get("eos"),
-                        "eos_hit": False,
-                        # the canonical per-request rng root
-                        # (serving.device_sample)
-                        "key": np.asarray(jax.random.PRNGKey(
-                            int(req.get("seed", 0))), np.uint32),
-                        # committed-token bookkeeping for the round loop
-                        "n_committed": prompt.shape[1],  # absolute count
-                        "last": None,                    # last committed tok
-                        "lag": [],   # committed toks the draft hasn't seen
-                    }
-                    slots[s] = st
-                    tok = int(device_sample(
-                        np.asarray(logits[:, -1]), st["key"][None],
-                        [prompt.shape[1] - 1], [st["temperature"]],
-                        [int(st["top_k"] or 0)],
-                        [1.0 if st["top_p"] is None
-                         else float(st["top_p"])])[0, 0])
-                    st["out"].append(tok)
-                    st["remaining"] -= 1
-                    st["last"] = tok
-                    st["n_committed"] += 1
-                    st["lag"] = [tok]
-                    if (st["eos"] is not None and tok == st["eos"]) \
-                            or st["remaining"] <= 0:
-                        st["eos_hit"] = (st["eos"] is not None
-                                         and tok == st["eos"])
-                        finalize(s)
-
-            if not any(st is not None for st in slots):
-                break
-
-            # ---- draft phase: ingest lag + propose k tokens, batched ----
-            W = 2  # max lag: [d_k, correction] after a full accept
-            block_d = np.zeros((b, W), np.int32)
-            pos_d = np.zeros(b, np.int32)
-            for s in range(b):
-                st = slots[s]
-                if st is None:
-                    continue
-                lag = st["lag"]
-                assert 1 <= len(lag) <= W, lag
-                padded = lag + [lag[-1]] * (W - len(lag))
-                block_d[s] = padded
-                pos_d[s] = st["n_committed"] - len(lag)
-            d_logits, d_cache = self.d_extend_rows(
-                jnp.asarray(block_d), d_cache, jnp.asarray(pos_d))
-            d_logits_np = np.asarray(d_logits)  # [b, W, V]
-
-            drafts = np.zeros((b, k), np.int32)
-
-            def draw_block(logits_bmv: np.ndarray,
-                           offset: int = 0) -> np.ndarray:
-                """Canonical-stream draws for every active row over m
-                consecutive emitted positions: logits [b, m, V], where
-                row s's column i sits at absolute fed-position
-                n_committed[s] - 1 + offset + i. Greedy rows take the
-                host argmax (same first-max tie-break as the device
-                argmax); sampled rows ride ONE batched device_sample
-                over all (row, position) pairs."""
-                m = logits_bmv.shape[1]
-                drawn = np.zeros((b, m), np.int64)
-                sampled = []
-                for s in range(b):
-                    st = slots[s]
-                    if st is None:
-                        continue
-                    if st["temperature"] <= 0.0:
-                        drawn[s] = np.argmax(
-                            logits_bmv[s].astype(np.float32), axis=-1)
-                    else:
-                        sampled.append(s)
-                if sampled:
-                    n = len(sampled)
-                    flat = np.asarray(
-                        logits_bmv[sampled], np.float32).reshape(n * m, -1)
-                    keys = np.repeat(np.stack(
-                        [slots[s]["key"] for s in sampled]), m, axis=0)
-                    pos = np.concatenate(
-                        [slots[s]["n_committed"] - 1 + offset
-                         + np.arange(m) for s in sampled])
-                    temp = np.repeat(np.asarray(
-                        [slots[s]["temperature"] for s in sampled],
-                        np.float32), m)
-                    topk = np.repeat(np.asarray(
-                        [int(slots[s]["top_k"] or 0) for s in sampled],
-                        np.int32), m)
-                    topp = np.repeat(np.asarray(
-                        [1.0 if slots[s]["top_p"] is None
-                         else float(slots[s]["top_p"]) for s in sampled],
-                        np.float32), m)
-                    out = device_sample(flat, keys, pos, temp, topk, topp)
-                    drawn[sampled] = out[:, 0].reshape(n, m)
-                return drawn
-
-            # proposals draw the canonical key schedule on the DRAFT
-            # logits (common-random-numbers coupling with the verify
-            # draws — close distributions, shared threefry noise, high
-            # acceptance); one batched draw per draft step
-            step_tok = np.zeros((b, 1), np.int32)
-            step_pos = np.zeros(b, np.int32)
-            prop = np.zeros((b, 1, self.vocab), np.float32)
-            for s in range(b):
-                st = slots[s]
-                if st is None:
-                    continue
-                prop[s, 0] = d_logits_np[s, len(st["lag"]) - 1]
-            di = draw_block(prop, offset=0)
-            for s in range(b):
-                st = slots[s]
-                if st is None:
-                    continue
-                drafts[s, 0] = di[s, 0]
-                step_tok[s, 0] = di[s, 0]
-                step_pos[s] = st["n_committed"]
-            for i in range(1, k):
-                d_logits, d_cache = self.d_decode_rows(
-                    jnp.asarray(step_tok), d_cache, jnp.asarray(step_pos))
-                di = draw_block(np.asarray(d_logits[:, -1:]), offset=i)
-                for s in range(b):
-                    st = slots[s]
-                    if st is None:
-                        continue
-                    drafts[s, i] = di[s, 0]
-                    step_tok[s, 0] = di[s, 0]
-                    step_pos[s] = st["n_committed"] + i
-            active = [s for s in range(b) if slots[s] is not None]
-            drafted += k * len(active)
-
-            # ---- verify phase: ONE target pass over every row's block ----
-            block_t = np.zeros((b, k + 1), np.int32)
-            pos_t = np.zeros(b, np.int32)
-            for s in active:
-                st = slots[s]
-                block_t[s, 0] = st["last"]
-                block_t[s, 1:] = drafts[s]
-                pos_t[s] = st["n_committed"] - 1
-            t_logits, cache = self.t_extend_rows(
-                jnp.asarray(block_t), cache, jnp.asarray(pos_t))
-            t_logits_np = np.asarray(t_logits)  # [b, k+1, V]
-            draws = draw_block(t_logits_np)  # canonical chain, [b, k+1]
-            rounds += 1
-
-            # ---- accept/commit, per row, against the canonical chain:
-            # accept the longest draft prefix equal to the draws; the
-            # correction (or full-accept bonus) token IS the next draw —
-            # so the committed chain is exactly target-only decode's ----
-            for s in active:
-                st = slots[s]
-                j = 0
-                while j < k and int(drafts[s, j]) == int(draws[s, j]):
-                    j += 1
-                next_tok = int(draws[s, j])
-                accepted += j
-                commit = [int(d) for d in drafts[s, :j]] + [next_tok]
-                # tokens d_1..d_{min(j, k-1)} are already in the draft
-                # cache (proposal feeds); the rest are the next round's lag
-                in_draft = min(j, k - 1)
-                st["lag"] = commit[in_draft:]
-                for tok in commit:
-                    st["out"].append(tok)
-                    st["remaining"] -= 1
-                    st["last"] = tok
-                    st["n_committed"] += 1
-                    if st["eos"] is not None and tok == st["eos"]:
-                        st["eos_hit"] = True
-                        st["remaining"] = 0
-                    if st["remaining"] <= 0:
-                        break
-                if st["remaining"] <= 0:
-                    finalize(s)
-
+        eng = SpecLMEngine(self, default_new_tokens)
+        tickets = [eng.submit(req) for req in requests]
+        while eng.has_work():
+            eng.step()
         dt = time.perf_counter() - t_start
-        n_generated = sum(r["n_generated"] for r in responses
-                          if r is not None)
+        responses = [eng.finished[t] for t in tickets]
+        n_generated = sum(r["n_generated"] for r in responses)
         self.last_stats = {
-            "rounds": rounds,
-            "prefills": prefills,
-            "drafted": drafted,
-            "accepted": accepted,
-            "target_passes": rounds + prefills,
-            "n_requests": n_req,
-            "n_slots": b,
-            "k_draft": k,
+            "rounds": eng.rounds,
+            "prefills": eng.prefills,
+            "drafted": eng.drafted,
+            "accepted": eng.accepted,
+            "target_passes": eng.rounds + eng.prefills,
+            "n_requests": len(requests),
+            "n_slots": self.n_slots,
+            "k_draft": self.k_draft,
             "n_generated": n_generated,
-            "accept_rate": (round(accepted / drafted, 4)
-                            if drafted else None),
+            "accept_rate": (round(eng.accepted / eng.drafted, 4)
+                            if eng.drafted else None),
             "seconds": round(dt, 4),
             "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
         }
-        assert all(r is not None for r in responses)
-        return responses  # type: ignore[return-value]
+        return responses
 
     def serve_requests(self, requests: Sequence[Dict[str, Any]],
                        default_new_tokens: int = 64) -> List[Dict[str, Any]]:
@@ -1220,11 +1280,16 @@ class SpeculativeLMServer:
     """
 
     def __init__(self, target_dir: Union[str, Path],
-                 draft_dir: Union[str, Path], k_draft: int = 4):
+                 draft_dir: Union[str, Path], k_draft: int = 4,
+                 prefill_chunk: Optional[int] = None):
         (self.t_prefill, self.t_extend,
          self.meta) = load_exported_speculative(target_dir)
         self.d_prefill, self.d_decode, self.d_meta = load_exported_lm(
             draft_dir)
+        # chunked prefill for the TARGET prompt (its window score memory
+        # dominates); the draft, being the small model, prefills in one
+        # shot
+        self.prefill_chunk = prefill_chunk
         if int(self.d_meta["vocab_size"]) != int(self.meta["vocab_size"]):
             raise ValueError(
                 f"draft vocab {self.d_meta['vocab_size']} != target vocab "
@@ -1263,7 +1328,12 @@ class SpeculativeLMServer:
                   top_p: Optional[float] = None) -> tuple:
         t = len(prompt)
         prompt_arr = jnp.asarray(np.asarray(prompt, np.int32).reshape(1, -1))
-        tg_logits, tg_cache = self.t_prefill(prompt_arr)
+        c = self.prefill_chunk
+        if c is not None and t > c:
+            tg_logits, tg_cache = chunked_prefill(
+                self.t_extend, self.meta, prompt_arr, c)
+        else:
+            tg_logits, tg_cache = self.t_prefill(prompt_arr)
         dr_logits, dr_cache = self.d_prefill(prompt_arr)
         first = self._draw(np.asarray(tg_logits[:, -1]), key, t - 1,
                            temperature, top_k, top_p)
@@ -1417,14 +1487,22 @@ class OnlineLMServer:
 
     def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
                  prefill_chunk: Optional[int] = None, k_decode: int = 0,
-                 default_new_tokens: int = 64):
+                 draft_dir: Optional[Union[str, Path]] = None,
+                 k_draft: int = 0, default_new_tokens: int = 64):
         self._server = ContinuousLMServer(artifacts_dir, n_slots=n_slots,
                                           prefill_chunk=prefill_chunk,
-                                          k_decode=k_decode)
+                                          k_decode=k_decode,
+                                          draft_dir=draft_dir,
+                                          k_draft=k_draft)
         self.meta = self._server.meta
         self.vocab = self._server.vocab
         self.window = self._server.window
-        self._engine = LMEngine(self._server, default_new_tokens)
+        # speculation composes with the online front: the draft/verify
+        # stepper exposes the same engine surface, so concurrent
+        # callers join one running speculative batch mid-flight
+        engine_cls = (SpecLMEngine if self._server.draft is not None
+                      else LMEngine)
+        self._engine = engine_cls(self._server, default_new_tokens)
         self._cond = threading.Condition()
         self._closing = False
         self._error: Optional[BaseException] = None

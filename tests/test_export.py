@@ -386,6 +386,51 @@ def test_online_server_matches_solo(tmp_path, tiny_lm):
     assert stats["decode_steps"] < serial
 
 
+def test_online_server_speculative(tmp_path, tiny_lm, draft_lm):
+    """Online x speculation: OnlineLMServer with a draft drives the
+    SpecLMEngine — concurrent callers join one running draft/verify
+    batch, and every request (greedy and sampled) comes back identical
+    to the solo canonical chain."""
+    import threading
+
+    from tempo_tpu.infer.serving import LMServer, OnlineLMServer
+
+    out, model, params, cfg = tiny_lm
+    solo = LMServer(out)
+    online = OnlineLMServer(out, n_slots=2, draft_dir=draft_lm, k_draft=2)
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 9},
+        {"tokens": [9, 2, 6], "n_tokens": 7,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+        {"tokens": [7, 7], "n_tokens": 8},
+        {"tokens": [1, 2, 3, 4], "n_tokens": 5, "temperature": 0.7,
+         "seed": 11},
+    ]
+    results: list = [None] * len(reqs)
+
+    def worker(i):
+        results[i] = online.generate(reqs[i], timeout=300)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    try:
+        stats = online.stats()
+        assert stats["decode_steps"] > 0  # spec rounds ran
+        for i, req in enumerate(reqs):
+            want = solo.generate_batch(
+                np.asarray([req["tokens"]], np.int32), req["n_tokens"],
+                temperature=float(req.get("temperature", 0.0)),
+                top_k=req.get("top_k"), seed=int(req.get("seed", 0)))
+            assert results[i] is not None, i
+            assert results[i]["tokens"] == want[0].tolist(), i
+    finally:
+        online.close()
+
+
 def test_online_server_scheduler_death_raises(tmp_path, tiny_lm):
     """Regression (round-4 advisor): an exception inside engine.step()
     must not kill the scheduler thread silently — blocked result()
@@ -974,6 +1019,19 @@ def test_continuous_speculative_sampled_reproducible(tmp_path, tiny_lm,
     # the cross-scheduler sampled-equality pin now covers speculation
     plain = ContinuousLMServer(out, n_slots=2).serve(reqs)
     assert [r["tokens"] for r in r1] == [r["tokens"] for r in plain]
+
+    # 'stop' and 'logprobs' compose with the draft/verify rounds
+    base = plain[0]["tokens"]
+    stop = base[2:4]
+    i0 = next(i for i in range(len(base) - 1) if base[i:i + 2] == stop)
+    r = server.serve([dict(reqs[0], stop=stop)])[0]
+    assert r["tokens"] == base[:i0] and r["stopped_early"]
+    r_lp = server.serve([dict(reqs[0], logprobs=True)])[0]
+    b_lp = ContinuousLMServer(out, n_slots=2).serve(
+        [dict(reqs[0], logprobs=True)])[0]
+    assert r_lp["tokens"] == b_lp["tokens"]
+    np.testing.assert_allclose(r_lp["logprobs"], b_lp["logprobs"],
+                               rtol=1e-5, atol=1e-6)
 
     # eos: find a token the greedy continuation emits, stop there
     greedy = server.serve([{"tokens": [3, 1, 4, 1, 5], "n_tokens": 6}])[0]

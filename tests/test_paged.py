@@ -164,6 +164,159 @@ def paged_lm(tmp_path_factory):
                      decode_chunk=4, page_size=8)
 
 
+@pytest.fixture(scope="module")
+def draft_lm31(tmp_path_factory):
+    """A smaller draft model sharing the paged fixture's vocab (31) and
+    window (32) — for the paged x speculation composition."""
+    from tempo_tpu.infer.export_lm import export_lm
+
+    cfg = TransformerConfig(in_size=31, block_size=32, n_layer=1, n_head=2,
+                            n_embd=16)
+    model = Transformer(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(4), toks)["params"]
+    return export_lm(params, cfg,
+                     tmp_path_factory.mktemp("draft_export") / "lm")
+
+
+def test_paged_speculative_matches_dense(paged_lm, draft_lm31):
+    """Speculation composes with the paged pool: PagedLMServer with a
+    dense-cache draft verifies per-slot blocks through extend_paged,
+    and every request's output (greedy AND sampled — the canonical
+    stream) equals the dense continuous server's; a self-draft accepts
+    everything; a tight pool preempts without changing outputs."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 12},
+        {"tokens": [9, 2, 6], "n_tokens": 9,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+        {"tokens": [7, 7], "n_tokens": 11},
+        {"tokens": [5], "n_tokens": 8, "temperature": 0.7, "top_p": 0.9,
+         "seed": 11},
+    ]
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve(reqs)
+
+    srv = PagedLMServer(paged_lm, n_slots=2, draft_dir=draft_lm31,
+                        k_draft=3)
+    got = srv.serve(reqs)
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+    assert srv.last_stats["rounds"] > 0
+    assert srv.last_stats["drafted"] > 0
+
+    # self-draft: acceptance 1.0, decode dispatches collapse
+    self_srv = PagedLMServer(paged_lm, n_slots=2, draft_dir=paged_lm,
+                             k_draft=3)
+    got = self_srv.serve(reqs)
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+    assert self_srv.last_stats["accept_rate"] == 1.0
+
+    # tight pool: two long rows can't hold their peak pages together —
+    # preemption fires, outputs unchanged (requeued requests replay the
+    # canonical stream deterministically)
+    long_reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 12},
+        {"tokens": [9, 2, 6, 5, 3, 5, 8], "n_tokens": 16,
+         "temperature": 0.7, "seed": 5},
+    ]
+    long_base = ContinuousLMServer(paged_lm, n_slots=2).serve(long_reqs)
+    tight = PagedLMServer(paged_lm, n_slots=2, n_pages=5,
+                          draft_dir=draft_lm31, k_draft=3)
+    got = tight.serve(long_reqs)
+    assert tight.last_stats["preemptions"] > 0
+    for rb, rp in zip(long_base, got):
+        assert rb["tokens"] == rp["tokens"]
+
+    # eos + stop + logprobs all compose with the speculative rounds
+    eos = base[0]["tokens"][5]
+    r = srv.serve([dict(reqs[0], eos=eos)])[0]
+    first = base[0]["tokens"].index(eos) + 1
+    assert r["tokens"] == base[0]["tokens"][:first] and r["stopped_early"]
+    stop = base[0]["tokens"][3:5]
+    r = srv.serve([dict(reqs[0], stop=stop)])[0]
+    i0 = next(i for i in range(len(base[0]["tokens"]) - 1)
+              if base[0]["tokens"][i:i + 2] == stop)
+    assert r["tokens"] == base[0]["tokens"][:i0] and r["stopped_early"]
+    r_lp = srv.serve([dict(reqs[0], logprobs=True)])[0]
+    b_lp = ContinuousLMServer(paged_lm, n_slots=2).serve(
+        [dict(reqs[0], logprobs=True)])[0]
+    assert r_lp["tokens"] == b_lp["tokens"]
+    np.testing.assert_allclose(r_lp["logprobs"], b_lp["logprobs"],
+                               rtol=1e-5, atol=1e-6)
+
+    # the write slack past the window is budgeted, not silently aliased
+    with pytest.raises(ValueError, match="draft slack"):
+        srv.serve([{"tokens": [1] * 10, "n_tokens": 20}])
+
+
+def test_paged_chunked_prefill_matches_one_shot(paged_lm):
+    """prefill_chunk composes with the paged pool: long prompts ingest
+    straight into the row's pages through extend_paged in fixed chunks,
+    bit-equal to one-shot admission — with and without a shared prefix,
+    and under the fused k_decode path."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    long_reqs = [
+        {"tokens": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8], "n_tokens": 10},
+        {"tokens": [9, 2, 6, 5, 3], "n_tokens": 6,
+         "temperature": 1.0, "top_k": 5, "seed": 7},
+    ]
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve(long_reqs)
+    for kw in ({}, {"k_decode": 4}):
+        srv = PagedLMServer(paged_lm, n_slots=2, prefill_chunk=4, **kw)
+        got = srv.serve(long_reqs)
+        for rb, rp in zip(base, got):
+            assert rb["tokens"] == rp["tokens"]
+
+    # chunked ingest of a prefix tail + prompt over shared pages
+    prefix = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]  # 1 full page + 2 tail
+    req = {"tokens": [7, 7, 1, 2, 3], "n_tokens": 6, "prefix": prefix}
+    cat = {"tokens": prefix + req["tokens"], "n_tokens": 6}
+    want = ContinuousLMServer(paged_lm, n_slots=2).serve([cat])[0]
+    srv = PagedLMServer(paged_lm, n_slots=2, prefill_chunk=4)
+    got = srv.serve([req])[0]
+    assert got["tokens"] == want["tokens"]
+
+
+def test_serve_lm_cli_paged_speculative_chunked(tmp_path, paged_lm,
+                                                draft_lm31):
+    """The serving CLI composes scheduler: paged + draft_artifacts +
+    k_draft + prefill_chunk in one config — the round-4 FATAL matrix
+    holes — and the completions match the dense continuous server."""
+    import json
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.infer.serving import ContinuousLMServer
+    from tempo_tpu.utils.config import load_config, save_yaml
+
+    reqs = [{"tokens": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3], "n_tokens": 8},
+            {"tokens": [9, 2, 6], "n_tokens": 6,
+             "temperature": 0.7, "seed": 1}]
+    req_path = tmp_path / "requests.jsonl"
+    req_path.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(paged_lm), "mode": "batch",
+               "scheduler": "paged", "slots": 2, "n_pages": 7,
+               "draft_artifacts": str(draft_lm31), "k_draft": 2,
+               "prefill_chunk": 4,
+               "requests": str(req_path)}, cfg_path)
+    serve_main(str(cfg_path))
+
+    lines = [json.loads(l) for l in
+             (tmp_path / "served" / "completions.jsonl").read_text()
+             .splitlines()]
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve(reqs)
+    for got, want in zip(lines, base):
+        assert got["tokens"] == want["tokens"]
+    info = load_config(str(tmp_path / "served" / "serving_info.yaml"))
+    assert info["scheduler_stats"]["rounds"] > 0
+
+
 def test_page_pool_invariants():
     from tempo_tpu.infer.paged import TRASH_PAGE, PagePool
 
