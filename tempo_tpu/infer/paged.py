@@ -281,6 +281,46 @@ class PagedLMServer:
             self._set_pools(cache)
         return logits
 
+    def _auto_prefixes(self, requests: Sequence[Dict[str, Any]]
+                       ) -> Dict[int, tuple]:
+        """AUTOMATIC prefix sharing: request index -> the page-aligned
+        token prefix to share, detected without any 'prefix' field.
+        A request is a candidate when its prompt's aligned head is
+        (a) already in the registry (a system prompt seen by an earlier
+        serve() call), or (b) shared with another request in THIS batch
+        (sorting the prompts makes the longest common prefix of any
+        pair appear between sorted neighbors). Sharers of one batch are
+        given the SAME aligned length (capped so every sharer keeps at
+        least one private token to prefill), so they resolve to one
+        registry entry built once. Explicit 'prefix' fields win."""
+        out: Dict[int, tuple] = {}
+        if self.extend_paged is None:
+            return out
+        toks_of = []
+        for i, r in enumerate(requests):
+            if r.get("prefix") or not r.get("tokens"):
+                continue
+            toks_of.append((i, tuple(int(x) for x in r["tokens"])))
+        toks_of.sort(key=lambda kv: kv[1])
+        for idx, (i, t) in enumerate(toks_of):
+            max_l = ((len(t) - 1) // self.page) * self.page
+            best = 0
+            for L in range(max_l, 0, -self.page):
+                if t[:L] in self._prefix_pages:
+                    best = L
+                    break
+            for j in (idx - 1, idx + 1):
+                if 0 <= j < len(toks_of):
+                    u = toks_of[j][1]
+                    m = min(len(t) - 1, len(u) - 1, max_l)
+                    c = 0
+                    while c < m and t[c] == u[c]:
+                        c += 1
+                    best = max(best, (c // self.page) * self.page)
+            if best >= self.page:
+                out[i] = t[:best]
+        return out
+
     def _prefix_registry(self, key: tuple) -> List[int]:
         """Pool pages holding the KV of `key` (a page-ALIGNED token
         tuple), building them once: allocate, then extend_paged the
@@ -317,6 +357,10 @@ class PagedLMServer:
         responses: List[Optional[Dict[str, Any]]] = [None] * n_req
         pending = list(range(n_req))[::-1]  # pop() preserves arrival order
         b = self.n_slots
+        # automatic page-aligned prefix sharing: requests with a common
+        # system-prompt head (in this batch or in the cross-call
+        # registry) share its pages without declaring a 'prefix' field
+        auto_pfx = self._auto_prefixes(requests)
 
         slots: List[Optional[Dict[str, Any]]] = [None] * b
         pos = np.zeros(b, np.int32)
@@ -340,6 +384,7 @@ class PagedLMServer:
         decode_steps = prefills = preemptions = 0
         rounds = drafted = accepted = 0
         peak_pages = 0
+        hits0 = self._prefix_hits  # report per-call registry hits
 
         def release(s: int) -> None:
             self.pool.free(pages_of[s])
@@ -435,13 +480,19 @@ class PagedLMServer:
         while pending or any(st is not None for st in slots):
             for s in range(b):
                 while slots[s] is None and pending:
-                    nxt = requests[pending[-1]]
+                    ridx = pending[-1]
+                    nxt = requests[ridx]
                     pfx = tuple(nxt.get("prefix") or ())
+                    body = list(nxt.get("tokens") or ())
+                    if not pfx and ridx in auto_pfx:
+                        # detected shared head: split it off the prompt
+                        pfx = auto_pfx[ridx]
+                        body = body[len(pfx):]
                     n_full = len(pfx) // self.page
                     key = pfx[:n_full * self.page]
                     build = n_full if (n_full and
                                        key not in self._prefix_pages) else 0
-                    total = len(pfx) + len(nxt["tokens"])
+                    total = len(pfx) + len(body)
                     if pending[-1] in preempted_reqs:
                         # full-lifetime need (see preempted_reqs above):
                         # prompt + budget + the speculative write slack
@@ -484,21 +535,22 @@ class PagedLMServer:
                         ensure_page(s, j)
                     if pfx:
                         # ingest the unaligned prefix tail + the prompt
-                        # through the table (chunked when prefill_chunk
-                        # is set), conditioned on the shared pages
+                        # body through the table (chunked when
+                        # prefill_chunk is set), conditioned on the
+                        # shared pages
                         ingest = np.asarray(
-                            list(pfx[n_full * self.page:])
-                            + list(req["tokens"]), np.int32)
+                            list(pfx[n_full * self.page:]) + body,
+                            np.int32)
                         logits = self._ingest_row(
                             table, s, ingest, n_full * self.page)
                     elif (self.prefill_chunk is not None
-                          and len(req["tokens"]) > self.prefill_chunk):
+                          and len(body) > self.prefill_chunk):
                         # long prompt: chunk straight into the row's
                         # pages (no dense row cache, bounded score mem)
                         logits = self._ingest_row(
-                            table, s, np.asarray(req["tokens"]), 0)
+                            table, s, np.asarray(body), 0)
                     else:
-                        prompt = np.asarray(req["tokens"],
+                        prompt = np.asarray(body,
                                             np.int32).reshape(1, -1)
                         logits, row_cache = self.prefill(
                             jnp.asarray(prompt))
@@ -511,7 +563,7 @@ class PagedLMServer:
                     if self.draft is not None:
                         # the draft sees the FULL context (prefix +
                         # prompt) in its own dense continuous cache
-                        full = np.asarray(list(pfx) + list(req["tokens"]),
+                        full = np.asarray(list(pfx) + body,
                                           np.int32).reshape(1, -1)
                         _, d_row = self.d_prefill(jnp.asarray(full))
                         d_cache = self.d_admit(d_cache, d_row,
@@ -777,7 +829,8 @@ class PagedLMServer:
                 "accept_rate": (round(accepted / drafted, 4)
                                 if drafted else None)}
                if self.draft is not None else {}),
-            "prefix_hits": self._prefix_hits,
+            "prefix_hits": self._prefix_hits - hits0,
+            "auto_prefixes": len(auto_pfx),
             "shared_prefix_pages": sum(len(p) for p in
                                        self._prefix_pages.values()),
             "n_pages": self.pool.n_usable,

@@ -486,9 +486,13 @@ def test_paged_prefix_sharing(paged_lm):
     assert stats["shared_prefix_pages"] == 1
     assert stats["prefix_hits"] == 2  # built once, hit twice
 
-    # memory: sharing beats serving the concatenated prompts unshared
+    # memory: sharing beats the same-shape workload without a common
+    # head (first tokens perturbed so AUTO-detection cannot share the
+    # concatenated prompts either)
     unshared = PagedLMServer(paged_lm, n_slots=2)
-    unshared.serve(reqs_cat)
+    uniq = [dict(r, tokens=[i] + list(r["tokens"][1:]))
+            for i, r in enumerate(reqs_cat)]
+    unshared.serve(uniq)
     assert stats["peak_pages"] < unshared.last_stats["peak_pages"]
 
     # a pool too tight for both rows' private pages: preemption fires,
@@ -508,6 +512,70 @@ def test_paged_prefix_sharing(paged_lm):
         [{"tokens": [1] * 9, "n_tokens": 14}])[0]
     r = small.serve([{"tokens": [1] * 9, "n_tokens": 14}])[0]
     assert r["tokens"] == want["tokens"]
+    assert small.last_stats["shared_prefix_pages"] == 0  # evicted
+
+
+def test_paged_automatic_prefix_sharing(paged_lm):
+    """Prefix sharing WITHOUT a 'prefix' field: requests whose prompts
+    share a page-aligned head (a common system prompt) are detected at
+    admission, the shared pages are built once and refcounted, outputs
+    are pinned unchanged vs the dense continuous server, peak page use
+    drops vs unshared admission, and the registry persists across
+    serve() calls (a later lone request still hits it) while remaining
+    idle-evictable under pool pressure."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    system = [3, 1, 4, 1, 5, 9, 2, 6]  # exactly one 8-token page
+    reqs = [
+        {"tokens": system + [7, 7], "n_tokens": 8},
+        {"tokens": system + [1, 2, 3], "n_tokens": 6},
+        {"tokens": system + [4], "n_tokens": 7,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+    ]
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve(reqs)
+
+    srv = PagedLMServer(paged_lm, n_slots=2)
+    got = srv.serve(reqs)
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+    stats = srv.last_stats
+    assert stats["auto_prefixes"] == 3
+    assert stats["shared_prefix_pages"] == 1  # built once
+    assert stats["prefix_hits"] == 2          # ...then hit twice
+
+    # memory: sharing beats the same workload with detection disabled
+    # (simulate by making prompts differ in their first page)
+    unshared = PagedLMServer(paged_lm, n_slots=2)
+    uniq = [dict(r, tokens=[i] + list(r["tokens"][1:]))
+            for i, r in enumerate(reqs)]
+    unshared.serve(uniq)
+    assert stats["peak_pages"] < unshared.last_stats["peak_pages"]
+
+    # cross-call: a LONE request with the same head hits the registry
+    r = srv.serve([{"tokens": system + [7, 7], "n_tokens": 8}])[0]
+    assert r["tokens"] == base[0]["tokens"]
+    assert srv.last_stats["auto_prefixes"] == 1
+    assert srv.last_stats["prefix_hits"] == 1
+
+    # a prompt that IS exactly the shared head keeps >= 1 private
+    # token to prefill (no zero-length ingest)
+    r2 = srv.serve([{"tokens": system, "n_tokens": 4},
+                    {"tokens": system, "n_tokens": 4}])
+    want = ContinuousLMServer(paged_lm, n_slots=2).serve(
+        [{"tokens": system, "n_tokens": 4}])[0]
+    assert r2[0]["tokens"] == want["tokens"]
+    assert r2[1]["tokens"] == want["tokens"]
+
+    # idle shared pages still evict under pressure
+    small = PagedLMServer(paged_lm, n_slots=1, n_pages=4)
+    small.serve([{"tokens": system + [7, 7], "n_tokens": 4},
+                 {"tokens": system + [1], "n_tokens": 4}])
+    assert small.last_stats["shared_prefix_pages"] == 1
+    lone = ContinuousLMServer(paged_lm, n_slots=1).serve(
+        [{"tokens": [1] * 9, "n_tokens": 14}])[0]
+    got = small.serve([{"tokens": [1] * 9, "n_tokens": 14}])[0]
+    assert got["tokens"] == lone["tokens"]
     assert small.last_stats["shared_prefix_pages"] == 0  # evicted
 
 
