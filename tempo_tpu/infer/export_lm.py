@@ -425,6 +425,116 @@ def export_lm(params, config: TransformerConfig,
     return out_dir
 
 
+def live_paged_surface(params, config: TransformerConfig,
+                       max_seq: Optional[int] = None,
+                       decode_chunk: int = 8,
+                       page_size: int = 128) -> dict:
+    """PagedLMServer's serving surface bound to LIVE jitted functions
+    with the weights passed as a jit ARGUMENT on every call, instead of
+    deserialized baked-weight artifacts. Two uses: serving straight from
+    a checkpoint without an export step, and benchmarking real-model
+    serving on the axon relay — baked-weight artifacts embed the entire
+    parameter set in each remote compile request (hundreds of MB at
+    GPT-2 scale -> 25-min compiles / HTTP 413; CLAUDE.md), while a
+    params ARGUMENT stays device-resident. Same traced computations as
+    export_lm's paged artifacts (shape-compiled lazily per call shape);
+    consume with PagedLMServer(surface=...)."""
+    model = Transformer(config)
+    max_seq = config.block_size if max_seq is None else int(max_seq)
+    assert 0 < max_seq <= config.block_size, (max_seq, config.block_size)
+    assert max_seq % page_size == 0, (max_seq, page_size)
+    assert decode_chunk > 0, decode_chunk
+    mp = max_seq // page_size
+
+    def prefill(p, tokens):
+        cache = init_cache(config, tokens.shape[0], config.dtype,
+                           cache_len=max_seq)
+        return model.apply({"params": p}, tokens, cache=cache,
+                           input_pos=jnp.int32(0))
+
+    def decode_paged(p, tok, cache, pos):
+        # also serves as extend_paged: the model routes on tok width
+        return model.apply({"params": p}, tok, cache=cache,
+                           input_pos=pos)
+
+    def admit_paged(cache, row_cache, pages):
+        out = []
+        for (pk, pv, tab), (rk, rv) in zip(cache, row_cache):
+            kvh, hd = pk.shape[2], pk.shape[3]
+            rk = rk[0].reshape(mp, page_size, kvh, hd)
+            rv = rv[0].reshape(mp, page_size, kvh, hd)
+            out.append((pk.at[pages].set(rk.astype(pk.dtype)),
+                        pv.at[pages].set(rv.astype(pv.dtype)), tab))
+        return tuple(out)
+
+    def _chosen_logprob(x, nxt):
+        return jnp.take_along_axis(jax.nn.log_softmax(x, axis=-1),
+                                   nxt, axis=-1)
+
+    def decode_k(p, tok, cache, pos):
+        def body(carry, _):
+            t, c, q = carry
+            logits, c = model.apply({"params": p}, t, cache=c,
+                                    input_pos=q)
+            x = logits[:, -1].astype(jnp.float32)
+            nxt = jnp.argmax(x, axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, c, q + 1), (nxt, _chosen_logprob(x, nxt))
+        (_, cache, _), (steps, lps) = jax.lax.scan(
+            body, (tok, cache, pos), None, length=decode_chunk)
+        return (jnp.swapaxes(steps[..., 0], 0, 1),
+                jnp.swapaxes(lps[..., 0], 0, 1), cache)
+
+    def decode_k_sample(p, tok, cache, pos, keys, temperature, top_k,
+                        top_p):
+        def body(carry, _):
+            t, c, q = carry
+            logits, c = model.apply({"params": p}, t, cache=c,
+                                    input_pos=q)
+            step_keys = jax.vmap(jax.random.fold_in)(keys, q)
+            nxt = sample_rows(logits[:, -1], step_keys, temperature,
+                              top_k, top_p)[:, None]
+            lp = _chosen_logprob(logits[:, -1].astype(jnp.float32), nxt)
+            return (nxt, c, q + 1), (nxt, lp)
+        (_, cache, _), (steps, lps) = jax.lax.scan(
+            body, (tok, cache, pos), None, length=decode_chunk)
+        return (jnp.swapaxes(steps[..., 0], 0, 1),
+                jnp.swapaxes(lps[..., 0], 0, 1), cache)
+
+    pre_j = jax.jit(prefill)
+    dp_j = jax.jit(decode_paged)
+    ap_j = jax.jit(admit_paged)
+    dk_j = jax.jit(decode_k)
+    dks_j = jax.jit(decode_k_sample)
+    meta = {
+        "vocab_size": config.in_size,
+        "block_size": config.block_size,
+        "max_seq": max_seq,
+        "n_layer": config.n_layer,
+        "n_head": config.n_head,
+        "n_kv_head": config.kv_heads,
+        "n_embd": config.n_embd,
+        "n_experts": config.n_experts,
+        "quantize": config.quantize,
+        "compute_dtype": config.compute_dtype,
+        "format": "live jit (params as argument)",
+        "continuous": True,
+        "speculative": True,
+        "decode_chunk": int(decode_chunk),
+        "decode_k_logprobs": True,
+        "page_size": int(page_size),
+    }
+    return {
+        "prefill": lambda toks: pre_j(params, toks),
+        "decode_paged": lambda tok, c, pos: dp_j(params, tok, c, pos),
+        "admit_paged": ap_j,
+        "extend_paged": lambda tok, c, pos: dp_j(params, tok, c, pos),
+        "decode_paged_k": lambda tok, c, pos: dk_j(params, tok, c, pos),
+        "decode_paged_k_sample": lambda tok, c, pos, keys, t, k, q:
+            dks_j(params, tok, c, pos, keys, t, k, q),
+        "meta": meta,
+    }
+
+
 def zero_cache(meta: dict, batch: int):
     """Host-side empty serving cache matching an exported artifact set —
     the starting point for chunked prefill via `extend` (extending a zero

@@ -136,12 +136,26 @@ class PagedLMServer:
       the canonical stream (serving.spec_draw_block), so outputs stay
       identical to every other scheduler, preemption included."""
 
-    def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
+    def __init__(self, artifacts_dir: Optional[Union[str, Path]] = None,
+                 n_slots: int = 8,
                  n_pages: int = 0, k_decode: int = 0,
                  draft_dir: Optional[Union[str, Path]] = None,
-                 k_draft: int = 0, prefill_chunk: Optional[int] = None):
-        (self.prefill, self.decode_paged, self.admit_paged,
-         self.meta) = load_exported_paged(artifacts_dir)
+                 k_draft: int = 0, prefill_chunk: Optional[int] = None,
+                 surface: Optional[Dict[str, Any]] = None):
+        if surface is not None:
+            # a LIVE function surface (export_lm.live_paged_surface):
+            # same contract as the deserialized artifacts, weights
+            # passed as a jit argument — checkpoint-direct serving and
+            # relay-safe benching
+            self.prefill = surface["prefill"]
+            self.decode_paged = surface["decode_paged"]
+            self.admit_paged = surface["admit_paged"]
+            self.meta = surface["meta"]
+        else:
+            assert artifacts_dir is not None, \
+                "need artifacts_dir or surface"
+            (self.prefill, self.decode_paged, self.admit_paged,
+             self.meta) = load_exported_paged(artifacts_dir)
         assert n_slots >= 1, n_slots
         self.n_slots = int(n_slots)
         self.k_decode = int(k_decode)
@@ -149,17 +163,27 @@ class PagedLMServer:
         if self.k_decode > 0:
             # fused K-token dispatch over the paged cache (greedy +
             # on-device sampled policy) — the two levers compose
-            (self.decode_paged_k, self.decode_paged_k_sample,
-             k_art) = load_exported_paged_k(artifacts_dir)
+            if surface is not None:
+                self.decode_paged_k = surface["decode_paged_k"]
+                self.decode_paged_k_sample = surface[
+                    "decode_paged_k_sample"]
+                k_art = int(self.meta["decode_chunk"])
+            else:
+                (self.decode_paged_k, self.decode_paged_k_sample,
+                 k_art) = load_exported_paged_k(artifacts_dir)
             assert self.k_decode == k_art, (
                 f"artifacts were exported with decode_chunk={k_art}, "
                 f"scheduler asked for k_decode={self.k_decode}")
-        try:
-            # block extend through the table: prefix-sharing ingest
-            # (absent on artifacts exported before it existed)
-            self.extend_paged = load_exported_extend_paged(artifacts_dir)
-        except FileNotFoundError:
-            self.extend_paged = None
+        if surface is not None:
+            self.extend_paged = surface.get("extend_paged")
+        else:
+            try:
+                # block extend through the table: prefix-sharing ingest
+                # (absent on artifacts exported before it existed)
+                self.extend_paged = load_exported_extend_paged(
+                    artifacts_dir)
+            except FileNotFoundError:
+                self.extend_paged = None
         # page-aligned shared-prefix registry: tuple(full-page tokens) ->
         # pool pages holding their KV (refcounted; base count 1 keeps
         # them resident across requests, idle entries evictable under
@@ -593,7 +617,7 @@ class PagedLMServer:
                     slots[s] = st
                     pos[s] = total  # prefix + prompt (absolute decode pos)
                     tok = device_sample(
-                        np.asarray(logits[:, -1]), st["key"][None],
+                        logits[:, -1], st["key"][None],
                         [total - 1], [st["temperature"]],
                         [int(st["top_k"] or 0)],
                         [1.0 if st["top_p"] is None
@@ -790,7 +814,7 @@ class PagedLMServer:
             logits, cache = self.decode_paged(
                 jnp.asarray(toks), self._cache(table), jnp.asarray(pos))
             self._set_pools(cache)
-            logits_np = np.asarray(logits[:, -1])
+            logits_dev = logits[:, -1]  # stays on device for the draw
             decode_steps += 1
             # one batched draw of the canonical stream (keys fold the
             # FED position — identical to the in-artifact scan schedule)
@@ -806,13 +830,15 @@ class PagedLMServer:
                 topk[s] = int(st["top_k"] or 0)
                 topp[s] = float(1.0 if st["top_p"] is None
                                 else st["top_p"])
-            drawn = device_sample(logits_np, keys, pos.copy(), temp,
+            drawn = device_sample(logits_dev, keys, pos.copy(), temp,
                                   topk, topp)
             for s in live:
                 st = slots[s]
                 if st["lps"] is not None:
-                    st["lps"].append(token_logprob(logits_np[s],
-                                                   int(drawn[s, 0])))
+                    # logprob rows fetch lazily — only requests that
+                    # asked pay the [V] transfer
+                    st["lps"].append(token_logprob(
+                        np.asarray(logits_dev[s]), int(drawn[s, 0])))
                 pos[s] += 1
                 push(s, st, drawn[s:s + 1])
 

@@ -137,7 +137,15 @@ def device_sample(logits: np.ndarray, keys: np.ndarray, pos,
     step_keys = jax.vmap(jax.random.fold_in)(
         jnp.asarray(np.asarray(keys, np.uint32)),
         jnp.asarray(np.asarray(pos, np.int32)))
-    out = sample_rows(jnp.asarray(np.asarray(logits, np.float32)),
+    if isinstance(logits, jax.Array):
+        # device-resident logits stay on device: the draw computes
+        # there and only [b,1] tokens cross the transport, instead of a
+        # [b,V] logits fetch per dispatch (same sample_rows math — the
+        # cast to f32 happens on-device instead of on the host)
+        x = logits.astype(jnp.float32)
+    else:
+        x = jnp.asarray(np.asarray(logits, np.float32))
+    out = sample_rows(x,
                       step_keys,
                       jnp.asarray(np.asarray(temperature, np.float32)),
                       jnp.asarray(np.asarray(top_k, np.int32)),
@@ -718,7 +726,7 @@ class LMEngine:
             self.slots[s] = st
             self.pos[s] = prompt.shape[1]
             tok = device_sample(
-                np.asarray(logits[:, -1]), st["key"][None],
+                logits[:, -1], st["key"][None],
                 [prompt.shape[1] - 1], [st["temperature"]],
                 [int(st["top_k"] or 0)],
                 [1.0 if st["top_p"] is None else float(st["top_p"])])
@@ -787,7 +795,7 @@ class LMEngine:
             return
         logits, self.cache = self.s.decode_rows(
             jnp.asarray(toks), self.cache, jnp.asarray(pos))
-        logits_np = np.asarray(logits[:, -1])
+        logits_dev = logits[:, -1]  # stays on device for the draw
         self.decode_steps += 1
         # one batched draw of the canonical stream: keys fold with the
         # FED position (pos before advancing), matching the in-artifact
@@ -803,13 +811,15 @@ class LMEngine:
             temp[s] = st["temperature"]
             topk[s] = int(st["top_k"] or 0)
             topp[s] = float(1.0 if st["top_p"] is None else st["top_p"])
-        drawn = device_sample(logits_np, keys, pos.copy(), temp, topk,
+        drawn = device_sample(logits_dev, keys, pos.copy(), temp, topk,
                               topp)
         for s in active:
             st = slots[s]
             if st["lps"] is not None:
-                st["lps"].append(token_logprob(logits_np[s],
-                                               int(drawn[s, 0])))
+                # logprob rows fetch lazily — only requests that asked
+                # pay the [V] transfer
+                st["lps"].append(token_logprob(
+                    np.asarray(logits_dev[s]), int(drawn[s, 0])))
             pos[s] += 1
             self._push(s, st, drawn[s:s + 1])
 

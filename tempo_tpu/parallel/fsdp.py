@@ -64,14 +64,20 @@ def shard_state_fsdp(state: Any, mesh: Mesh) -> Any:
     """Place a train state (params + AdamW moments + EMA) fully sharded.
 
     On a multi-process mesh every process holds the identical full host
-    value (same seeds -> same init); the global sharded array is assembled
-    from each process's copy — a bare device_put cannot place onto
-    non-addressable devices (mirrors shard_state/shard_state_tp)."""
+    value (same seeds -> same init); each process contributes the SLICES
+    its addressable devices own via make_array_from_callback — a bare
+    device_put cannot place onto non-addressable devices, and
+    make_array_from_process_local_data would treat the full value as
+    this process's shard of a cross-process-sharded dim and DOUBLE it
+    (caught by tests/test_multihost.py's FSDP phase)."""
     multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
     if multiprocess:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                fsdp_sharding_rule(x, mesh), np.asarray(x)), state)
+        def place(x):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, fsdp_sharding_rule(arr, mesh),
+                lambda idx: arr[idx])
+        return jax.tree_util.tree_map(place, state)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, fsdp_sharding_rule(x, mesh)), state)
 

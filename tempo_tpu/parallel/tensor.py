@@ -70,9 +70,16 @@ def shard_state_tp(state: Any, mesh: Mesh) -> Any:
     onto non-addressable devices (mirrors parallel.mesh.shard_state)."""
     multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
     if multiprocess:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                tp_sharding_rule(x, mesh), np.asarray(x)), state)
+        # each process contributes the slices its addressable devices
+        # own; make_array_from_process_local_data would misread the
+        # full replicated host value as this process's shard of a
+        # cross-process-sharded channel dim (see shard_state_fsdp)
+        def place(x):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, tp_sharding_rule(arr, mesh),
+                lambda idx: arr[idx])
+        return jax.tree_util.tree_map(place, state)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, tp_sharding_rule(x, mesh)), state)
 

@@ -27,6 +27,22 @@ except Exception:
     pass
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: compiles dominate the suite cost on
+# this 1-core host, and most tests recompile the same graphs run after
+# run. A warm cache cuts the fast tier severalfold, which is what makes
+# "run the suite before every snapshot" actually happen (two r3/r4
+# regressions shipped solely because the suite was too expensive to
+# run). The cache key includes jaxlib + XLA flags, so entries stay
+# correct across code edits; stale entries are simply never hit.
+# Override the location with TEMPO_TPU_TEST_CACHE=; disable with
+# TEMPO_TPU_TEST_CACHE=0.
+_cache = os.environ.get("TEMPO_TPU_TEST_CACHE",
+                        "/tmp/tempo_tpu_test_xla_cache")
+if _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

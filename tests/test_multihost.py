@@ -105,3 +105,71 @@ def test_two_process_dcn_training(tmp_path):
     assert owned0 and owned1 and not owned0 & owned1
     assert len(owned0 | owned1) == 6
     assert results[0]["buflosses"] == results[1]["buflosses"]
+
+    # FSDP and dp x tp across the process boundary: both processes see
+    # one loss trajectory (the parameter all-gathers / gradient
+    # reduce-scatters crossed DCN)
+    assert results[0]["fsdplosses"] == results[1]["fsdplosses"]
+    assert results[0]["tplosses"] == results[1]["tplosses"]
+
+    # topology pin: the SAME deterministic global batches through ONE
+    # 8-device process must reproduce the 2-process losses (rounded),
+    # for FSDP and for the dp x tp mesh — process boundaries change the
+    # transport, not the math
+    solo = subprocess.run(
+        [sys.executable, str(WORKER), "0", "1", str(_free_port()),
+         str(tmp_path / "solo")],
+        env={**_worker_env(), "XLA_FLAGS":
+             "--xla_force_host_platform_device_count="
+             f"{N_PROC * DEVICES_PER_PROC}"},
+        capture_output=True, text=True, timeout=420)
+    assert solo.returncode == 0, f"solo worker failed:\n{solo.stdout}" \
+                                 f"\n{solo.stderr}"
+    solo_res = {}
+    for line in solo.stdout.splitlines():
+        m = re.match(r"RESULT pid=0 (.*)", line)
+        if not m:
+            continue
+        for kv in re.finditer(r"(\w+)=(\[[^\]]*\]|\S+)", m.group(1)):
+            solo_res[kv.group(1)] = kv.group(2)
+    assert solo_res["fsdplosses"] == results[0]["fsdplosses"]
+    assert solo_res["tplosses"] == results[0]["tplosses"]
+
+    # round B: a FRESH 2-process topology restores round A's sharded
+    # checkpoint and keeps training under FSDP — cross-run resume over
+    # process boundaries
+    port_b = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), str(N_PROC),
+             str(port_b), str(outdir), "restore"],
+            env=_worker_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for pid in range(N_PROC)
+    ]
+    outputs_b = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs_b.append(out)
+    res_b = {}
+    for pid, (p, out) in enumerate(zip(procs, outputs_b)):
+        assert p.returncode == 0, f"restore worker {pid} failed:\n{out}"
+    for out in outputs_b:
+        for line in out.splitlines():
+            m = re.match(r"RESULT pid=(\d+) (.*)", line)
+            if not m:
+                continue
+            for kv in re.finditer(r"(\w+)=(\[[^\]]*\]|\S+)", m.group(2)):
+                res_b.setdefault(int(m.group(1)), {})[kv.group(1)] = \
+                    kv.group(2)
+    assert set(res_b) == {0, 1}
+    # the fresh processes rehydrated exactly the params round A trained
+    for pid in (0, 1):
+        assert res_b[pid]["restoredsum"] == results[0]["leafsum"]
+    # and agree on the continued FSDP trajectory
+    assert res_b[0]["resumelosses"] == res_b[1]["resumelosses"]

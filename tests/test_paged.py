@@ -579,6 +579,35 @@ def test_paged_automatic_prefix_sharing(paged_lm):
     assert small.last_stats["shared_prefix_pages"] == 0  # evicted
 
 
+def test_live_surface_matches_artifacts(paged_lm):
+    """export_lm.live_paged_surface (weights as jit arguments — the
+    checkpoint-direct / relay-safe serving form) drives PagedLMServer
+    to the same outputs as the deserialized baked-weight artifacts,
+    across chunked prefill + fused k_decode + sampled rows."""
+    from tempo_tpu.infer.export_lm import live_paged_surface
+    from tempo_tpu.infer.paged import PagedLMServer
+
+    cfg = TransformerConfig(in_size=31, block_size=32, n_layer=2,
+                            n_head=2, n_embd=32)
+    model = Transformer(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 31)
+    params = model.init(jax.random.PRNGKey(0), toks)["params"]
+
+    surface = live_paged_surface(params, cfg, max_seq=32, decode_chunk=4,
+                                 page_size=8)
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3], "n_tokens": 8},
+        {"tokens": [9, 2, 6], "n_tokens": 6,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+    ]
+    live = PagedLMServer(surface=surface, n_slots=2, k_decode=4,
+                         prefill_chunk=4).serve(reqs)
+    # paged_lm exports the IDENTICAL params/config (same seeds/shapes)
+    base = PagedLMServer(paged_lm, n_slots=2, k_decode=4,
+                         prefill_chunk=4).serve(reqs)
+    assert [r["tokens"] for r in live] == [r["tokens"] for r in base]
+
+
 def test_paged_stop_sequences(paged_lm):
     """Multi-token 'stop' through the paged scheduler (incl. the fused
     chunked path): same truncation as the dense continuous server."""
