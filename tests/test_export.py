@@ -769,6 +769,8 @@ def test_decode_k_sample_policy_support(tmp_path, tiny_lm):
     np.testing.assert_array_equal(np.asarray(g_lps), np.asarray(s_lps))
 
 
+@pytest.mark.slow  # variant with its own model export: RoPE per-row
+# decode is also covered fast by test_gqa.py (rope=True grouped cache)
 def test_lm_export_continuous_rope(tmp_path):
     """The per-row-position decode path also covers RoPE models (per-row
     rotation-angle gather instead of the learned-table gather)."""
@@ -956,6 +958,8 @@ def test_continuous_speculative_greedy_matches_target_only(tmp_path,
         assert server.last_stats["drafted"] > 0
 
 
+@pytest.mark.slow  # perf-property sibling (dispatch counting); the
+# greedy/sampled equality pins for the composition stay fast
 def test_continuous_speculative_beats_both_levers(tmp_path, tiny_lm):
     """The composition must strictly batch-AND-speculate: with a
     self-draft (acceptance 1.0, deterministic) the composed scheduler's

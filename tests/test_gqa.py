@@ -84,10 +84,18 @@ def test_gqa_kv_cache_decode_matches_full_forward():
     n_new = 8
     got = generate(model, params, tokens, n_new, jax.random.PRNGKey(7),
                    temperature=0.0)
+    # causality: ONE full forward over the generated sequence yields
+    # every step's logits (logits[:, :t] == forward of the prefix), so
+    # the whole greedy chain pins against a single apply instead of
+    # n_new growing-shape re-forwards
+    full = jnp.concatenate([tokens, jnp.asarray(got)[:, tokens.shape[1]:]],
+                           axis=1)
+    logits = model.apply({"params": params}, full)
+    t0 = tokens.shape[1]
     seq = tokens
-    for _ in range(n_new):
-        logits = model.apply({"params": params}, seq)
-        nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    for i in range(n_new):
+        nxt = jnp.argmax(logits[:, t0 + i - 1].astype(jnp.float32),
+                         axis=-1)
         seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(seq))
 
@@ -147,6 +155,8 @@ def test_gqa_trains_and_loss_drops():
     assert losses[-1] < 0.35 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow  # composition variant: GQA and int8 each have fast
+# solo coverage; the cross is the heavy sibling
 def test_gqa_composes_with_int8_quant():
     # the two serving levers — group-shrunk KV cache and int8 weights —
     # must compose: quantized GQA logits stay close to float GQA, and the
@@ -176,6 +186,8 @@ def test_gqa_composes_with_int8_quant():
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(seq))
 
 
+@pytest.mark.slow  # composition variant: export has fast coverage in
+# test_export.py, GQA decode in the tests above
 def test_gqa_export_roundtrip(tmp_path):
     from tempo_tpu.infer.export_lm import (export_lm, greedy_decode_exported,
                                            load_exported_lm)

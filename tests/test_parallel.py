@@ -697,6 +697,9 @@ def test_pipeline_composes_with_data_and_tensor_axes():
                                    err_msg=str(path_a))
 
 
+@pytest.mark.slow  # heavier sibling of the TP sharded-checkpoint
+# roundtrip (which stays fast); PP save/restore also runs in
+# test_multihost.py (slow)
 def test_sharded_checkpoint_pp_roundtrip(tmp_path):
     """The template-driven sharded checkpoint generalizes to the pipeline
     axis: a (rest, stage_stack) param tuple with stage-sharded [S, ...]

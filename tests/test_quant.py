@@ -170,6 +170,9 @@ def test_quantized_tied_embedding_exact():
     assert run(qparams, jax.random.PRNGKey(0)).shape == (2, 10)
 
 
+@pytest.mark.slow  # composition variant: quant solo exactness and
+# the jitted quantized decode stay fast; the export cross re-exports
+# a full artifact set
 def test_quantized_export_roundtrip(tmp_path):
     """int8 weights survive the StableHLO serving export: the exported
     greedy decode equals the live quantized generate, and the artifact
@@ -218,6 +221,8 @@ def test_generate_cache_dtype_lever():
                                   np.asarray(prompt))
 
 
+@pytest.mark.slow  # composition variant: dense-quant exactness has
+# fast coverage above; the MoE cross is the heavy sibling
 def test_quantized_moe_exact_on_dequantized_weights():
     """MoE expert kernels quantize too (per-expert, per-out-channel
     scales): exact against the float model on dequantized weights, with

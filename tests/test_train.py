@@ -215,6 +215,8 @@ def test_async_checkpointer_matches_sync(tmp_path):
     boom.close()
 
 
+@pytest.mark.slow  # heavier sibling: the byte-identical
+# async-vs-sync checkpoint pin stays fast
 def test_trainer_async_checkpoint_format(tmp_path):
     """checkpoint_format: async through the Trainer — same artifact tree,
     final write joined before train() returns, resume works."""

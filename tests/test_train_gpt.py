@@ -153,6 +153,8 @@ def test_train_gpt_config_validation(tmp_path):
         main(_write(tmp_path / "bad2.yaml", cfg2))
 
 
+@pytest.mark.slow  # heavier sibling: the MoE CLI path stays fast and
+# EP-sharded == unsharded is pinned fast in test_moe.py
 def test_train_gpt_expert_parallel(tmp_path):
     """parallel.expert: 2 shards the [E,...] expert weights over an
     'expert' mesh and still trains end-to-end."""
