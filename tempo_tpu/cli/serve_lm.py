@@ -45,7 +45,12 @@ Two modes over either scheduler:
   `completions.jsonl` + `serving_info.yaml` (aggregate tokens/s).
 - `mode: http` — a stdlib HTTP endpoint: GET /healthz -> artifact
   metadata; POST /generate with one request object or
-  {"requests": [...]} -> completions. Single-threaded by default (the
+  {"requests": [...]} -> completions; POST /v1/completions — an
+  OpenAI-Completions-shaped surface over TOKEN IDS ('prompt' one list
+  or a batch, 'max_tokens'/'temperature'/'top_p'/'stop'/'logprobs'/
+  'seed'/'n'; n samples fan out over seeds seed..seed+n-1 per the
+  canonical-stream contract) returning choices + usage counts.
+  Single-threaded by default (the
   chip is single-tenant and a closed batch decodes sequentially). With
   `online: true` (continuous scheduler, optionally with speculation)
   the endpoint becomes a
@@ -137,6 +142,66 @@ def _serve_batch(server, config: dict, output_dir: Path,
           f"({info['tokens_per_sec']} tok/s)")
 
 
+def _openai_to_requests(payload: dict, default_n: int) -> list:
+    """Translate an OpenAI Completions-style body into scheduler
+    requests. Prompts are TOKEN IDS (one list or a batch of lists — the
+    framework serves artifacts, not tokenizers); `max_tokens`,
+    `temperature`, `top_p`, `stop` (token-id sequences), `logprobs`
+    (truthy -> per-token logprobs) and `seed` map directly. `n` samples
+    per prompt fan out as n requests with seeds seed, seed+1, ... —
+    under the canonical sampled stream identical seeds would return
+    identical completions, so distinct samples REQUIRE distinct seeds
+    (infer/serving.py device_sample)."""
+    prompts = payload.get("prompt")
+    if prompts is None:
+        raise ValueError("missing 'prompt' (token ids)")
+    if prompts and isinstance(prompts[0], int):
+        prompts = [prompts]
+    n = int(payload.get("n", 1))
+    seed = int(payload.get("seed", 0))
+    reqs = []
+    for toks in prompts:
+        for i in range(n):
+            req = {"tokens": list(toks),
+                   "n_tokens": int(payload.get("max_tokens", default_n)),
+                   "seed": seed + i}
+            for src, dst in (("temperature", "temperature"),
+                             ("top_p", "top_p"), ("stop", "stop")):
+                if payload.get(src) is not None:
+                    req[dst] = payload[src]
+            if payload.get("logprobs"):
+                req["logprobs"] = True
+            reqs.append(req)
+    return reqs
+
+
+def _openai_response(reqs: list, responses: list) -> dict:
+    """OpenAI Completions-style response over token ids: one choice per
+    (prompt, sample), finish_reason 'stop' when a stop/eos fired,
+    'length' when the budget ran out."""
+    choices = []
+    for i, (req, resp) in enumerate(zip(reqs, responses)):
+        choice = {
+            "index": i,
+            "tokens": resp["tokens"],
+            "finish_reason": ("stop" if resp.get("stopped_early")
+                              else "length"),
+        }
+        if "logprobs" in resp:
+            choice["logprobs"] = {"token_logprobs": resp["logprobs"]}
+        choices.append(choice)
+    n_prompt = sum(len(r["tokens"]) for r in reqs)
+    n_out = sum(r["n_generated"] for r in responses)
+    return {
+        "object": "text_completion",
+        "model": "tempo_tpu-lm",
+        "choices": choices,
+        "usage": {"prompt_tokens": n_prompt,
+                  "completion_tokens": n_out,
+                  "total_tokens": n_prompt + n_out},
+    }
+
+
 def _serve_http(server, config: dict, output_dir: Path,
                 default_n: int, online: bool = False) -> None:
     host = str(config.get("host", "127.0.0.1"))
@@ -162,20 +227,26 @@ def _serve_http(server, config: dict, output_dir: Path,
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802 — stdlib API
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/v1/completions"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
-                requests = (payload["requests"]
-                            if "requests" in payload else [payload])
-                responses = server.serve_requests(
-                    requests, default_new_tokens=default_n)
-                out = (responses if "requests" in payload
-                       else responses[0])
-                self._send(200, {"responses": out}
-                           if "requests" in payload else out)
+                if self.path == "/v1/completions":
+                    reqs = _openai_to_requests(payload, default_n)
+                    responses = server.serve_requests(
+                        reqs, default_new_tokens=default_n)
+                    self._send(200, _openai_response(reqs, responses))
+                else:
+                    requests = (payload["requests"]
+                                if "requests" in payload else [payload])
+                    responses = server.serve_requests(
+                        requests, default_new_tokens=default_n)
+                    out = (responses if "requests" in payload
+                           else responses[0])
+                    self._send(200, {"responses": out}
+                               if "requests" in payload else out)
             except Exception as exc:  # serving endpoint: report, don't die
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
             counter["posts"] += 1
@@ -189,7 +260,7 @@ def _serve_http(server, config: dict, output_dir: Path,
         (host, port), Handler)
     bound = httpd.server_address
     print(f"Serving on http://{bound[0]}:{bound[1]} "
-          f"(POST /generate, GET /healthz"
+          f"(POST /generate, POST /v1/completions, GET /healthz"
           + (", online continuous batching)" if online else ")")
           + (f", exiting after {max_requests} requests" if max_requests
              else ""))

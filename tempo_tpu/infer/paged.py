@@ -557,23 +557,20 @@ class PagedLMServer:
                     for j in range(n_full,
                                    max(_pages_for(total, self.page), 1)):
                         ensure_page(s, j)
-                    if pfx:
-                        # ingest the unaligned prefix tail + the prompt
-                        # body through the table (chunked when
-                        # prefill_chunk is set), conditioned on the
-                        # shared pages
+                    if self.extend_paged is not None:
+                        # ONE dispatch: the prefix tail + prompt body
+                        # ingest straight into the row's pages through
+                        # the table (chunked when prefill_chunk is
+                        # set), conditioned on any shared pages — no
+                        # dense row cache, no separate admit dispatch
                         ingest = np.asarray(
                             list(pfx[n_full * self.page:]) + body,
                             np.int32)
                         logits = self._ingest_row(
                             table, s, ingest, n_full * self.page)
-                    elif (self.prefill_chunk is not None
-                          and len(body) > self.prefill_chunk):
-                        # long prompt: chunk straight into the row's
-                        # pages (no dense row cache, bounded score mem)
-                        logits = self._ingest_row(
-                            table, s, np.asarray(body), 0)
                     else:
+                        # artifacts exported before extend_paged:
+                        # dense prefill + page splice (two dispatches)
                         prompt = np.asarray(body,
                                             np.int32).reshape(1, -1)
                         logits, row_cache = self.prefill(

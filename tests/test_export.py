@@ -514,6 +514,83 @@ def test_serve_lm_cli_http_online(tmp_path, tiny_lm):
         assert got[i]["tokens"] == want[0].tolist()
 
 
+def test_serve_lm_cli_openai_completions(tmp_path, tiny_lm):
+    """POST /v1/completions: the OpenAI-Completions-shaped surface over
+    token ids — greedy choices match the solo server, n>1 fans out over
+    consecutive seeds (distinct samples under the canonical stream),
+    logprobs/finish_reason/usage populate, and bad payloads 400."""
+    import json
+    import threading
+    import time
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from tempo_tpu.cli.serve_lm import main as serve_main
+    from tempo_tpu.infer.serving import LMServer
+    from tempo_tpu.utils.config import load_config, save_yaml
+
+    out, model, params, cfg = tiny_lm
+    cfg_path = tmp_path / "serve.yaml"
+    save_yaml({"output_dir": str(tmp_path / "served"),
+               "artifacts": str(out), "mode": "http", "port": 0,
+               "scheduler": "continuous", "slots": 2,
+               "max_requests": 3}, cfg_path)
+    th = threading.Thread(target=serve_main, args=(str(cfg_path),),
+                          daemon=True)
+    th.start()
+    info_path = tmp_path / "served" / "serving_info.yaml"
+    for _ in range(600):
+        if info_path.exists():
+            break
+        time.sleep(0.05)
+    port = int(load_config(str(info_path))["port"])
+
+    def post(payload, path="/v1/completions"):
+        body = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    # greedy, batch of two prompts, with logprobs
+    got = post({"prompt": [[3, 1, 4, 1, 5], [9, 2, 6]],
+                "max_tokens": 6, "logprobs": True})
+    solo = LMServer(out)
+    assert got["object"] == "text_completion"
+    assert len(got["choices"]) == 2
+    for i, toks in enumerate(([3, 1, 4, 1, 5], [9, 2, 6])):
+        want = solo.generate_batch(np.asarray([toks], np.int32), 6)
+        ch = got["choices"][i]
+        assert ch["tokens"] == want[0].tolist()
+        assert ch["finish_reason"] == "length"
+        assert len(ch["logprobs"]["token_logprobs"]) == 6
+    assert got["usage"] == {"prompt_tokens": 8, "completion_tokens": 12,
+                            "total_tokens": 20}
+
+    # n=2 sampled: distinct consecutive seeds -> distinct samples,
+    # each reproducing the solo chain at its own seed
+    got = post({"prompt": [3, 1, 4, 1, 5], "max_tokens": 6, "n": 2,
+                "temperature": 1.0, "seed": 5})
+    assert len(got["choices"]) == 2
+    for i, ch in enumerate(got["choices"]):
+        want = solo.generate_batch(np.asarray([[3, 1, 4, 1, 5]],
+                                              np.int32), 6,
+                                   temperature=1.0, seed=5 + i)
+        assert ch["tokens"] == want[0].tolist()
+    assert got["choices"][0]["tokens"] != got["choices"][1]["tokens"]
+
+    # malformed payload -> 400, server stays up
+    try:
+        post({"max_tokens": 4})
+        raise AssertionError("expected HTTP 400")
+    except HTTPError as e:
+        assert e.code == 400
+
+    th.join(timeout=120)
+    assert not th.is_alive()
+
+
 def test_stop_sequences(tmp_path, tiny_lm):
     """Multi-token 'stop' sequences: generation halts the first time the
     output ends with any stop sequence, the matched tokens are EXCLUDED
