@@ -388,7 +388,7 @@ class LMServer:
             topk_v = np.full(b, int(top_k or 0), np.int32)
             topp_v = np.full(b, 1.0 if top_p is None else float(top_p),
                              np.float32)
-            tok = device_sample(np.asarray(logits[:, -1]), keys,
+            tok = device_sample(logits[:, -1], keys,
                                 np.full(b, pos - 1), temp_v, topk_v,
                                 topp_v).astype(np.int32)
             out = [tok]
@@ -408,7 +408,7 @@ class LMServer:
             for _ in range(remaining):
                 logits, cache = self.decode_step(
                     jnp.asarray(tok, jnp.int32), cache, jnp.int32(pos))
-                tok = device_sample(np.asarray(logits[:, -1]), keys,
+                tok = device_sample(logits[:, -1], keys,
                                     np.full(b, pos), temp_v, topk_v,
                                     topp_v).astype(np.int32)
                 out.append(tok)
@@ -941,7 +941,7 @@ class SpecLMEngine:
                 }
                 self.slots[s] = st
                 tok = int(device_sample(
-                    np.asarray(logits[:, -1]), st["key"][None],
+                    logits[:, -1], st["key"][None],
                     [prompt.shape[1] - 1], [st["temperature"]],
                     [int(st["top_k"] or 0)],
                     [1.0 if st["top_p"] is None
