@@ -662,6 +662,28 @@ class LMEngine:
         return bool(self.pending) or any(
             st is not None for st in self.slots)
 
+    def cancel(self, ticket: int) -> bool:
+        """Cancel a submitted request: a pending one never runs; an
+        active one finalizes immediately with the tokens generated so
+        far. Either way the ticket's response exists afterwards and
+        carries `cancelled: true`. Finished tickets are left untouched
+        (returns False)."""
+        for i, (t, req, n) in enumerate(self.pending):
+            if t == ticket:
+                self.pending.pop(i)
+                self.finished[ticket] = {
+                    "tokens": [], "n_prompt": len(req["tokens"]),
+                    "n_generated": 0, "slot": -1,
+                    "stopped_early": False, "cancelled": True}
+                return True
+        for s, st in enumerate(self.slots):
+            if st is not None and st["ticket"] == ticket:
+                st["cancelled"] = True
+                self._finalize(s)
+                return True
+        return False
+
+
     def _finalize(self, s: int) -> None:
         st = self.slots[s]
         assert st is not None
@@ -675,6 +697,8 @@ class LMEngine:
         if st["lps"] is not None:
             # stop-sequence trimming shortened `out`; keep lps in step
             resp["logprobs"] = st["lps"][:len(st["out"])]
+        if st.get("cancelled"):
+            resp["cancelled"] = True
         self.finished[st["ticket"]] = resp
         self.slots[s] = None
         self.pos[s] = 0
@@ -892,6 +916,28 @@ class SpecLMEngine:
         return bool(self.pending) or any(
             st is not None for st in self.slots)
 
+    def cancel(self, ticket: int) -> bool:
+        """Cancel a submitted request: a pending one never runs; an
+        active one finalizes immediately with the tokens generated so
+        far. Either way the ticket's response exists afterwards and
+        carries `cancelled: true`. Finished tickets are left untouched
+        (returns False)."""
+        for i, (t, req, n) in enumerate(self.pending):
+            if t == ticket:
+                self.pending.pop(i)
+                self.finished[ticket] = {
+                    "tokens": [], "n_prompt": len(req["tokens"]),
+                    "n_generated": 0, "slot": -1,
+                    "stopped_early": False, "cancelled": True}
+                return True
+        for s, st in enumerate(self.slots):
+            if st is not None and st["ticket"] == ticket:
+                st["cancelled"] = True
+                self._finalize(s)
+                return True
+        return False
+
+
     def _finalize(self, s: int) -> None:
         st = self.slots[s]
         assert st is not None
@@ -904,6 +950,8 @@ class SpecLMEngine:
         }
         if st["lps"] is not None:
             resp["logprobs"] = st["lps"][:len(st["out"])]
+        if st.get("cancelled"):
+            resp["cancelled"] = True
         self.finished[st["ticket"]] = resp
         self.slots[s] = None
 
@@ -1551,6 +1599,17 @@ class OnlineLMServer:
             ticket = self._engine.submit(req)
             self._cond.notify_all()
             return ticket
+
+    def cancel(self, ticket: int) -> bool:
+        """Cancel a submitted request (thread-safe): pending requests
+        never run, active ones finalize with the tokens generated so
+        far; the ticket's response then carries `cancelled: true` and
+        any blocked result() caller returns it immediately. Returns
+        False if the ticket already finished (response untouched)."""
+        with self._cond:
+            ok = self._engine.cancel(ticket)
+            self._cond.notify_all()
+            return ok
 
     def result(self, ticket: int,
                timeout: Optional[float] = None) -> Dict[str, Any]:

@@ -431,6 +431,55 @@ def test_online_server_speculative(tmp_path, tiny_lm, draft_lm):
         online.close()
 
 
+def test_online_server_cancellation(tmp_path, tiny_lm):
+    """cancel(ticket): a pending request never runs, an active one
+    finalizes with its partial tokens (a PREFIX of the uncancelled
+    chain), both responses carry cancelled: true, blocked result()
+    callers return immediately, and other requests are unaffected."""
+    from tempo_tpu.infer.serving import LMServer, OnlineLMServer
+
+    out, model, params, cfg = tiny_lm
+    solo = LMServer(out)
+    online = OnlineLMServer(out, n_slots=1)  # one slot -> real queueing
+    try:
+        t_active = online.submit({"tokens": [3, 1, 4, 1, 5],
+                                  "n_tokens": 24})
+        t_pending = online.submit({"tokens": [9, 2, 6], "n_tokens": 24})
+        t_after = online.submit({"tokens": [7, 7], "n_tokens": 5})
+
+        # the pending request is dropped before it ever occupies a slot
+        assert online.cancel(t_pending)
+        r_p = online.result(t_pending, timeout=60)
+        assert r_p["cancelled"] and r_p["tokens"] == []
+
+        # the active request finalizes with a prefix of its full chain
+        # (check-and-cancel under the engine lock: no decode step can
+        # slip between the activity check and the cancel)
+        with online._cond:
+            assert online._cond.wait_for(
+                lambda: any(st is not None
+                            and st["ticket"] == t_active
+                            for st in online._engine.slots), timeout=60)
+            assert online._engine.cancel(t_active)
+            online._cond.notify_all()
+        r_a = online.result(t_active, timeout=60)
+        assert r_a["cancelled"]
+        full = solo.generate_batch(
+            np.asarray([[3, 1, 4, 1, 5]], np.int32), 24)[0].tolist()
+        assert 0 < len(r_a["tokens"]) <= 24
+        assert r_a["tokens"] == full[:len(r_a["tokens"])]
+
+        # untouched requests complete normally
+        r = online.result(t_after, timeout=120)
+        assert "cancelled" not in r
+        want = solo.generate_batch(np.asarray([[7, 7]], np.int32), 5)
+        assert r["tokens"] == want[0].tolist()
+        # cancelling a finished ticket is a no-op
+        assert not online.cancel(t_after)
+    finally:
+        online.close()
+
+
 def test_online_server_scheduler_death_raises(tmp_path, tiny_lm):
     """Regression (round-4 advisor): an exception inside engine.step()
     must not kill the scheduler thread silently — blocked result()
