@@ -175,10 +175,12 @@ def _openai_to_requests(payload: dict, default_n: int) -> list:
     return reqs
 
 
-def _openai_response(reqs: list, responses: list) -> dict:
+def _openai_response(reqs: list, responses: list,
+                     n_samples: int = 1) -> dict:
     """OpenAI Completions-style response over token ids: one choice per
     (prompt, sample), finish_reason 'stop' when a stop/eos fired,
-    'length' when the budget ran out."""
+    'length' when the budget ran out. usage counts each PROMPT once
+    regardless of n (the fan-out repeats it per sample internally)."""
     choices = []
     for i, (req, resp) in enumerate(zip(reqs, responses)):
         choice = {
@@ -190,7 +192,7 @@ def _openai_response(reqs: list, responses: list) -> dict:
         if "logprobs" in resp:
             choice["logprobs"] = {"token_logprobs": resp["logprobs"]}
         choices.append(choice)
-    n_prompt = sum(len(r["tokens"]) for r in reqs)
+    n_prompt = sum(len(r["tokens"]) for r in reqs) // max(n_samples, 1)
     n_out = sum(r["n_generated"] for r in responses)
     return {
         "object": "text_completion",
@@ -237,7 +239,9 @@ def _serve_http(server, config: dict, output_dir: Path,
                     reqs = _openai_to_requests(payload, default_n)
                     responses = server.serve_requests(
                         reqs, default_new_tokens=default_n)
-                    self._send(200, _openai_response(reqs, responses))
+                    self._send(200, _openai_response(
+                        reqs, responses,
+                        n_samples=int(payload.get("n", 1))))
                 else:
                     requests = (payload["requests"]
                                 if "requests" in payload else [payload])

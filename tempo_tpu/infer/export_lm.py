@@ -85,7 +85,7 @@ Per-row policy (temperature 0 rows decode greedily; top_k <= 0 / top_p
 schedule: the step key is fold_in(key_row, absolute position), so a
 row's sampled stream depends only on (seed, prompt) — not on chunk
 boundaries, admission order, or batch composition (pinned in
-test_export.py). Support truncation mirrors serving.sample_next
+test_export.py). Support truncation mirrors serving.policy_probs
 (top-k, then nucleus keeping the boundary-crossing token); the sampled
 stream is the CANONICAL device threefry stream every scheduler draws
 (serving.device_sample is the host-side twin for per-token steps), so

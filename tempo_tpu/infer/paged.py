@@ -326,23 +326,44 @@ class PagedLMServer:
                 continue
             toks_of.append((i, tuple(int(x) for x in r["tokens"])))
         toks_of.sort(key=lambda kv: kv[1])
-        for idx, (i, t) in enumerate(toks_of):
+
+        # aligned LCP between sorted neighbors (capped so each side
+        # keeps >= 1 private token)
+        pair_lcp = []
+        for j in range(len(toks_of) - 1):
+            t, u = toks_of[j][1], toks_of[j + 1][1]
+            m = min(len(t) - 1, len(u) - 1)
+            c = 0
+            while c < m and t[c] == u[c]:
+                c += 1
+            pair_lcp.append((c // self.page) * self.page)
+
+        # runs of neighbors sharing >= 1 aligned page take ONE key: the
+        # run's MINIMUM adjacent LCP. Per-request maxima would hand
+        # members of one group nested different-length keys, building
+        # duplicate registry entries that hold identical KV.
+        j = 0
+        while j < len(pair_lcp):
+            if pair_lcp[j] < self.page:
+                j += 1
+                continue
+            e = j
+            while e < len(pair_lcp) and pair_lcp[e] >= self.page:
+                e += 1
+            length = min(pair_lcp[j:e])
+            for i, t in toks_of[j:e + 1]:
+                out[i] = t[:length]
+            j = e + 1
+
+        # a LONGER already-built registry key wins per request (reusing
+        # it builds nothing new)
+        for i, t in toks_of:
             max_l = ((len(t) - 1) // self.page) * self.page
-            best = 0
-            for L in range(max_l, 0, -self.page):
-                if t[:L] in self._prefix_pages:
-                    best = L
+            have = len(out.get(i, ()))
+            for length in range(max_l, have, -self.page):
+                if t[:length] in self._prefix_pages:
+                    out[i] = t[:length]
                     break
-            for j in (idx - 1, idx + 1):
-                if 0 <= j < len(toks_of):
-                    u = toks_of[j][1]
-                    m = min(len(t) - 1, len(u) - 1, max_l)
-                    c = 0
-                    while c < m and t[c] == u[c]:
-                        c += 1
-                    best = max(best, (c // self.page) * self.page)
-            if best >= self.page:
-                out[i] = t[:best]
         return out
 
     def _prefix_registry(self, key: tuple) -> List[int]:
@@ -363,11 +384,18 @@ class PagedLMServer:
             pages.append(p)
         tab = np.zeros((1, self.mp), np.int32)
         tab[0, :n_full] = pages
-        _, cache = self.extend_paged(
-            jnp.asarray(np.asarray(key, np.int32).reshape(1, -1)),
-            tuple((pk, pv, jnp.asarray(tab)) for pk, pv in self._pools),
-            jnp.zeros(1, jnp.int32))
-        self._set_pools(cache)
+        # build in prefill_chunk pieces like any other ingest: a long
+        # shared system prompt must not re-create the one-shot prefill
+        # score-memory peak the chunk bound exists for
+        c = self.prefill_chunk or len(key)
+        toks = np.asarray(key, np.int32)
+        for off in range(0, len(key), c):
+            _, cache = self.extend_paged(
+                jnp.asarray(toks[off:off + c].reshape(1, -1)),
+                tuple((pk, pv, jnp.asarray(tab))
+                      for pk, pv in self._pools),
+                jnp.asarray([off], np.int32))
+            self._set_pools(cache)
         self._prefix_pages[key] = pages
         return pages
 
@@ -829,13 +857,16 @@ class PagedLMServer:
                                 else st["top_p"])
             drawn = device_sample(logits_dev, keys, pos.copy(), temp,
                                   topk, topp)
+            # logprob rows fetch lazily and TOGETHER (one gather, not
+            # one round-trip per row)
+            lp_rows = [s for s in live if slots[s]["lps"] is not None]
+            lp_np = (np.asarray(logits_dev[jnp.asarray(lp_rows)])
+                     if lp_rows else None)
             for s in live:
                 st = slots[s]
                 if st["lps"] is not None:
-                    # logprob rows fetch lazily — only requests that
-                    # asked pay the [V] transfer
                     st["lps"].append(token_logprob(
-                        np.asarray(logits_dev[s]), int(drawn[s, 0])))
+                        lp_np[lp_rows.index(s)], int(drawn[s, 0])))
                 pos[s] += 1
                 push(s, st, drawn[s:s + 1])
 

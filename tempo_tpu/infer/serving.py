@@ -561,6 +561,18 @@ class LMServer:
                 raise ValueError(
                     f"request {i}: beam_width does not compose with "
                     f"prefix caching yet")
+            # refuse rather than silently mis-serve: per-request early
+            # stops and logprobs need per-slot bookkeeping — that is
+            # the slot schedulers' job (continuous/online/paged/
+            # speculative); the bucketed chains share one position
+            # counter ('eos' is honored inside beam requests only)
+            for key in (("stop", "logprobs") if req.get("beam_width")
+                        else ("stop", "logprobs", "eos")):
+                if req.get(key):
+                    raise ValueError(
+                        f"request {i}: {key!r} is not supported by the "
+                        "bucketed scheduler — use scheduler: continuous "
+                        "(or online/paged/speculative)")
             beam = None
             if req.get("beam_width"):
                 beam = (int(req["beam_width"]), req.get("eos"),
@@ -614,34 +626,14 @@ class LMServer:
         return self.serve_requests(requests, default_new_tokens)
 
 
-class LMEngine:
-    """Incremental form of ContinuousLMServer's scheduling loop — the
-    piece that makes the continuous batch ONLINE: requests may be
-    submitted while the pool is mid-decode and join the running batch at
-    the next admission sweep (a freed slot), exactly how production
-    continuous-batching hosts work. One `step()` = one admission sweep +
-    one decode dispatch (fused K-token when eligible, per-token
-    otherwise). ContinuousLMServer.serve is submit-all + drain over this
-    engine, so every closed-batch equality pin in test_export.py pins
-    the engine's scheduling too; mid-flight admission adds no new
-    numerics (per-row cache scatter + per-row absolute mask keep rows
-    independent — the same argument as admit-on-free). NOT thread-safe:
-    OnlineLMServer serializes access."""
-
-    def __init__(self, server: "ContinuousLMServer",
-                 default_new_tokens: int = 64):
-        self.s = server
-        self.default_new_tokens = int(default_new_tokens)
-        b = server.n_slots
-        self.slots: List[Optional[Dict[str, Any]]] = [None] * b
-        self.pos = np.zeros(b, np.int32)
-        self.toks = np.zeros((b, 1), np.int32)
-        _, self.cache = server.prefill(jnp.zeros((b, 1), jnp.int32))
-        self.pending: List[tuple] = []  # FIFO of (ticket, req, n_tokens)
-        self.finished: Dict[int, Dict[str, Any]] = {}
-        self._ticket = 0
-        self.decode_steps = 0
-        self.prefills = 0
+class _TicketEngine:
+    """Shared ticket plumbing for the decode engines (LMEngine and
+    SpecLMEngine): validated submission with zero-budget short-circuit,
+    work detection, and cancellation (pending requests never run;
+    active ones finalize with their partial tokens, response flagged
+    `cancelled: true`). Subclasses provide `s` (the server), `pending`,
+    `finished`, `slots`, `_ticket`, `default_new_tokens`, and
+    `_finalize`."""
 
     def submit(self, req: Dict[str, Any]) -> int:
         """Validate + enqueue; returns a ticket to look up in
@@ -682,6 +674,37 @@ class LMEngine:
                 self._finalize(s)
                 return True
         return False
+
+
+
+class LMEngine(_TicketEngine):
+    """Incremental form of ContinuousLMServer's scheduling loop — the
+    piece that makes the continuous batch ONLINE: requests may be
+    submitted while the pool is mid-decode and join the running batch at
+    the next admission sweep (a freed slot), exactly how production
+    continuous-batching hosts work. One `step()` = one admission sweep +
+    one decode dispatch (fused K-token when eligible, per-token
+    otherwise). ContinuousLMServer.serve is submit-all + drain over this
+    engine, so every closed-batch equality pin in test_export.py pins
+    the engine's scheduling too; mid-flight admission adds no new
+    numerics (per-row cache scatter + per-row absolute mask keep rows
+    independent — the same argument as admit-on-free). NOT thread-safe:
+    OnlineLMServer serializes access."""
+
+    def __init__(self, server: "ContinuousLMServer",
+                 default_new_tokens: int = 64):
+        self.s = server
+        self.default_new_tokens = int(default_new_tokens)
+        b = server.n_slots
+        self.slots: List[Optional[Dict[str, Any]]] = [None] * b
+        self.pos = np.zeros(b, np.int32)
+        self.toks = np.zeros((b, 1), np.int32)
+        _, self.cache = server.prefill(jnp.zeros((b, 1), jnp.int32))
+        self.pending: List[tuple] = []  # FIFO of (ticket, req, n_tokens)
+        self.finished: Dict[int, Dict[str, Any]] = {}
+        self._ticket = 0
+        self.decode_steps = 0
+        self.prefills = 0
 
 
     def _finalize(self, s: int) -> None:
@@ -837,18 +860,22 @@ class LMEngine:
             topp[s] = float(1.0 if st["top_p"] is None else st["top_p"])
         drawn = device_sample(logits_dev, keys, pos.copy(), temp, topk,
                               topp)
+        # logprob rows fetch lazily and TOGETHER — only requests that
+        # asked pay the [V] transfer, and N of them pay one gather, not
+        # N round-trips
+        lp_rows = [s for s in active if slots[s]["lps"] is not None]
+        lp_np = (np.asarray(logits_dev[jnp.asarray(lp_rows)])
+                 if lp_rows else None)
         for s in active:
             st = slots[s]
             if st["lps"] is not None:
-                # logprob rows fetch lazily — only requests that asked
-                # pay the [V] transfer
                 st["lps"].append(token_logprob(
-                    np.asarray(logits_dev[s]), int(drawn[s, 0])))
+                    lp_np[lp_rows.index(s)], int(drawn[s, 0])))
             pos[s] += 1
             self._push(s, st, drawn[s:s + 1])
 
 
-class SpecLMEngine:
+class SpecLMEngine(_TicketEngine):
     """Stepper form of the speculative x continuous composition — the
     same submit/has_work/step/finished surface as LMEngine, so
     OnlineLMServer drives draft/verify pools exactly like plain
@@ -898,44 +925,6 @@ class SpecLMEngine:
     @property
     def decode_steps(self) -> int:
         return self.rounds
-
-    def submit(self, req: Dict[str, Any]) -> int:
-        self.s._validate([req], self.default_new_tokens)
-        t = self._ticket
-        self._ticket += 1
-        n_tokens = int(req.get("n_tokens", self.default_new_tokens))
-        if n_tokens <= 0:
-            self.finished[t] = {"tokens": [], "n_prompt":
-                                len(req["tokens"]), "n_generated": 0,
-                                "slot": -1, "stopped_early": False}
-        else:
-            self.pending.append((t, req, n_tokens))
-        return t
-
-    def has_work(self) -> bool:
-        return bool(self.pending) or any(
-            st is not None for st in self.slots)
-
-    def cancel(self, ticket: int) -> bool:
-        """Cancel a submitted request: a pending one never runs; an
-        active one finalizes immediately with the tokens generated so
-        far. Either way the ticket's response exists afterwards and
-        carries `cancelled: true`. Finished tickets are left untouched
-        (returns False)."""
-        for i, (t, req, n) in enumerate(self.pending):
-            if t == ticket:
-                self.pending.pop(i)
-                self.finished[ticket] = {
-                    "tokens": [], "n_prompt": len(req["tokens"]),
-                    "n_generated": 0, "slot": -1,
-                    "stopped_early": False, "cancelled": True}
-                return True
-        for s, st in enumerate(self.slots):
-            if st is not None and st["ticket"] == ticket:
-                st["cancelled"] = True
-                self._finalize(s)
-                return True
-        return False
 
 
     def _finalize(self, s: int) -> None:
@@ -1134,18 +1123,19 @@ class ContinuousLMServer:
     same-length bucketing, no convoy effect: mixed prompt lengths and
     mixed generation lengths share one device batch.
 
-    Numerics: identical to per-request `generate_batch` for greedy
-    decoding (per-row cache scatter + per-row absolute-position mask keep
-    rows independent; pinned by test_export.py). Sampled requests get a
-    per-request numpy Generator seeded by their own `seed`.
+    Numerics: identical to per-request `generate_batch` — greedy AND
+    sampled (per-row cache scatter + per-row absolute-position mask
+    keep rows independent; sampled rows draw the canonical device
+    stream, a pure function of (seed, prompt, positions); pinned by
+    test_export.py).
 
     Speculation composes (`draft_dir` + `k_draft` > 0): every slot runs
-    the draft/verify loop of SpeculativeLMServer, but batched — the
+    the draft/verify loop batched through a SpecLMEngine — the
     `extend_rows` artifact verifies each row's k-token draft block at the
     row's OWN absolute position, so rows that accept different lengths
     stay in one device batch (the de-sync that forced SpeculativeLMServer
-    to batch 1). Greedy output stays exactly the target-only sequence;
-    sampled rows keep the Leviathan rejection-sampling guarantee per row.
+    to batch 1). Acceptance is against the canonical stream, so greedy
+    AND sampled outputs stay exactly the target-only sequences.
     """
 
     def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
@@ -1215,10 +1205,17 @@ class ContinuousLMServer:
                 raise ValueError(f"request {i}: missing 'tokens'")
             t = len(req["tokens"])
             n = int(req.get("n_tokens", default_new_tokens))
-            if t + n > self.window:
+            # speculative verify writes up to k_draft positions past the
+            # last committed token (rejected-draft KV): beyond-window
+            # writes would CLAMP in the cache scatter and overwrite
+            # committed positions' KV, silently corrupting output —
+            # budget the slack up front like the paged scheduler does
+            slack = self.k_draft if self.draft is not None else 0
+            if t + n + slack > self.window:
                 raise ValueError(
-                    f"request {i}: prompt {t} + {n} new tokens exceeds the "
-                    f"exported serving window {self.window}")
+                    f"request {i}: prompt {t} + {n} new tokens "
+                    + (f"+ {slack} draft slack " if slack else "")
+                    + f"exceeds the exported serving window {self.window}")
             toks = np.asarray(req["tokens"], np.int64)
             if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
                 raise ValueError(
@@ -1383,7 +1380,10 @@ class SpeculativeLMServer:
     def _generate(self, prompt: Sequence[int], n_tokens: int,
                   temperature: float, top_k: Optional[int],
                   key: np.ndarray,
-                  top_p: Optional[float] = None) -> tuple:
+                  top_p: Optional[float] = None,
+                  eos: Optional[int] = None,
+                  stops: Sequence[tuple] = (),
+                  want_lps: bool = False) -> tuple:
         t = len(prompt)
         prompt_arr = jnp.asarray(np.asarray(prompt, np.int32).reshape(1, -1))
         c = self.prefill_chunk
@@ -1396,13 +1396,23 @@ class SpeculativeLMServer:
         first = self._draw(np.asarray(tg_logits[:, -1]), key, t - 1,
                            temperature, top_k, top_p)
         all_toks = list(map(int, prompt)) + [int(first[0])]
-        out = [int(first[0])]
+        # eos/stop/logprobs bookkeeping shares the slot-scheduler
+        # helpers: `st` mirrors the engines' slot dict shape
+        st = {"out": [int(first[0])], "remaining": n_tokens - 1,
+              "eos_hit": False, "stops": list(stops)}
+        lps = ([token_logprob(np.asarray(tg_logits[0, -1]),
+                              int(first[0]))] if want_lps else None)
+        if eos is not None and int(first[0]) == eos:
+            st["eos_hit"] = True
+            st["remaining"] = 0
+        check_stops(st)
+        out = st["out"]
         dr_done = t  # draft cache is correct through position dr_done-1
         rounds = drafted = accepted = 0
 
-        while len(out) < n_tokens:
+        while st["remaining"] > 0:
             n_committed = len(all_toks)  # target cache correct to n-2
-            k = min(self.k_draft, n_tokens - len(out))
+            k = min(self.k_draft, st["remaining"])
 
             # draft phase: sync the draft cache (committed tokens it has
             # not seen — the round's correction token, plus d_k after a
@@ -1450,22 +1460,36 @@ class SpeculativeLMServer:
             next_tok = int(draws[j])
             accepted += j
             commit = drafts[:j] + [next_tok]
-            out.extend(commit)
-            all_toks.extend(commit)
+            for i, tok in enumerate(commit):
+                if lps is not None:
+                    lps.append(token_logprob(logits_np[i], tok))
+                st["out"].append(tok)
+                st["remaining"] -= 1
+                all_toks.append(tok)
+                if eos is not None and tok == eos:
+                    st["eos_hit"] = True
+                    st["remaining"] = 0
+                check_stops(st)
+                if st["remaining"] <= 0:
+                    break
             # drafts beyond d_{k-1} were never fed to the draft cache
             dr_done = n_committed + min(j, k - 1)
             rounds += 1
 
         stats = {"rounds": rounds, "drafted": drafted, "accepted": accepted,
                  "target_passes": rounds + 1}
-        return out[:n_tokens], stats
+        return (out[:n_tokens], stats, st["eos_hit"],
+                None if lps is None else lps[:len(out)])
 
     def serve_requests(self, requests: Sequence[Dict[str, Any]],
                        default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """requests: dicts with 'tokens' and optional 'n_tokens',
-        'temperature', 'top_k', 'top_p', 'seed'. Served one request at
-        a time
-        (speculation de-syncs a shared batch); responses in order."""
+        'temperature', 'top_k', 'top_p', 'seed', 'eos' (kept), 'stop'
+        (multi-token sequences, excluded) and 'logprobs' (the verify
+        pass already holds every committed token's target logits, so
+        they are free). Served one request at a time (speculation
+        de-syncs a shared batch — the batched form is
+        ContinuousLMServer(draft_dir=...)); responses in order."""
         responses: List[Dict[str, Any]] = []
         totals = {"rounds": 0, "drafted": 0, "accepted": 0,
                   "target_passes": 0, "n_generated": 0}
@@ -1475,6 +1499,10 @@ class SpeculativeLMServer:
                 raise ValueError(f"request {i}: missing 'tokens'")
             toks = np.asarray(req["tokens"], np.int64)
             n = int(req.get("n_tokens", default_new_tokens))
+            # no k_draft slack needed HERE: the batch-1 round loop
+            # shrinks its draft depth to min(k_draft, remaining), so the
+            # verify block never writes past t+n-1 (the batched engines
+            # share one fixed-width block and must budget the slack)
             if len(req["tokens"]) + n > self.window:
                 raise ValueError(
                     f"request {i}: prompt {len(req['tokens'])} + {n} new "
@@ -1483,24 +1511,35 @@ class SpeculativeLMServer:
             if toks.size and (toks.min() < 0 or toks.max() >= self.vocab):
                 raise ValueError(
                     f"request {i}: token ids outside [0, {self.vocab})")
+            try:
+                stops = parse_stops(req, self.vocab)
+            except ValueError as exc:
+                raise ValueError(f"request {i}: {exc}") from None
             if n <= 0:
                 responses.append({"tokens": [], "n_prompt": len(req["tokens"]),
                                   "n_generated": 0, "rounds": 0,
+                                  "stopped_early": False,
                                   "accept_rate": None})
                 continue
             key = np.asarray(jax.random.PRNGKey(int(req.get("seed", 0))),
                              np.uint32)
-            out, stats = self._generate(
+            out, stats, eos_hit, lps = self._generate(
                 req["tokens"], n, float(req.get("temperature", 0.0)),
-                req.get("top_k"), key, top_p=req.get("top_p"))
-            responses.append({
+                req.get("top_k"), key, top_p=req.get("top_p"),
+                eos=req.get("eos"), stops=stops,
+                want_lps=bool(req.get("logprobs")))
+            resp = {
                 "tokens": out,
                 "n_prompt": len(req["tokens"]),
                 "n_generated": len(out),
                 "rounds": stats["rounds"],
+                "stopped_early": eos_hit,
                 "accept_rate": (round(stats["accepted"] / stats["drafted"], 4)
                                 if stats["drafted"] else None),
-            })
+            }
+            if lps is not None:
+                resp["logprobs"] = lps
+            responses.append(resp)
             for key in totals:
                 if key != "n_generated":
                     totals[key] += stats[key]

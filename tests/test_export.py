@@ -1049,6 +1049,27 @@ def test_lm_export_speculative_sampled(tmp_path, tiny_lm, draft_lm):
     assert r["accept_rate"] == 1.0
     assert r["tokens"] == want[0].tolist()
 
+    # eos / stop / logprobs through the batch-1 speculative server:
+    # same truncation and values as the continuous scheduler
+    from tempo_tpu.infer.serving import ContinuousLMServer
+    greq = {"tokens": [3, 1, 4, 1, 5], "n_tokens": 10}
+    base = ContinuousLMServer(out, n_slots=2).serve([greq])[0]
+    eos = base["tokens"][4]
+    r = server.serve([dict(greq, eos=eos)])[0]
+    first = base["tokens"].index(eos) + 1
+    assert r["tokens"] == base["tokens"][:first] and r["stopped_early"]
+    stop = base["tokens"][2:4]
+    i0 = next(i for i in range(len(base["tokens"]) - 1)
+              if base["tokens"][i:i + 2] == stop)
+    r = server.serve([dict(greq, stop=stop)])[0]
+    assert r["tokens"] == base["tokens"][:i0] and r["stopped_early"]
+    b_lp = ContinuousLMServer(out, n_slots=2).serve(
+        [dict(greq, logprobs=True)])[0]
+    r = server.serve([dict(greq, logprobs=True)])[0]
+    assert r["tokens"] == b_lp["tokens"]
+    np.testing.assert_allclose(r["logprobs"], b_lp["logprobs"],
+                               rtol=1e-5, atol=1e-6)
+
     with pytest.raises(ValueError, match="serving window"):
         server.serve([{"tokens": [1] * 30, "n_tokens": 6}])
     with pytest.raises(ValueError, match="token ids"):
@@ -1149,6 +1170,15 @@ def test_continuous_speculative_sampled_reproducible(tmp_path, tiny_lm,
     # the cross-scheduler sampled-equality pin now covers speculation
     plain = ContinuousLMServer(out, n_slots=2).serve(reqs)
     assert [r["tokens"] for r in r1] == [r["tokens"] for r in plain]
+
+    # window-flush requests are REFUSED under the batched draft/verify
+    # engines: the fixed-width verify block writes rejected-draft KV up
+    # to k_draft positions past the last committed token, and a
+    # beyond-window write would clamp onto committed KV (regression:
+    # caught by review; the paged scheduler gained this guard first)
+    import pytest
+    with pytest.raises(ValueError, match="draft slack"):
+        server.serve([{"tokens": [1] * 12, "n_tokens": 20}])
 
     # 'stop' and 'logprobs' compose with the draft/verify rounds
     base = plain[0]["tokens"]
