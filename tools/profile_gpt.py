@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--medium", action="store_true",
+                    help="GPT-2-medium (24L/16H/1024d) with remat + "
+                         "bf16 first moment — the scale-MFU probe")
     args = ap.parse_args()
 
     import optax
@@ -33,9 +36,16 @@ def main() -> None:
     from tempo_tpu.nn.transformer import (Transformer, TransformerConfig,
                                           make_gpt_optimizer)
 
-    cfg = TransformerConfig(in_size=50304, block_size=args.seq, n_layer=12,
-                            n_head=12, n_embd=768, rope=False,
-                            compute_dtype="bfloat16")
+    if args.medium:
+        cfg = TransformerConfig(in_size=50304, block_size=args.seq,
+                                n_layer=24, n_head=16, n_embd=1024,
+                                rope=False, compute_dtype="bfloat16",
+                                remat=True)
+    else:
+        cfg = TransformerConfig(in_size=50304, block_size=args.seq,
+                                n_layer=12,
+                                n_head=12, n_embd=768, rope=False,
+                                compute_dtype="bfloat16")
     model = Transformer(cfg)
     tokens = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.in_size, (args.batch, args.seq + 1), dtype=np.int32))
@@ -43,7 +53,9 @@ def main() -> None:
     init_fn = jax.jit(lambda k, t: model.init(k, t)["params"])
     params = init_fn(jax.random.PRNGKey(0), tokens[:1, :-1])
     tx = make_gpt_optimizer(params, weight_decay=0.1, learning_rate=3e-4,
-                            betas=(0.9, 0.95))
+                            betas=(0.9, 0.95),
+                            moments_dtype=("bfloat16" if args.medium
+                                           else None))
 
     def loss_fn(p, tok):
         from tempo_tpu.ops.losses import lm_cross_entropy
