@@ -704,6 +704,7 @@ class LMEngine(_TicketEngine):
         self.finished: Dict[int, Dict[str, Any]] = {}
         self._ticket = 0
         self.decode_steps = 0
+        self.decode_bursts = 0  # host syncs on the fused path
         self.prefills = 0
 
 
@@ -808,10 +809,24 @@ class LMEngine(_TicketEngine):
             # chunk of writes. Sampled slots draw the same canonical
             # stream either way (see device_sample), so the fallback
             # emits identical tokens.
-            if all_greedy:
-                chunk, lps, self.cache = self.s.decode_k_rows(
-                    jnp.asarray(toks), self.cache, jnp.asarray(pos))
-            else:
+            #
+            # DRAIN CHAINING: when nothing is waiting to admit, every
+            # active slot's budget survives the extra chunks, and the
+            # window allows the writes, dispatch several chunks
+            # back-to-back feeding each chunk's DEVICE token slice into
+            # the next — the host pays one sync per BURST instead of
+            # per chunk (jax async dispatch queues the rest). Token
+            # streams are unchanged (the canonical stream is
+            # chunk-boundary invariant); an unpredictable eos/stop
+            # mid-burst just discards the tail like any over-decode.
+            chains = 1
+            while (chains < 4 and not self.pending
+                   and all(slots[s]["remaining"] > chains * k
+                           for s in active)
+                   and all(pos[s] + (chains + 1) * k <= self.s.window
+                           for s in active)):
+                chains += 1
+            if not all_greedy:
                 keys = np.zeros((b, 2), np.uint32)
                 temp = np.zeros(b, np.float32)
                 topk = np.zeros(b, np.int32)
@@ -823,22 +838,37 @@ class LMEngine(_TicketEngine):
                     topk[s] = int(st["top_k"] or 0)
                     topp[s] = float(1.0 if st["top_p"] is None
                                     else st["top_p"])
-                chunk, lps, self.cache = self.s.decode_k_sample(
-                    jnp.asarray(toks), self.cache, jnp.asarray(pos),
-                    jnp.asarray(keys), jnp.asarray(temp),
-                    jnp.asarray(topk), jnp.asarray(topp))
-            chunk_np = np.asarray(chunk)
-            lps_np = None if lps is None else np.asarray(lps)
-            self.decode_steps += 1
-            for s in active:
-                st = slots[s]
-                for j in range(k):
-                    pos[s] += 1
-                    if st["lps"] is not None:
-                        st["lps"].append(float(lps_np[s, j]))
-                    self._push(s, st, chunk_np[s:s + 1, j:j + 1])
-                    if slots[s] is None:
-                        break
+            burst = []
+            tok_dev = jnp.asarray(toks)
+            pos_base = pos.copy()
+            for c in range(chains):
+                pos_c = jnp.asarray(pos_base + c * k)
+                if all_greedy:
+                    chunk, lps, self.cache = self.s.decode_k_rows(
+                        tok_dev, self.cache, pos_c)
+                else:
+                    chunk, lps, self.cache = self.s.decode_k_sample(
+                        tok_dev, self.cache, pos_c,
+                        jnp.asarray(keys), jnp.asarray(temp),
+                        jnp.asarray(topk), jnp.asarray(topp))
+                burst.append((chunk, lps))
+                tok_dev = chunk[:, -1:]  # device slice — no host sync
+            self.decode_steps += chains
+            self.decode_bursts += 1
+            for chunk, lps in burst:
+                chunk_np = np.asarray(chunk)
+                lps_np = None if lps is None else np.asarray(lps)
+                for s in active:
+                    st = slots[s]
+                    if st is None:
+                        continue  # finished in an earlier burst chunk
+                    for j in range(k):
+                        pos[s] += 1
+                        if st["lps"] is not None:
+                            st["lps"].append(float(lps_np[s, j]))
+                        self._push(s, st, chunk_np[s:s + 1, j:j + 1])
+                        if slots[s] is None:
+                            break
             return
         logits, self.cache = self.s.decode_rows(
             jnp.asarray(toks), self.cache, jnp.asarray(pos))
@@ -1248,6 +1278,7 @@ class ContinuousLMServer:
         n_generated = sum(r["n_generated"] for r in responses)
         self.last_stats = {
             "decode_steps": eng.decode_steps,
+            "decode_bursts": eng.decode_bursts,
             "prefills": eng.prefills,
             "n_requests": len(requests),
             "n_slots": self.n_slots,

@@ -848,6 +848,35 @@ def test_continuous_k_decode_matches_per_token(tmp_path, tiny_lm):
         ContinuousLMServer(out, n_slots=2, k_decode=4)
 
 
+def test_drain_chaining_matches_unchained(tmp_path, tiny_lm):
+    """Burst chaining: with nothing pending the fused engine dispatches
+    several chunks back-to-back (device token slices feed the next
+    chunk; one host sync per burst). Outputs — greedy and sampled —
+    are bit-identical to the unchained chunked path (the canonical
+    stream is chunk-boundary invariant), and the sync count drops."""
+    from tempo_tpu.infer.serving import ContinuousLMServer, LMServer
+
+    out, model, params, cfg = tiny_lm
+    solo = LMServer(out)
+    srv = ContinuousLMServer(out, n_slots=2, k_decode=8)
+    reqs = [{"tokens": [7, 7], "n_tokens": 25},
+            {"tokens": [3, 1], "n_tokens": 25,
+             "temperature": 1.0, "top_k": 5, "seed": 11}]
+    got = srv.serve(reqs)
+    for req, r in zip(reqs, got):
+        want = solo.generate_batch(
+            np.asarray([req["tokens"]], np.int32), req["n_tokens"],
+            temperature=float(req.get("temperature", 0.0)),
+            top_k=req.get("top_k"), seed=int(req.get("seed", 0)))
+        assert r["tokens"] == want[0].tolist()
+    stats = srv.last_stats
+    # 24 post-prefill tokens / 8-chunks = 3 decode dispatches, but the
+    # burst gate (remaining > c*8, window 2+(c+1)*8 <= 32) chains 2 of
+    # them into one sync: fewer bursts than dispatches
+    assert stats["decode_steps"] == 3
+    assert stats["decode_bursts"] < stats["decode_steps"]
+
+
 def test_decode_k_sample_policy_support(tmp_path, tiny_lm):
     """The on-device support truncation (truncate_support_rows) keeps
     exactly the host policy's support (serving.policy_probs: top-k then
