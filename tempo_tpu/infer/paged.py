@@ -434,6 +434,7 @@ class PagedLMServer:
 
         t_start = time.perf_counter()
         decode_steps = prefills = preemptions = 0
+        decode_bursts = 0  # host syncs on the fused path
         rounds = drafted = accepted = 0
         peak_pages = 0
         hits0 = self._prefix_hits  # report per-call registry hits
@@ -781,6 +782,37 @@ class PagedLMServer:
                 # (pos+K-1)//page. Mixed greedy/sampled pools ride the
                 # sampled artifact (device threefry streams, chunk- and
                 # pool-invariant); all-greedy pools the cheaper one.
+                #
+                # DRAIN CHAINING (see LMEngine.step): with nothing
+                # pending, budgets surviving, window room, AND the
+                # burst's extra pages free WITHOUT preemption (never
+                # preempt an active row to speculate further ahead),
+                # dispatch several chunks back-to-back on device token
+                # slices — one host sync per burst.
+                chains = 1
+                while (chains < 4 and not pending
+                       and all(slots[s]["remaining"] > chains * k
+                               for s in active if slots[s] is not None)
+                       and all(pos[s] + (chains + 1) * k <= self.window
+                               for s in active
+                               if slots[s] is not None)):
+                    chains += 1
+
+                def burst_pages(extra_k: int) -> int:
+                    need = 0
+                    for s in active:
+                        if slots[s] is None:
+                            continue
+                        for j in range(int(pos[s]) // self.page,
+                                       (int(pos[s]) + extra_k - 1)
+                                       // self.page + 1):
+                            if table[s, j] == TRASH_PAGE:
+                                need += 1
+                    return need
+
+                while chains > 1 and burst_pages(chains * k) > \
+                        self.pool.n_free:
+                    chains -= 1
                 for s in active:
                     if slots[s] is None:
                         # a preceding ensure_page preempted this slot:
@@ -788,16 +820,15 @@ class PagedLMServer:
                         # would leak unevictable pages
                         continue
                     for j in range(int(pos[s]) // self.page,
-                                   (int(pos[s]) + k - 1) // self.page + 1):
+                                   (int(pos[s]) + chains * k - 1)
+                                   // self.page + 1):
                         ensure_page(s, j)
                 active = [s for s in range(b) if slots[s] is not None]
                 peak_pages = max(peak_pages,
                                  self.pool.n_usable - self.pool.n_free)
-                if all(slots[s]["temperature"] == 0.0 for s in active):
-                    chunk, lps, cache = self.decode_paged_k(
-                        jnp.asarray(toks), self._cache(table),
-                        jnp.asarray(pos))
-                else:
+                all_g = all(slots[s]["temperature"] == 0.0
+                            for s in active)
+                if not all_g:
                     keys = np.zeros((b, 2), np.uint32)
                     temp = np.zeros(b, np.float32)
                     topk = np.zeros(b, np.int32)
@@ -809,24 +840,38 @@ class PagedLMServer:
                         topk[s] = int(st["top_k"] or 0)
                         topp[s] = float(1.0 if st["top_p"] is None
                                         else st["top_p"])
-                    chunk, lps, cache = self.decode_paged_k_sample(
-                        jnp.asarray(toks), self._cache(table),
-                        jnp.asarray(pos), jnp.asarray(keys),
-                        jnp.asarray(temp), jnp.asarray(topk),
-                        jnp.asarray(topp))
-                self._set_pools(cache)
-                chunk_np = np.asarray(chunk)
-                lps_np = None if lps is None else np.asarray(lps)
-                decode_steps += 1
-                for s in active:
-                    st = slots[s]
-                    for j in range(k):
-                        pos[s] += 1
-                        if st["lps"] is not None:
-                            st["lps"].append(float(lps_np[s, j]))
-                        push(s, st, chunk_np[s:s + 1, j:j + 1])
-                        if slots[s] is None:
-                            break
+                burst = []
+                tok_dev = jnp.asarray(toks)
+                pos_base = pos.copy()
+                for c in range(chains):
+                    pos_c = jnp.asarray(pos_base + c * k)
+                    if all_g:
+                        chunk, lps, cache = self.decode_paged_k(
+                            tok_dev, self._cache(table), pos_c)
+                    else:
+                        chunk, lps, cache = self.decode_paged_k_sample(
+                            tok_dev, self._cache(table), pos_c,
+                            jnp.asarray(keys), jnp.asarray(temp),
+                            jnp.asarray(topk), jnp.asarray(topp))
+                    self._set_pools(cache)
+                    burst.append((chunk, lps))
+                    tok_dev = chunk[:, -1:]  # device slice — no sync
+                decode_steps += chains
+                decode_bursts += 1
+                for chunk, lps in burst:
+                    chunk_np = np.asarray(chunk)
+                    lps_np = None if lps is None else np.asarray(lps)
+                    for s in active:
+                        st = slots[s]
+                        if st is None:
+                            continue  # finished earlier in the burst
+                        for j in range(k):
+                            pos[s] += 1
+                            if st["lps"] is not None:
+                                st["lps"].append(float(lps_np[s, j]))
+                            push(s, st, chunk_np[s:s + 1, j:j + 1])
+                            if slots[s] is None:
+                                break
                 continue
 
             # the coming dispatch writes each active row at pos[s]
@@ -875,6 +920,7 @@ class PagedLMServer:
                           if r is not None)
         self.last_stats = {
             "decode_steps": decode_steps,
+            "decode_bursts": decode_bursts,
             "prefills": prefills,
             "preemptions": preemptions,
             "peak_pages": peak_pages,

@@ -608,6 +608,33 @@ def test_live_surface_matches_artifacts(paged_lm):
     assert [r["tokens"] for r in live] == [r["tokens"] for r in base]
 
 
+def test_paged_drain_chaining_matches_dense(paged_lm):
+    """Drain chaining over the paged pool: with nothing pending and
+    pages free, several fused chunks dispatch per host sync (pages
+    pre-reserved for the whole burst WITHOUT preemption); outputs stay
+    identical to the dense continuous server, greedy and sampled."""
+    from tempo_tpu.infer.paged import PagedLMServer
+    from tempo_tpu.infer.serving import ContinuousLMServer
+
+    reqs = [{"tokens": [7, 7], "n_tokens": 25},
+            {"tokens": [3, 1], "n_tokens": 25,
+             "temperature": 1.0, "top_k": 5, "seed": 11}]
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve(reqs)
+    srv = PagedLMServer(paged_lm, n_slots=2, k_decode=4)
+    got = srv.serve(reqs)
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+    stats = srv.last_stats
+    assert stats["decode_bursts"] < stats["decode_steps"]
+
+    # a tight pool limits the burst's page appetite but never corrupts:
+    # outputs unchanged
+    tight = PagedLMServer(paged_lm, n_slots=2, n_pages=6, k_decode=4)
+    got = tight.serve(reqs)
+    for rb, rp in zip(base, got):
+        assert rb["tokens"] == rp["tokens"]
+
+
 def test_paged_stop_sequences(paged_lm):
     """Multi-token 'stop' through the paged scheduler (incl. the fused
     chunked path): same truncation as the dense continuous server."""
