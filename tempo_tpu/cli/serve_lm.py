@@ -29,9 +29,11 @@ Two schedulers (infer/serving.py):
 The rungs are ORTHOGONAL: `prefill_chunk` (long prompts) applies to
 every scheduler; `draft_artifacts` + `k_draft` (speculation) compose
 with continuous, paged, and online; `k_decode` (fused chunks) with
-bucketed, continuous, paged, and online; `logprobs` requests ride the
-fused chunks everywhere. The only exclusion is k_decode vs k_draft —
-alternative decode loops for the same dispatch budget.
+bucketed, continuous, paged, and online; `online` with continuous AND
+paged (each engine is a stepper the threaded front drives); `logprobs`
+requests ride the fused chunks everywhere. The only exclusion is
+k_decode vs k_draft — alternative decode loops for the same dispatch
+budget.
 
 Two modes over either scheduler:
 
@@ -52,8 +54,8 @@ Two modes over either scheduler:
   canonical-stream contract) returning choices + usage counts.
   Single-threaded by default (the
   chip is single-tenant and a closed batch decodes sequentially). With
-  `online: true` (continuous scheduler, optionally with speculation)
-  the endpoint becomes a
+  `online: true` (continuous or paged scheduler, optionally with
+  speculation) the endpoint becomes a
   TRUE online server: a ThreadingHTTPServer front + OnlineLMServer —
   concurrent POSTs from different clients join one running device
   batch mid-flight (a freed slot admits the next queued request
@@ -82,10 +84,12 @@ Config:
                                     #   alternative to k_draft)
   n_pages: 0                        # paged scheduler: physical pool pages
                                     #   (0 = dense-equivalent capacity)
-  online: false                     # http + continuous: OnlineLMServer —
-                                    #   concurrent POSTs share one running
-                                    #   batch (threaded endpoint); composes
-                                    #   with k_decode OR draft speculation
+  online: false                     # http + continuous/paged:
+                                    #   OnlineLMServer — concurrent POSTs
+                                    #   share one running batch (threaded
+                                    #   endpoint); composes with k_decode
+                                    #   OR draft speculation, and with the
+                                    #   paged pool (n_pages)
   prefill_chunk: 0                  # >0: prefill long prompts in chunks of
                                     #   this size via the `extend` (dense) /
                                     #   extend_paged (paged) artifact
@@ -305,14 +309,15 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
     scheduler = str(config.get("scheduler", "bucketed"))
     chunk = int(config.get("prefill_chunk", 0)) or None
     online = bool(config.get("online", False))
-    if online and scheduler != "continuous":
-        raise ValueError("FATAL: online: true is the continuous "
-                         "scheduler's open-world mode")
+    if online and scheduler not in ("continuous", "paged"):
+        raise ValueError("FATAL: online: true is the open-world mode of "
+                         "the continuous and paged schedulers")
     if online:
         from tempo_tpu.infer.serving import OnlineLMServer
 
         # draft_artifacts + k_draft > 0: concurrent callers join one
-        # running SPECULATIVE batch (SpecLMEngine behind the front)
+        # running SPECULATIVE batch (SpecLMEngine / PagedLMEngine
+        # behind the front)
         draft = None
         k_draft = int(config.get("k_draft", 0))
         if config.get("draft_artifacts") and k_draft > 0:
@@ -325,6 +330,8 @@ def main(config_path: str, overwrite: bool = False, debug: bool = False) -> None
             prefill_chunk=chunk,
             k_decode=int(config.get("k_decode", 0)),
             draft_dir=draft, k_draft=k_draft,
+            scheduler=scheduler,
+            n_pages=int(config.get("n_pages", 0)),
             default_new_tokens=int(config.get("default_n_tokens", 64)))
     elif scheduler == "continuous":
         # draft_artifacts + k_draft > 0 compose speculation into the

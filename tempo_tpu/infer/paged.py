@@ -50,7 +50,8 @@ from tempo_tpu.infer.export_lm import (load_exported_continuous,
                                         load_exported_extend_rows,
                                         load_exported_paged,
                                         load_exported_paged_k)
-from tempo_tpu.infer.serving import (check_stops, device_sample,
+from tempo_tpu.infer.serving import (_TicketEngine, check_stops,
+                                      device_sample,
                                       parse_stops, spec_draw_block,
                                       token_logprob)
 
@@ -403,546 +404,569 @@ class PagedLMServer:
               default_new_tokens: int = 64) -> List[Dict[str, Any]]:
         """Same request/response contract as ContinuousLMServer.serve
         ('tokens' + optional 'n_tokens'/'temperature'/'top_k'/'top_p'/
-        'seed'/'eos'); responses keep request order."""
+        'seed'/'eos'/'stop'/'logprobs'/'prefix'); responses keep request
+        order. Closed-batch form: submit-all + drain over a
+        PagedLMEngine (the stepper OnlineLMServer drives for open-world
+        paged serving)."""
         self._validate(requests, default_new_tokens)
-        n_req = len(requests)
-        responses: List[Optional[Dict[str, Any]]] = [None] * n_req
-        pending = list(range(n_req))[::-1]  # pop() preserves arrival order
-        b = self.n_slots
-        # automatic page-aligned prefix sharing: requests with a common
-        # system-prompt head (in this batch or in the cross-call
-        # registry) share its pages without declaring a 'prefix' field
-        auto_pfx = self._auto_prefixes(requests)
+        t_start = time.perf_counter()
+        eng = PagedLMEngine(self, default_new_tokens)
+        tickets = [eng.submit(req) for req in requests]
+        while eng.has_work():
+            eng.step()
+        dt = time.perf_counter() - t_start
+        responses = [eng.finished[t] for t in tickets]
+        n_generated = sum(r["n_generated"] for r in responses)
+        self.last_stats = {
+            **eng.stats(),
+            "n_requests": len(requests),
+            "n_slots": self.n_slots,
+            "n_generated": n_generated,
+            "seconds": round(dt, 4),
+            "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
+        }
+        return responses
 
-        slots: List[Optional[Dict[str, Any]]] = [None] * b
-        pos = np.zeros(b, np.int32)
-        toks = np.zeros((b, 1), np.int32)
-        table = np.zeros((b, self.mp), np.int32)
-        d_cache = None
-        if self.draft is not None:
-            _, d_cache = self.d_prefill(jnp.zeros((b, 1), jnp.int32))
+    def serve_requests(self, requests: Sequence[Dict[str, Any]],
+                       default_new_tokens: int = 64) -> List[Dict[str, Any]]:
+        return self.serve(requests, default_new_tokens)
+
+
+class PagedLMEngine(_TicketEngine):
+    """Stepper form of the paged continuous-batching loop — the same
+    submit/has_work/step/finished/cancel surface as LMEngine and
+    SpecLMEngine, so OnlineLMServer drives PAGED pools for concurrent
+    callers (the last cell of the scheduler x mode matrix).
+    PagedLMServer.serve is submit-all + drain over this engine, so every
+    closed-batch pin (dense equality, preemption replay, prefix
+    sharing, speculation, chaining) pins the engine's scheduling too.
+
+    One step() = one admission sweep + one decode quantum: a
+    speculative draft/verify round when a draft is attached, a fused
+    k-token burst when the artifacts allow, a per-token dispatch
+    otherwise. NOT thread-safe: OnlineLMServer serializes access."""
+
+    def __init__(self, server: PagedLMServer,
+                 default_new_tokens: int = 64):
+        self.s = server
+        self.default_new_tokens = int(default_new_tokens)
+        b = server.n_slots
+        self.slots: List[Optional[Dict[str, Any]]] = [None] * b
+        self.pos = np.zeros(b, np.int32)
+        self.toks = np.zeros((b, 1), np.int32)
+        self.table = np.zeros((b, server.mp), np.int32)
+        self.pages_of: List[List[int]] = [[] for _ in range(b)]
+        self.shared_of: List[List[int]] = [[] for _ in range(b)]
+        self.d_cache = None
+        if server.draft is not None:
+            _, self.d_cache = server.d_prefill(
+                jnp.zeros((b, 1), jnp.int32))
+        self.pending: List[tuple] = []  # FIFO of (ticket, req, n_tokens)
+        self.finished: Dict[int, Dict[str, Any]] = {}
+        self._ticket = 0
+        self.admit_serial = 0
         # requests that have been preempted once re-admit only when
         # their FULL remaining page need fits the free pool: preemption
         # loses all progress (the replay is deterministic), so cheap
         # re-admission can ping-pong two growing rows forever — each
         # preempting the other before it finishes. The conservative
         # re-gate guarantees the replayed row runs to completion.
-        preempted_reqs: set = set()
-        pages_of: List[List[int]] = [[] for _ in range(b)]
-        shared_of: List[List[int]] = [[] for _ in range(b)]
-        admit_serial = 0
+        self.preempted_tickets: set = set()
+        self.decode_steps = 0
+        self.decode_bursts = 0  # host syncs on the fused path
+        self.prefills = 0
+        self.preemptions = 0
+        self.rounds = self.drafted = self.accepted = 0
+        self.peak_pages = 0
+        self.auto_admissions = 0
+        self._hits0 = server._prefix_hits  # per-engine registry hits
 
-        t_start = time.perf_counter()
-        decode_steps = prefills = preemptions = 0
-        decode_bursts = 0  # host syncs on the fused path
-        rounds = drafted = accepted = 0
-        peak_pages = 0
-        hits0 = self._prefix_hits  # report per-call registry hits
+    def stats(self) -> Dict[str, Any]:
+        s = self.s
+        out = {
+            "decode_steps": self.decode_steps,
+            "decode_bursts": self.decode_bursts,
+            "prefills": self.prefills,
+            "preemptions": self.preemptions,
+            "peak_pages": self.peak_pages,
+            "prefix_hits": s._prefix_hits - self._hits0,
+            "auto_prefixes": self.auto_admissions,
+            "shared_prefix_pages": sum(len(p) for p in
+                                       s._prefix_pages.values()),
+            "n_pages": s.pool.n_usable,
+        }
+        if s.draft is not None:
+            out.update({
+                "rounds": self.rounds, "drafted": self.drafted,
+                "accepted": self.accepted, "k_draft": s.k_draft,
+                "accept_rate": (round(self.accepted / self.drafted, 4)
+                                if self.drafted else None)})
+        return out
 
-        def release(s: int) -> None:
-            self.pool.free(pages_of[s])
-            # shared-prefix pages: drop this row's refcount; the
-            # registry's base count keeps them resident for the next hit
-            self.pool.free(shared_of[s])
-            pages_of[s] = []
-            shared_of[s] = []
-            table[s] = TRASH_PAGE
-            slots[s] = None
-            pos[s] = 0
-            toks[s, 0] = 0
+    # ---------------------------------------------- page bookkeeping
+    def _release(self, s: int) -> None:
+        pool = self.s.pool
+        pool.free(self.pages_of[s])
+        # shared-prefix pages: drop this row's refcount; the registry's
+        # base count keeps them resident for the next hit
+        pool.free(self.shared_of[s])
+        self.pages_of[s] = []
+        self.shared_of[s] = []
+        self.table[s] = TRASH_PAGE
+        self.slots[s] = None
+        self.pos[s] = 0
+        self.toks[s, 0] = 0
 
-        def evict_idle_prefix(keep: Optional[tuple] = None) -> bool:
-            """Free a registry entry no live row is using (all refcounts
-            at the registry's base 1). Last-resort pool pressure valve.
-            `keep` protects the entry an admission is about to reuse."""
-            for key, pages in list(self._prefix_pages.items()):
-                if key == keep:
-                    continue
-                if all(self.pool._rc.get(p) == 1 for p in pages):
-                    self.pool.free(pages)
-                    del self._prefix_pages[key]
-                    return True
+    def _evict_idle_prefix(self, keep: Optional[tuple] = None) -> bool:
+        """Free a registry entry no live row is using (all refcounts at
+        the registry's base 1). Last-resort pool pressure valve. `keep`
+        protects the entry an admission is about to reuse."""
+        pool = self.s.pool
+        for key, pages in list(self.s._prefix_pages.items()):
+            if key == keep:
+                continue
+            if all(pool._rc.get(p) == 1 for p in pages):
+                pool.free(pages)
+                del self.s._prefix_pages[key]
+                return True
+        return False
+
+    def _finalize(self, s: int) -> None:
+        st = self.slots[s]
+        assert st is not None
+        resp = {
+            "tokens": st["out"],
+            "n_prompt": st["n_prompt"],
+            "n_generated": len(st["out"]),
+            "slot": s,
+            "stopped_early": st["eos_hit"],
+        }
+        if st["lps"] is not None:
+            resp["logprobs"] = st["lps"][:len(st["out"])]
+        if st.get("cancelled"):
+            resp["cancelled"] = True
+        self.finished[st["ticket"]] = resp
+        self._release(s)
+
+    def _preempt_one(self, exclude: int) -> bool:
+        """Evict the most recently admitted slot (except `exclude`):
+        pages freed, request requeued at the FRONT so it re-admits
+        next. Returns False if there is nobody to evict."""
+        victim = None
+        for s in range(self.s.n_slots):
+            if s == exclude or self.slots[s] is None:
+                continue
+            if victim is None or \
+                    self.slots[s]["serial"] > self.slots[victim]["serial"]:
+                victim = s
+        if victim is None:
             return False
+        st = self.slots[victim]
+        self.pending.insert(0, (st["ticket"], st["request"],
+                                st["n_tokens"]))
+        self.preempted_tickets.add(st["ticket"])
+        self._release(victim)
+        self.preemptions += 1
+        return True
 
-        def finalize(s: int) -> None:
-            st = slots[s]
-            assert st is not None
-            resp = {
-                "tokens": st["out"],
-                "n_prompt": st["n_prompt"],
-                "n_generated": len(st["out"]),
-                "slot": s,
-                "stopped_early": st["eos_hit"],
-            }
-            if st["lps"] is not None:
-                resp["logprobs"] = st["lps"][:len(st["out"])]
-            responses[st["req"]] = resp
-            release(s)
-
-        def preempt_one(exclude: int) -> bool:
-            """Evict the most recently admitted slot (except `exclude`):
-            pages freed, request requeued at the FRONT so it re-admits
-            next. Returns False if there is nobody to evict."""
-            nonlocal preemptions
-            victim = None
-            for s in range(b):
-                if s == exclude or slots[s] is None:
-                    continue
-                if victim is None or \
-                        slots[s]["serial"] > slots[victim]["serial"]:
-                    victim = s
-            if victim is None:
-                return False
-            pending.append(slots[victim]["req"])  # pop() takes it next
-            preempted_reqs.add(slots[victim]["req"])
-            release(victim)
-            preemptions += 1
-            return True
-
-        def ensure_page(s: int, logical: int) -> None:
-            """Allocate row s's logical page, preempting (then evicting
-            idle shared prefixes) until one frees up."""
-            if table[s, logical] != TRASH_PAGE:
+    def _ensure_page(self, s: int, logical: int) -> None:
+        """Allocate row s's logical page, preempting (then evicting
+        idle shared prefixes) until one frees up."""
+        if self.table[s, logical] != TRASH_PAGE:
+            return
+        pool = self.s.pool
+        while True:
+            p = pool.alloc()
+            if p is not None:
+                self.table[s, logical] = p
+                self.pages_of[s].append(p)
                 return
-            while True:
-                p = self.pool.alloc()
-                if p is not None:
-                    table[s, logical] = p
-                    pages_of[s].append(p)
-                    return
-                if preempt_one(exclude=s) or evict_idle_prefix():
-                    continue
-                raise RuntimeError(
-                    "page pool exhausted with nothing left to preempt "
-                    f"or evict — raise n_pages (usable "
-                    f"{self.pool.n_usable})")
+            if self._preempt_one(exclude=s) or self._evict_idle_prefix():
+                continue
+            raise RuntimeError(
+                "page pool exhausted with nothing left to preempt "
+                f"or evict — raise n_pages (usable {pool.n_usable})")
 
-        def push(s: int, st: Dict[str, Any], tok_row: np.ndarray) -> None:
-            tok = int(tok_row[0, 0])
-            st["out"].append(tok)
-            st["remaining"] -= 1
-            if st["eos"] is not None and tok == st["eos"]:
-                st["eos_hit"] = True
-                st["remaining"] = 0
-            check_stops(st)
-            if st["remaining"] <= 0:
-                finalize(s)
-            else:
-                toks[s, 0] = tok
+    def _push(self, s: int, st: Dict[str, Any],
+              tok_row: np.ndarray) -> None:
+        tok = int(tok_row[0, 0])
+        st["out"].append(tok)
+        st["remaining"] -= 1
+        if st["eos"] is not None and tok == st["eos"]:
+            st["eos_hit"] = True
+            st["remaining"] = 0
+        check_stops(st)
+        if st["remaining"] <= 0:
+            self._finalize(s)
+        else:
+            self.toks[s, 0] = tok
 
-        while pending or any(st is not None for st in slots):
-            for s in range(b):
-                while slots[s] is None and pending:
-                    ridx = pending[-1]
-                    nxt = requests[ridx]
-                    pfx = tuple(nxt.get("prefix") or ())
-                    body = list(nxt.get("tokens") or ())
-                    if not pfx and ridx in auto_pfx:
-                        # detected shared head: split it off the prompt
-                        pfx = auto_pfx[ridx]
-                        body = body[len(pfx):]
-                    n_full = len(pfx) // self.page
-                    key = pfx[:n_full * self.page]
-                    build = n_full if (n_full and
-                                       key not in self._prefix_pages) else 0
-                    total = len(pfx) + len(body)
-                    if pending[-1] in preempted_reqs:
-                        # full-lifetime need (see preempted_reqs above):
-                        # prompt + budget + the speculative write slack
-                        slack = (self.k_draft if self.draft is not None
-                                 else 0)
-                        life = total + int(nxt.get(
-                            "n_tokens", default_new_tokens)) + slack
-                        private = max(
-                            _pages_for(life, self.page) - n_full, 1)
-                    else:
-                        private = max(
-                            _pages_for(total, self.page) - n_full, 1)
-                    # idle registry prefixes (base refcount 1) hold pool
-                    # capacity across serve() calls: evict them before
-                    # concluding the pool is too tight to admit — without
-                    # this, a _validate-accepted request can starve with
-                    # every slot free (the round-4 advisor repro)
-                    while (build + private > self.pool.n_free
-                           and evict_idle_prefix(
-                               keep=key if n_full else None)):
-                        pass
-                    if build + private > self.pool.n_free:
-                        break  # wait for pages instead of thrashing
-                    i = pending.pop()
-                    req = requests[i]
-                    n_tokens = int(req.get("n_tokens", default_new_tokens))
-                    if n_tokens <= 0:
-                        responses[i] = {"tokens": [], "n_prompt":
-                                        len(req["tokens"]), "n_generated": 0,
-                                        "slot": s, "stopped_early": False}
-                        continue
-                    if n_full:
-                        # page-aligned prefix head: shared read-only pages
-                        shared = self._prefix_registry(key)
-                        self.pool.share(shared)
-                        shared_of[s] = list(shared)
-                        table[s, :n_full] = shared
-                    for j in range(n_full,
-                                   max(_pages_for(total, self.page), 1)):
-                        ensure_page(s, j)
-                    if self.extend_paged is not None:
-                        # ONE dispatch: the prefix tail + prompt body
-                        # ingest straight into the row's pages through
-                        # the table (chunked when prefill_chunk is
-                        # set), conditioned on any shared pages — no
-                        # dense row cache, no separate admit dispatch
-                        ingest = np.asarray(
-                            list(pfx[n_full * self.page:]) + body,
-                            np.int32)
-                        logits = self._ingest_row(
-                            table, s, ingest, n_full * self.page)
-                    else:
-                        # artifacts exported before extend_paged:
-                        # dense prefill + page splice (two dispatches)
-                        prompt = np.asarray(body,
-                                            np.int32).reshape(1, -1)
-                        logits, row_cache = self.prefill(
-                            jnp.asarray(prompt))
-                        page_list = np.full(self.mp, TRASH_PAGE, np.int32)
-                        page_list[:len(pages_of[s])] = pages_of[s]
-                        cache = self.admit_paged(self._cache(table),
-                                                 row_cache,
-                                                 jnp.asarray(page_list))
-                        self._set_pools(cache)
-                    if self.draft is not None:
-                        # the draft sees the FULL context (prefix +
-                        # prompt) in its own dense continuous cache
-                        full = np.asarray(list(pfx) + body,
-                                          np.int32).reshape(1, -1)
-                        _, d_row = self.d_prefill(jnp.asarray(full))
-                        d_cache = self.d_admit(d_cache, d_row,
+    # ------------------------------------------------------ admission
+    def _admit(self) -> None:
+        srv = self.s
+        for s in range(srv.n_slots):
+            while self.slots[s] is None and self.pending:
+                # automatic page-aligned prefix sharing over whatever
+                # is pending RIGHT NOW plus the cross-call registry
+                auto = srv._auto_prefixes(
+                    [req for _, req, _ in self.pending])
+                ticket, nxt, n_tokens = self.pending[0]
+                pfx = tuple(nxt.get("prefix") or ())
+                body = list(nxt.get("tokens") or ())
+                auto_hit = False
+                if not pfx and 0 in auto:
+                    # detected shared head: split it off the prompt
+                    pfx = auto[0]
+                    body = body[len(pfx):]
+                    auto_hit = True
+                n_full = len(pfx) // srv.page
+                key = pfx[:n_full * srv.page]
+                build = n_full if (n_full and
+                                   key not in srv._prefix_pages) else 0
+                total = len(pfx) + len(body)
+                if ticket in self.preempted_tickets:
+                    # full-lifetime need (see preempted_tickets above)
+                    slack = (srv.k_draft if srv.draft is not None
+                             else 0)
+                    life = total + n_tokens + slack
+                    private = max(
+                        _pages_for(life, srv.page) - n_full, 1)
+                else:
+                    private = max(
+                        _pages_for(total, srv.page) - n_full, 1)
+                # idle registry prefixes (base refcount 1) hold pool
+                # capacity across calls: evict them before concluding
+                # the pool is too tight to admit
+                while (build + private > srv.pool.n_free
+                       and self._evict_idle_prefix(
+                           keep=key if n_full else None)):
+                    pass
+                if build + private > srv.pool.n_free:
+                    return  # wait for pages instead of thrashing
+                self.pending.pop(0)
+                if auto_hit:
+                    self.auto_admissions += 1
+                if n_full:
+                    # page-aligned prefix head: shared read-only pages
+                    shared = srv._prefix_registry(key)
+                    srv.pool.share(shared)
+                    self.shared_of[s] = list(shared)
+                    self.table[s, :n_full] = shared
+                for j in range(n_full,
+                               max(_pages_for(total, srv.page), 1)):
+                    self._ensure_page(s, j)
+                if srv.extend_paged is not None:
+                    # ONE dispatch: prefix tail + prompt body ingest
+                    # straight into the row's pages (chunked when
+                    # prefill_chunk is set)
+                    ingest = np.asarray(
+                        list(pfx[n_full * srv.page:]) + body, np.int32)
+                    logits = srv._ingest_row(
+                        self.table, s, ingest, n_full * srv.page)
+                else:
+                    # artifacts exported before extend_paged:
+                    # dense prefill + page splice (two dispatches)
+                    prompt = np.asarray(body, np.int32).reshape(1, -1)
+                    logits, row_cache = srv.prefill(jnp.asarray(prompt))
+                    page_list = np.full(srv.mp, TRASH_PAGE, np.int32)
+                    page_list[:len(self.pages_of[s])] = self.pages_of[s]
+                    cache = srv.admit_paged(srv._cache(self.table),
+                                            row_cache,
+                                            jnp.asarray(page_list))
+                    srv._set_pools(cache)
+                if srv.draft is not None:
+                    # the draft sees the FULL context (prefix + prompt)
+                    # in its own dense continuous cache
+                    full = np.asarray(list(pfx) + body,
+                                      np.int32).reshape(1, -1)
+                    _, d_row = srv.d_prefill(jnp.asarray(full))
+                    self.d_cache = srv.d_admit(self.d_cache, d_row,
                                                jnp.int32(s))
-                    prefills += 1
-                    st = {
-                        "req": i,
-                        "serial": admit_serial,
-                        "n_prompt": len(req["tokens"]),
-                        "out": [],
-                        "remaining": n_tokens,
-                        "temperature": float(req.get("temperature", 0.0)),
-                        "top_k": req.get("top_k"),
-                        "top_p": req.get("top_p"),
-                        "eos": req.get("eos"),
-                        "eos_hit": False,
-                        "stops": parse_stops(req, self.vocab),
-                        # logprobs ride the fused chunks when the
-                        # artifacts emit them; per-token fallback else
-                        "lps": [] if req.get("logprobs") else None,
-                        # the canonical per-request rng root
-                        # (serving.device_sample)
-                        "key": np.asarray(jax.random.PRNGKey(
-                            int(req.get("seed", 0))), np.uint32),
-                    }
-                    admit_serial += 1
-                    slots[s] = st
-                    pos[s] = total  # prefix + prompt (absolute decode pos)
-                    tok = device_sample(
-                        logits[:, -1], st["key"][None],
-                        [total - 1], [st["temperature"]],
-                        [int(st["top_k"] or 0)],
-                        [1.0 if st["top_p"] is None
-                         else float(st["top_p"])])
-                    if st["lps"] is not None:
-                        st["lps"].append(token_logprob(
-                            np.asarray(logits[0, -1]), int(tok[0, 0])))
-                    # draft/verify bookkeeping (spec mode): sequence
-                    # length incl. generated = pos + 1, last committed
-                    # token, and the lag the draft cache hasn't seen
-                    st["last"] = int(tok[0, 0])
-                    st["lag"] = [int(tok[0, 0])]
-                    st["n_committed"] = total + 1
-                    push(s, st, tok)
-
-            if not any(st is not None for st in slots):
-                if pending:
-                    # every slot idle yet nothing admitted: only idle
-                    # registry prefixes can be holding pages — evict one
-                    # and retry; anything else is a genuine bug
-                    if evict_idle_prefix():
-                        continue
-                    raise RuntimeError("scheduler stalled with free slots")
-                break
-
-            if self.draft is not None:
-                # ---- speculative round over the paged cache: the same
-                # draft/verify quantum as SpecLMEngine.step, with the
-                # target verify riding extend_paged at per-row positions
-                # (rejected-draft KV is masked by the absolute-position
-                # mask, then overwritten; its pages are reserved up
-                # front — _validate budgets the k_draft write slack) ----
-                k = self.k_draft
-                for s in range(b):
-                    if slots[s] is None:
-                        continue
-                    for j in range(int(pos[s]) // self.page,
-                                   (int(pos[s]) + k) // self.page + 1):
-                        if slots[s] is None:
-                            break  # preempted by an earlier ensure_page
-                        ensure_page(s, j)
-                active = [s for s in range(b) if slots[s] is not None]
-                if not active:
-                    continue  # everyone preempted: re-admit first
-                peak_pages = max(peak_pages,
-                                 self.pool.n_usable - self.pool.n_free)
-
-                # draft phase: ingest lag + propose k tokens, batched
-                W = 2  # max lag: [d_k, correction] after a full accept
-                block_d = np.zeros((b, W), np.int32)
-                pos_d = np.zeros(b, np.int32)
-                for s in active:
-                    st = slots[s]
-                    lag = st["lag"]
-                    assert 1 <= len(lag) <= W, lag
-                    block_d[s] = lag + [lag[-1]] * (W - len(lag))
-                    pos_d[s] = st["n_committed"] - len(lag)
-                d_logits, d_cache = self.d_extend_rows(
-                    jnp.asarray(block_d), d_cache, jnp.asarray(pos_d))
-                d_logits_np = np.asarray(d_logits)  # [b, W, V]
-
-                drafts = np.zeros((b, k), np.int32)
-                step_tok = np.zeros((b, 1), np.int32)
-                step_pos = np.zeros(b, np.int32)
-                prop = np.zeros((b, 1, self.vocab), np.float32)
-                for s in active:
-                    prop[s, 0] = d_logits_np[s, len(slots[s]["lag"]) - 1]
-                di = spec_draw_block(slots, prop, offset=0)
-                for s in active:
-                    drafts[s, 0] = di[s, 0]
-                    step_tok[s, 0] = di[s, 0]
-                    step_pos[s] = slots[s]["n_committed"]
-                for i in range(1, k):
-                    d_logits, d_cache = self.d_decode_rows(
-                        jnp.asarray(step_tok), d_cache,
-                        jnp.asarray(step_pos))
-                    di = spec_draw_block(slots,
-                                         np.asarray(d_logits[:, -1:]),
-                                         offset=i)
-                    for s in active:
-                        drafts[s, i] = di[s, 0]
-                        step_tok[s, 0] = di[s, 0]
-                        step_pos[s] = slots[s]["n_committed"] + i
-                drafted += k * len(active)
-
-                # verify phase: ONE paged target pass per round
-                block_t = np.zeros((b, k + 1), np.int32)
-                pos_t = np.zeros(b, np.int32)
-                for s in active:
-                    st = slots[s]
-                    block_t[s, 0] = st["last"]
-                    block_t[s, 1:] = drafts[s]
-                    pos_t[s] = st["n_committed"] - 1
-                t_logits, cache = self.extend_paged(
-                    jnp.asarray(block_t), self._cache(table),
-                    jnp.asarray(pos_t))
-                self._set_pools(cache)
-                t_logits_np = np.asarray(t_logits)  # [b, k+1, V]
-                draws = spec_draw_block(slots, t_logits_np)
-                decode_steps += 1
-                rounds += 1
-
-                # accept/commit per row against the canonical chain
-                for s in active:
-                    st = slots[s]
-                    j = 0
-                    while j < k and int(drafts[s, j]) == int(draws[s, j]):
-                        j += 1
-                    next_tok = int(draws[s, j])
-                    accepted += j
-                    commit = [int(d) for d in drafts[s, :j]] + [next_tok]
-                    in_draft = min(j, k - 1)
-                    st["lag"] = commit[in_draft:]
-                    for i, tok in enumerate(commit):
-                        if st["lps"] is not None:
-                            st["lps"].append(token_logprob(
-                                t_logits_np[s, i], tok))
-                        st["last"] = tok
-                        st["n_committed"] += 1
-                        pos[s] += 1
-                        push(s, st, np.asarray([[tok]]))
-                        if slots[s] is None:
-                            break
-                continue
-
-            k = self.k_decode
-            active = [s for s in range(b) if slots[s] is not None]
-            if (self.decode_paged_k is not None
-                    and (self.fused_lps
-                         or not any(slots[s]["lps"] is not None
-                                    for s in active))
-                    and all(pos[s] + k <= self.window for s in active)):
-                # fused K-token dispatch over the paged cache: every page
-                # the K writes may touch must exist BEFORE the dispatch
-                # (the device cannot allocate), so reserve through
-                # (pos+K-1)//page. Mixed greedy/sampled pools ride the
-                # sampled artifact (device threefry streams, chunk- and
-                # pool-invariant); all-greedy pools the cheaper one.
-                #
-                # DRAIN CHAINING (see LMEngine.step): with nothing
-                # pending, budgets surviving, window room, AND the
-                # burst's extra pages free WITHOUT preemption (never
-                # preempt an active row to speculate further ahead),
-                # dispatch several chunks back-to-back on device token
-                # slices — one host sync per burst.
-                chains = 1
-                while (chains < 4 and not pending
-                       and all(slots[s]["remaining"] > chains * k
-                               for s in active if slots[s] is not None)
-                       and all(pos[s] + (chains + 1) * k <= self.window
-                               for s in active
-                               if slots[s] is not None)):
-                    chains += 1
-
-                def burst_pages(extra_k: int) -> int:
-                    need = 0
-                    for s in active:
-                        if slots[s] is None:
-                            continue
-                        for j in range(int(pos[s]) // self.page,
-                                       (int(pos[s]) + extra_k - 1)
-                                       // self.page + 1):
-                            if table[s, j] == TRASH_PAGE:
-                                need += 1
-                    return need
-
-                while chains > 1 and burst_pages(chains * k) > \
-                        self.pool.n_free:
-                    chains -= 1
-                for s in active:
-                    if slots[s] is None:
-                        # a preceding ensure_page preempted this slot:
-                        # reserving into its (now trashed) table row
-                        # would leak unevictable pages
-                        continue
-                    for j in range(int(pos[s]) // self.page,
-                                   (int(pos[s]) + chains * k - 1)
-                                   // self.page + 1):
-                        ensure_page(s, j)
-                active = [s for s in range(b) if slots[s] is not None]
-                peak_pages = max(peak_pages,
-                                 self.pool.n_usable - self.pool.n_free)
-                all_g = all(slots[s]["temperature"] == 0.0
-                            for s in active)
-                if not all_g:
-                    keys = np.zeros((b, 2), np.uint32)
-                    temp = np.zeros(b, np.float32)
-                    topk = np.zeros(b, np.int32)
-                    topp = np.ones(b, np.float32)
-                    for s in active:
-                        st = slots[s]
-                        keys[s] = st["key"]
-                        temp[s] = st["temperature"]
-                        topk[s] = int(st["top_k"] or 0)
-                        topp[s] = float(1.0 if st["top_p"] is None
-                                        else st["top_p"])
-                burst = []
-                tok_dev = jnp.asarray(toks)
-                pos_base = pos.copy()
-                for c in range(chains):
-                    pos_c = jnp.asarray(pos_base + c * k)
-                    if all_g:
-                        chunk, lps, cache = self.decode_paged_k(
-                            tok_dev, self._cache(table), pos_c)
-                    else:
-                        chunk, lps, cache = self.decode_paged_k_sample(
-                            tok_dev, self._cache(table), pos_c,
-                            jnp.asarray(keys), jnp.asarray(temp),
-                            jnp.asarray(topk), jnp.asarray(topp))
-                    self._set_pools(cache)
-                    burst.append((chunk, lps))
-                    tok_dev = chunk[:, -1:]  # device slice — no sync
-                decode_steps += chains
-                decode_bursts += 1
-                for chunk, lps in burst:
-                    chunk_np = np.asarray(chunk)
-                    lps_np = None if lps is None else np.asarray(lps)
-                    for s in active:
-                        st = slots[s]
-                        if st is None:
-                            continue  # finished earlier in the burst
-                        for j in range(k):
-                            pos[s] += 1
-                            if st["lps"] is not None:
-                                st["lps"].append(float(lps_np[s, j]))
-                            push(s, st, chunk_np[s:s + 1, j:j + 1])
-                            if slots[s] is None:
-                                break
-                continue
-
-            # the coming dispatch writes each active row at pos[s]
-            for s in range(b):
-                if slots[s] is not None:
-                    ensure_page(s, int(pos[s]) // self.page)
-            peak_pages = max(peak_pages,
-                             self.pool.n_usable - self.pool.n_free)
-
-            logits, cache = self.decode_paged(
-                jnp.asarray(toks), self._cache(table), jnp.asarray(pos))
-            self._set_pools(cache)
-            logits_dev = logits[:, -1]  # stays on device for the draw
-            decode_steps += 1
-            # one batched draw of the canonical stream (keys fold the
-            # FED position — identical to the in-artifact scan schedule)
-            keys = np.zeros((b, 2), np.uint32)
-            temp = np.zeros(b, np.float32)
-            topk = np.zeros(b, np.int32)
-            topp = np.ones(b, np.float32)
-            live = [s for s in range(b) if slots[s] is not None]
-            for s in live:
-                st = slots[s]
-                keys[s] = st["key"]
-                temp[s] = st["temperature"]
-                topk[s] = int(st["top_k"] or 0)
-                topp[s] = float(1.0 if st["top_p"] is None
-                                else st["top_p"])
-            drawn = device_sample(logits_dev, keys, pos.copy(), temp,
-                                  topk, topp)
-            # logprob rows fetch lazily and TOGETHER (one gather, not
-            # one round-trip per row)
-            lp_rows = [s for s in live if slots[s]["lps"] is not None]
-            lp_np = (np.asarray(logits_dev[jnp.asarray(lp_rows)])
-                     if lp_rows else None)
-            for s in live:
-                st = slots[s]
+                self.prefills += 1
+                st = {
+                    "ticket": ticket,
+                    "request": nxt,
+                    "n_tokens": n_tokens,
+                    "serial": self.admit_serial,
+                    "n_prompt": len(nxt["tokens"]),
+                    "out": [],
+                    "remaining": n_tokens,
+                    "temperature": float(nxt.get("temperature", 0.0)),
+                    "top_k": nxt.get("top_k"),
+                    "top_p": nxt.get("top_p"),
+                    "eos": nxt.get("eos"),
+                    "eos_hit": False,
+                    "stops": parse_stops(nxt, srv.vocab),
+                    "lps": [] if nxt.get("logprobs") else None,
+                    # the canonical per-request rng root
+                    # (serving.device_sample)
+                    "key": np.asarray(jax.random.PRNGKey(
+                        int(nxt.get("seed", 0))), np.uint32),
+                }
+                self.admit_serial += 1
+                self.slots[s] = st
+                self.pos[s] = total  # prefix + prompt (abs decode pos)
+                tok = device_sample(
+                    logits[:, -1], st["key"][None],
+                    [total - 1], [st["temperature"]],
+                    [int(st["top_k"] or 0)],
+                    [1.0 if st["top_p"] is None
+                     else float(st["top_p"])])
                 if st["lps"] is not None:
                     st["lps"].append(token_logprob(
-                        lp_np[lp_rows.index(s)], int(drawn[s, 0])))
+                        np.asarray(logits[0, -1]), int(tok[0, 0])))
+                # draft/verify bookkeeping (spec mode)
+                st["last"] = int(tok[0, 0])
+                st["lag"] = [int(tok[0, 0])]
+                st["n_committed"] = total + 1
+                self._push(s, st, tok)
+
+    # ------------------------------------------------------ decoding
+    def step(self) -> None:
+        """One admission sweep + (if anything is active) one decode
+        quantum (speculative round / fused burst / per-token)."""
+        self._admit()
+        srv = self.s
+        b = srv.n_slots
+        slots, pos, toks, table = (self.slots, self.pos, self.toks,
+                                   self.table)
+        if not any(st is not None for st in slots):
+            if self.pending:
+                # every slot idle yet nothing admitted: only idle
+                # registry prefixes can be holding pages — evict one
+                # and retry at the next step; anything else is a bug
+                if not self._evict_idle_prefix():
+                    raise RuntimeError(
+                        "scheduler stalled with free slots")
+            return
+
+        if srv.draft is not None:
+            self._spec_round()
+            return
+
+        k = srv.k_decode
+        active = [s for s in range(b) if slots[s] is not None]
+        if (srv.decode_paged_k is not None
+                and (srv.fused_lps
+                     or not any(slots[s]["lps"] is not None
+                                for s in active))
+                and all(pos[s] + k <= srv.window for s in active)):
+            # fused K-token dispatch over the paged cache (pages the K
+            # writes may touch reserved BEFORE the dispatch), with
+            # DRAIN CHAINING (see LMEngine.step) gated additionally on
+            # the burst's page appetite fitting the free pool
+            chains = 1
+            while (chains < 4 and not self.pending
+                   and all(slots[s]["remaining"] > chains * k
+                           for s in active if slots[s] is not None)
+                   and all(pos[s] + (chains + 1) * k <= srv.window
+                           for s in active if slots[s] is not None)):
+                chains += 1
+
+            def burst_pages(extra_k: int) -> int:
+                need = 0
+                for s in active:
+                    if slots[s] is None:
+                        continue
+                    for j in range(int(pos[s]) // srv.page,
+                                   (int(pos[s]) + extra_k - 1)
+                                   // srv.page + 1):
+                        if table[s, j] == TRASH_PAGE:
+                            need += 1
+                return need
+
+            while chains > 1 and burst_pages(chains * k) > \
+                    srv.pool.n_free:
+                chains -= 1
+            for s in active:
+                if slots[s] is None:
+                    # a preceding _ensure_page preempted this slot
+                    continue
+                for j in range(int(pos[s]) // srv.page,
+                               (int(pos[s]) + chains * k - 1)
+                               // srv.page + 1):
+                    self._ensure_page(s, j)
+            active = [s for s in range(b) if slots[s] is not None]
+            self.peak_pages = max(
+                self.peak_pages, srv.pool.n_usable - srv.pool.n_free)
+            all_g = all(slots[s]["temperature"] == 0.0 for s in active)
+            if not all_g:
+                keys = np.zeros((b, 2), np.uint32)
+                temp = np.zeros(b, np.float32)
+                topk = np.zeros(b, np.int32)
+                topp = np.ones(b, np.float32)
+                for s in active:
+                    st = slots[s]
+                    keys[s] = st["key"]
+                    temp[s] = st["temperature"]
+                    topk[s] = int(st["top_k"] or 0)
+                    topp[s] = float(1.0 if st["top_p"] is None
+                                    else st["top_p"])
+            burst = []
+            tok_dev = jnp.asarray(toks)
+            pos_base = pos.copy()
+            for c in range(chains):
+                pos_c = jnp.asarray(pos_base + c * k)
+                if all_g:
+                    chunk, lps, cache = srv.decode_paged_k(
+                        tok_dev, srv._cache(table), pos_c)
+                else:
+                    chunk, lps, cache = srv.decode_paged_k_sample(
+                        tok_dev, srv._cache(table), pos_c,
+                        jnp.asarray(keys), jnp.asarray(temp),
+                        jnp.asarray(topk), jnp.asarray(topp))
+                srv._set_pools(cache)
+                burst.append((chunk, lps))
+                tok_dev = chunk[:, -1:]  # device slice — no sync
+            self.decode_steps += chains
+            self.decode_bursts += 1
+            for chunk, lps in burst:
+                chunk_np = np.asarray(chunk)
+                lps_np = None if lps is None else np.asarray(lps)
+                for s in active:
+                    st = slots[s]
+                    if st is None:
+                        continue  # finished earlier in the burst
+                    for j in range(k):
+                        pos[s] += 1
+                        if st["lps"] is not None:
+                            st["lps"].append(float(lps_np[s, j]))
+                        self._push(s, st, chunk_np[s:s + 1, j:j + 1])
+                        if slots[s] is None:
+                            break
+            return
+
+        # per-token path: the coming dispatch writes each row at pos[s]
+        for s in range(b):
+            if slots[s] is not None:
+                self._ensure_page(s, int(pos[s]) // srv.page)
+        self.peak_pages = max(
+            self.peak_pages, srv.pool.n_usable - srv.pool.n_free)
+        logits, cache = srv.decode_paged(
+            jnp.asarray(toks), srv._cache(table), jnp.asarray(pos))
+        srv._set_pools(cache)
+        logits_dev = logits[:, -1]  # stays on device for the draw
+        self.decode_steps += 1
+        keys = np.zeros((b, 2), np.uint32)
+        temp = np.zeros(b, np.float32)
+        topk = np.zeros(b, np.int32)
+        topp = np.ones(b, np.float32)
+        live = [s for s in range(b) if slots[s] is not None]
+        for s in live:
+            st = slots[s]
+            keys[s] = st["key"]
+            temp[s] = st["temperature"]
+            topk[s] = int(st["top_k"] or 0)
+            topp[s] = float(1.0 if st["top_p"] is None else st["top_p"])
+        drawn = device_sample(logits_dev, keys, pos.copy(), temp, topk,
+                              topp)
+        # logprob rows fetch lazily and TOGETHER
+        lp_rows = [s for s in live if slots[s]["lps"] is not None]
+        lp_np = (np.asarray(logits_dev[jnp.asarray(lp_rows)])
+                 if lp_rows else None)
+        for s in live:
+            st = slots[s]
+            if st["lps"] is not None:
+                st["lps"].append(token_logprob(
+                    lp_np[lp_rows.index(s)], int(drawn[s, 0])))
+            pos[s] += 1
+            self._push(s, st, drawn[s:s + 1])
+
+    def _spec_round(self) -> None:
+        """Speculative round over the paged cache: the same draft/verify
+        quantum as SpecLMEngine.step, with the target verify riding
+        extend_paged at per-row positions (rejected-draft KV is masked
+        by the absolute-position mask, then overwritten; its pages are
+        reserved up front — _validate budgets the k_draft slack)."""
+        srv = self.s
+        b = srv.n_slots
+        slots, pos, table = self.slots, self.pos, self.table
+        k = srv.k_draft
+        for s in range(b):
+            if slots[s] is None:
+                continue
+            for j in range(int(pos[s]) // srv.page,
+                           (int(pos[s]) + k) // srv.page + 1):
+                if slots[s] is None:
+                    break  # preempted by an earlier _ensure_page
+                self._ensure_page(s, j)
+        active = [s for s in range(b) if slots[s] is not None]
+        if not active:
+            return  # everyone preempted: re-admit at the next step
+        self.peak_pages = max(
+            self.peak_pages, srv.pool.n_usable - srv.pool.n_free)
+
+        # draft phase: ingest lag + propose k tokens, batched
+        W = 2  # max lag: [d_k, correction] after a full accept
+        block_d = np.zeros((b, W), np.int32)
+        pos_d = np.zeros(b, np.int32)
+        for s in active:
+            st = slots[s]
+            lag = st["lag"]
+            assert 1 <= len(lag) <= W, lag
+            block_d[s] = lag + [lag[-1]] * (W - len(lag))
+            pos_d[s] = st["n_committed"] - len(lag)
+        d_logits, self.d_cache = srv.d_extend_rows(
+            jnp.asarray(block_d), self.d_cache, jnp.asarray(pos_d))
+        d_logits_np = np.asarray(d_logits)  # [b, W, V]
+
+        drafts = np.zeros((b, k), np.int32)
+        step_tok = np.zeros((b, 1), np.int32)
+        step_pos = np.zeros(b, np.int32)
+        prop = np.zeros((b, 1, srv.vocab), np.float32)
+        for s in active:
+            prop[s, 0] = d_logits_np[s, len(slots[s]["lag"]) - 1]
+        di = spec_draw_block(slots, prop, offset=0)
+        for s in active:
+            drafts[s, 0] = di[s, 0]
+            step_tok[s, 0] = di[s, 0]
+            step_pos[s] = slots[s]["n_committed"]
+        for i in range(1, k):
+            d_logits, self.d_cache = srv.d_decode_rows(
+                jnp.asarray(step_tok), self.d_cache,
+                jnp.asarray(step_pos))
+            di = spec_draw_block(slots, np.asarray(d_logits[:, -1:]),
+                                 offset=i)
+            for s in active:
+                drafts[s, i] = di[s, 0]
+                step_tok[s, 0] = di[s, 0]
+                step_pos[s] = slots[s]["n_committed"] + i
+        self.drafted += k * len(active)
+
+        # verify phase: ONE paged target pass per round
+        block_t = np.zeros((b, k + 1), np.int32)
+        pos_t = np.zeros(b, np.int32)
+        for s in active:
+            st = slots[s]
+            block_t[s, 0] = st["last"]
+            block_t[s, 1:] = drafts[s]
+            pos_t[s] = st["n_committed"] - 1
+        t_logits, cache = srv.extend_paged(
+            jnp.asarray(block_t), srv._cache(table), jnp.asarray(pos_t))
+        srv._set_pools(cache)
+        t_logits_np = np.asarray(t_logits)  # [b, k+1, V]
+        draws = spec_draw_block(slots, t_logits_np)
+        self.decode_steps += 1
+        self.rounds += 1
+
+        # accept/commit per row against the canonical chain
+        for s in active:
+            st = slots[s]
+            j = 0
+            while j < k and int(drafts[s, j]) == int(draws[s, j]):
+                j += 1
+            next_tok = int(draws[s, j])
+            self.accepted += j
+            commit = [int(d) for d in drafts[s, :j]] + [next_tok]
+            in_draft = min(j, k - 1)
+            st["lag"] = commit[in_draft:]
+            for i, tok in enumerate(commit):
+                if st["lps"] is not None:
+                    st["lps"].append(token_logprob(t_logits_np[s, i],
+                                                   tok))
+                st["last"] = tok
+                st["n_committed"] += 1
                 pos[s] += 1
-                push(s, st, drawn[s:s + 1])
-
-        dt = time.perf_counter() - t_start
-        n_generated = sum(r["n_generated"] for r in responses
-                          if r is not None)
-        self.last_stats = {
-            "decode_steps": decode_steps,
-            "decode_bursts": decode_bursts,
-            "prefills": prefills,
-            "preemptions": preemptions,
-            "peak_pages": peak_pages,
-            **({"rounds": rounds, "drafted": drafted,
-                "accepted": accepted, "k_draft": self.k_draft,
-                "accept_rate": (round(accepted / drafted, 4)
-                                if drafted else None)}
-               if self.draft is not None else {}),
-            "prefix_hits": self._prefix_hits - hits0,
-            "auto_prefixes": len(auto_pfx),
-            "shared_prefix_pages": sum(len(p) for p in
-                                       self._prefix_pages.values()),
-            "n_pages": self.pool.n_usable,
-            "n_requests": n_req,
-            "n_slots": b,
-            "n_generated": n_generated,
-            "seconds": round(dt, 4),
-            "tokens_per_sec": round(n_generated / dt, 2) if dt > 0 else 0.0,
-        }
-        assert all(r is not None for r in responses)
-        return responses  # type: ignore[return-value]
-
-    def serve_requests(self, requests: Sequence[Dict[str, Any]],
-                       default_new_tokens: int = 64) -> List[Dict[str, Any]]:
-        return self.serve(requests, default_new_tokens)
+                self._push(s, st, np.asarray([[tok]]))
+                if slots[s] is None:
+                    break

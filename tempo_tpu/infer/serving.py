@@ -1616,20 +1616,35 @@ class OnlineLMServer:
     def __init__(self, artifacts_dir: Union[str, Path], n_slots: int = 8,
                  prefill_chunk: Optional[int] = None, k_decode: int = 0,
                  draft_dir: Optional[Union[str, Path]] = None,
-                 k_draft: int = 0, default_new_tokens: int = 64):
-        self._server = ContinuousLMServer(artifacts_dir, n_slots=n_slots,
-                                          prefill_chunk=prefill_chunk,
-                                          k_decode=k_decode,
-                                          draft_dir=draft_dir,
-                                          k_draft=k_draft)
+                 k_draft: int = 0, default_new_tokens: int = 64,
+                 scheduler: str = "continuous", n_pages: int = 0):
+        if scheduler == "paged":
+            # the PAGED pool goes online too: PagedLMEngine exposes the
+            # same stepper surface, so concurrent callers share one
+            # running paged batch (preemption, prefix sharing,
+            # speculation and fused chunks included)
+            from tempo_tpu.infer.paged import PagedLMEngine, PagedLMServer
+
+            self._server = PagedLMServer(
+                artifacts_dir, n_slots=n_slots, n_pages=n_pages,
+                k_decode=k_decode, draft_dir=draft_dir, k_draft=k_draft,
+                prefill_chunk=prefill_chunk)
+            engine_cls = PagedLMEngine
+        else:
+            assert scheduler == "continuous", scheduler
+            self._server = ContinuousLMServer(artifacts_dir,
+                                              n_slots=n_slots,
+                                              prefill_chunk=prefill_chunk,
+                                              k_decode=k_decode,
+                                              draft_dir=draft_dir,
+                                              k_draft=k_draft)
+            # speculation composes with the online front: the
+            # draft/verify stepper exposes the same engine surface
+            engine_cls = (SpecLMEngine if self._server.draft is not None
+                          else LMEngine)
         self.meta = self._server.meta
         self.vocab = self._server.vocab
         self.window = self._server.window
-        # speculation composes with the online front: the draft/verify
-        # stepper exposes the same engine surface, so concurrent
-        # callers join one running speculative batch mid-flight
-        engine_cls = (SpecLMEngine if self._server.draft is not None
-                      else LMEngine)
         self._engine = engine_cls(self._server, default_new_tokens)
         self._cond = threading.Condition()
         self._closing = False

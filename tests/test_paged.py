@@ -635,6 +635,72 @@ def test_paged_drain_chaining_matches_dense(paged_lm):
         assert rb["tokens"] == rp["tokens"]
 
 
+def test_online_paged_server(paged_lm, draft_lm31):
+    """Online x paged — the last cell of the scheduler x mode matrix:
+    OnlineLMServer drives a PagedLMEngine, so concurrent callers share
+    one running PAGED batch (tight pool included). Every request comes
+    back identical to the dense continuous server; cancellation
+    releases the slot's pages mid-flight; the speculative paged engine
+    rides the same front."""
+    import threading
+
+    from tempo_tpu.infer.serving import ContinuousLMServer, OnlineLMServer
+
+    reqs = [
+        {"tokens": [3, 1, 4, 1, 5], "n_tokens": 12},
+        {"tokens": [9, 2, 6], "n_tokens": 9,
+         "temperature": 1.0, "top_k": 5, "seed": 3},
+        {"tokens": [7, 7], "n_tokens": 11},
+        {"tokens": [5], "n_tokens": 8, "temperature": 0.7, "top_p": 0.9,
+         "seed": 11},
+    ]
+    base = ContinuousLMServer(paged_lm, n_slots=2).serve(reqs)
+
+    for kw in ({"n_pages": 5, "k_decode": 4},       # tight pool + fused
+               {"draft_dir": draft_lm31, "k_draft": 3}):  # speculation
+        online = OnlineLMServer(paged_lm, n_slots=2, scheduler="paged",
+                                **kw)
+        try:
+            results: list = [None] * len(reqs)
+
+            def worker(i):
+                results[i] = online.generate(reqs[i], timeout=300)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(len(reqs))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(300)
+            for i, (rb, rp) in enumerate(zip(base, results)):
+                assert rp is not None, (kw, i)
+                assert rb["tokens"] == rp["tokens"], (kw, i)
+        finally:
+            online.close()
+
+    # cancellation mid-flight frees the slot's pages: the pool drains
+    # back to fully free once everything else completes
+    online = OnlineLMServer(paged_lm, n_slots=1, scheduler="paged")
+    try:
+        t_a = online.submit({"tokens": [3, 1, 4, 1, 5], "n_tokens": 24})
+        t_b = online.submit({"tokens": [7, 7], "n_tokens": 5})
+        with online._cond:
+            assert online._cond.wait_for(
+                lambda: any(st is not None and st["ticket"] == t_a
+                            for st in online._engine.slots), timeout=60)
+            assert online._engine.cancel(t_a)
+            online._cond.notify_all()
+        r_a = online.result(t_a, timeout=60)
+        assert r_a["cancelled"]
+        want = ContinuousLMServer(paged_lm, n_slots=1).serve(
+            [{"tokens": [7, 7], "n_tokens": 5}])[0]
+        r_b = online.result(t_b, timeout=120)
+        assert r_b["tokens"] == want["tokens"]
+        assert online._server.pool.n_free == online._server.pool.n_usable
+    finally:
+        online.close()
+
+
 def test_paged_stop_sequences(paged_lm):
     """Multi-token 'stop' through the paged scheduler (incl. the fused
     chunked path): same truncation as the dense continuous server."""
