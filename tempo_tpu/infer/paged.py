@@ -407,8 +407,8 @@ class PagedLMServer:
         'seed'/'eos'/'stop'/'logprobs'/'prefix'); responses keep request
         order. Closed-batch form: submit-all + drain over a
         PagedLMEngine (the stepper OnlineLMServer drives for open-world
-        paged serving)."""
-        self._validate(requests, default_new_tokens)
+        paged serving). submit() validates each request before any
+        device work runs (all submits precede the first step)."""
         t_start = time.perf_counter()
         eng = PagedLMEngine(self, default_new_tokens)
         tickets = [eng.submit(req) for req in requests]
@@ -478,7 +478,8 @@ class PagedLMEngine(_TicketEngine):
         self.preemptions = 0
         self.rounds = self.drafted = self.accepted = 0
         self.peak_pages = 0
-        self.auto_admissions = 0
+        self.auto_tickets: set = set()  # requests with a detected head
+        self._auto_cache: tuple = ((), {})
         self._hits0 = server._prefix_hits  # per-engine registry hits
 
     def stats(self) -> Dict[str, Any]:
@@ -490,7 +491,7 @@ class PagedLMEngine(_TicketEngine):
             "preemptions": self.preemptions,
             "peak_pages": self.peak_pages,
             "prefix_hits": s._prefix_hits - self._hits0,
-            "auto_prefixes": self.auto_admissions,
+            "auto_prefixes": len(self.auto_tickets),
             "shared_prefix_pages": sum(len(p) for p in
                                        s._prefix_pages.values()),
             "n_pages": s.pool.n_usable,
@@ -546,6 +547,10 @@ class PagedLMEngine(_TicketEngine):
         if st.get("cancelled"):
             resp["cancelled"] = True
         self.finished[st["ticket"]] = resp
+        # the conservative re-admission gate only matters while the
+        # request can still be replayed — prune, or the long-lived
+        # online engine's set grows forever
+        self.preempted_tickets.discard(st["ticket"])
         self._release(s)
 
     def _preempt_one(self, exclude: int) -> bool:
@@ -607,9 +612,14 @@ class PagedLMEngine(_TicketEngine):
         for s in range(srv.n_slots):
             while self.slots[s] is None and self.pending:
                 # automatic page-aligned prefix sharing over whatever
-                # is pending RIGHT NOW plus the cross-call registry
-                auto = srv._auto_prefixes(
-                    [req for _, req, _ in self.pending])
+                # is pending RIGHT NOW plus the cross-call registry —
+                # recomputed only when the pending sequence changes
+                # (cache keyed by the ticket order)
+                ck = tuple(t for t, _, _ in self.pending)
+                if self._auto_cache[0] != ck:
+                    self._auto_cache = (ck, srv._auto_prefixes(
+                        [req for _, req, _ in self.pending]))
+                auto = self._auto_cache[1]
                 ticket, nxt, n_tokens = self.pending[0]
                 pfx = tuple(nxt.get("prefix") or ())
                 body = list(nxt.get("tokens") or ())
@@ -645,7 +655,7 @@ class PagedLMEngine(_TicketEngine):
                     return  # wait for pages instead of thrashing
                 self.pending.pop(0)
                 if auto_hit:
-                    self.auto_admissions += 1
+                    self.auto_tickets.add(ticket)
                 if n_full:
                     # page-aligned prefix head: shared read-only pages
                     shared = srv._prefix_registry(key)
@@ -753,15 +763,11 @@ class PagedLMEngine(_TicketEngine):
                 and all(pos[s] + k <= srv.window for s in active)):
             # fused K-token dispatch over the paged cache (pages the K
             # writes may touch reserved BEFORE the dispatch), with
-            # DRAIN CHAINING (see LMEngine.step) gated additionally on
-            # the burst's page appetite fitting the free pool
-            chains = 1
-            while (chains < 4 and not self.pending
-                   and all(slots[s]["remaining"] > chains * k
-                           for s in active if slots[s] is not None)
-                   and all(pos[s] + (chains + 1) * k <= srv.window
-                           for s in active if slots[s] is not None)):
-                chains += 1
+            # DRAIN CHAINING (shared _TicketEngine machinery) gated
+            # additionally on the burst's page appetite fitting the
+            # free pool — never preempt an active row to speculate
+            # further ahead
+            chains = self._chain_gate(active, k, srv.window)
 
             def burst_pages(extra_k: int) -> int:
                 need = 0
@@ -790,50 +796,23 @@ class PagedLMEngine(_TicketEngine):
             self.peak_pages = max(
                 self.peak_pages, srv.pool.n_usable - srv.pool.n_free)
             all_g = all(slots[s]["temperature"] == 0.0 for s in active)
+            keys = temp = topk = topp = None
             if not all_g:
-                keys = np.zeros((b, 2), np.uint32)
-                temp = np.zeros(b, np.float32)
-                topk = np.zeros(b, np.int32)
-                topp = np.ones(b, np.float32)
-                for s in active:
-                    st = slots[s]
-                    keys[s] = st["key"]
-                    temp[s] = st["temperature"]
-                    topk[s] = int(st["top_k"] or 0)
-                    topp[s] = float(1.0 if st["top_p"] is None
-                                    else st["top_p"])
-            burst = []
-            tok_dev = jnp.asarray(toks)
-            pos_base = pos.copy()
-            for c in range(chains):
-                pos_c = jnp.asarray(pos_base + c * k)
+                keys, temp, topk, topp = self._policy_arrays(active)
+
+            def dispatch(tok_dev, pos_dev):
                 if all_g:
                     chunk, lps, cache = srv.decode_paged_k(
-                        tok_dev, srv._cache(table), pos_c)
+                        tok_dev, srv._cache(table), pos_dev)
                 else:
                     chunk, lps, cache = srv.decode_paged_k_sample(
-                        tok_dev, srv._cache(table), pos_c,
+                        tok_dev, srv._cache(table), pos_dev,
                         jnp.asarray(keys), jnp.asarray(temp),
                         jnp.asarray(topk), jnp.asarray(topp))
                 srv._set_pools(cache)
-                burst.append((chunk, lps))
-                tok_dev = chunk[:, -1:]  # device slice — no sync
-            self.decode_steps += chains
-            self.decode_bursts += 1
-            for chunk, lps in burst:
-                chunk_np = np.asarray(chunk)
-                lps_np = None if lps is None else np.asarray(lps)
-                for s in active:
-                    st = slots[s]
-                    if st is None:
-                        continue  # finished earlier in the burst
-                    for j in range(k):
-                        pos[s] += 1
-                        if st["lps"] is not None:
-                            st["lps"].append(float(lps_np[s, j]))
-                        self._push(s, st, chunk_np[s:s + 1, j:j + 1])
-                        if slots[s] is None:
-                            break
+                return chunk, lps
+
+            self._run_burst(active, k, chains, dispatch)
             return
 
         # per-token path: the coming dispatch writes each row at pos[s]

@@ -568,7 +568,10 @@ class LMServer:
             # counter ('eos' is honored inside beam requests only)
             for key in (("stop", "logprobs") if req.get("beam_width")
                         else ("stop", "logprobs", "eos")):
-                if req.get(key):
+                # presence, not truthiness, for eos: token id 0 is a
+                # real vocab id and must be refused like any other
+                if req.get(key) or (key == "eos"
+                                    and req.get(key) is not None):
                     raise ValueError(
                         f"request {i}: {key!r} is not supported by the "
                         "bucketed scheduler — use scheduler: continuous "
@@ -674,6 +677,71 @@ class _TicketEngine:
                 self._finalize(s)
                 return True
         return False
+
+    # ---- shared fused-burst machinery (LMEngine + PagedLMEngine) ----
+    def _chain_gate(self, active, k: int, window: int,
+                    cap: int = 4) -> int:
+        """DRAIN CHAINING depth: how many fused chunks to dispatch
+        back-to-back. Only when nothing is pending (chaining would
+        delay admission), every active slot's budget survives the
+        extra chunks, and the window allows the writes."""
+        chains = 1
+        while (chains < cap and not self.pending
+               and all(self.slots[s]["remaining"] > chains * k
+                       for s in active if self.slots[s] is not None)
+               and all(self.pos[s] + (chains + 1) * k <= window
+                       for s in active if self.slots[s] is not None)):
+            chains += 1
+        return chains
+
+    def _policy_arrays(self, active):
+        """Per-row sampling policy marshaled for the fused sampled
+        artifacts: (keys [b,2], temperature, top_k, top_p)."""
+        b = len(self.slots)
+        keys = np.zeros((b, 2), np.uint32)
+        temp = np.zeros(b, np.float32)
+        topk = np.zeros(b, np.int32)
+        topp = np.ones(b, np.float32)
+        for s in active:
+            st = self.slots[s]
+            keys[s] = st["key"]
+            temp[s] = st["temperature"]
+            topk[s] = int(st["top_k"] or 0)
+            topp[s] = float(1.0 if st["top_p"] is None else st["top_p"])
+        return keys, temp, topk, topp
+
+    def _run_burst(self, active, k: int, chains: int, dispatch) -> None:
+        """Dispatch `chains` fused chunks feeding each chunk's DEVICE
+        token slice into the next (one host sync per burst; jax async
+        dispatch queues the rest), then commit: mid-burst finishers
+        skip the remaining chunks (their tail is discarded like any
+        over-decode). Token streams are unchanged — the canonical
+        stream is chunk-boundary invariant.
+        `dispatch(tok_dev, pos_dev) -> (tokens, lps)`."""
+        burst = []
+        tok_dev = jnp.asarray(self.toks)
+        pos_base = self.pos.copy()
+        for c in range(chains):
+            chunk, lps = dispatch(tok_dev, jnp.asarray(pos_base + c * k))
+            burst.append((chunk, lps))
+            tok_dev = chunk[:, -1:]  # device slice — no host sync
+        self.decode_steps += chains
+        self.decode_bursts += 1
+        for chunk, lps in burst:
+            chunk_np = np.asarray(chunk)
+            lps_np = None if lps is None else np.asarray(lps)
+            for s in active:
+                st = self.slots[s]
+                if st is None:
+                    continue  # finished earlier in the burst
+                for j in range(k):
+                    self.pos[s] += 1
+                    if st["lps"] is not None:
+                        st["lps"].append(float(lps_np[s, j]))
+                    self._push(s, st, chunk_np[s:s + 1, j:j + 1])
+                    if self.slots[s] is None:
+                        break
+
 
 
 
@@ -819,56 +887,23 @@ class LMEngine(_TicketEngine):
             # streams are unchanged (the canonical stream is
             # chunk-boundary invariant); an unpredictable eos/stop
             # mid-burst just discards the tail like any over-decode.
-            chains = 1
-            while (chains < 4 and not self.pending
-                   and all(slots[s]["remaining"] > chains * k
-                           for s in active)
-                   and all(pos[s] + (chains + 1) * k <= self.s.window
-                           for s in active)):
-                chains += 1
+            chains = self._chain_gate(active, k, self.s.window)
+            keys = temp = topk = topp = None
             if not all_greedy:
-                keys = np.zeros((b, 2), np.uint32)
-                temp = np.zeros(b, np.float32)
-                topk = np.zeros(b, np.int32)
-                topp = np.ones(b, np.float32)
-                for s in active:
-                    st = slots[s]
-                    keys[s] = st["key"]
-                    temp[s] = st["temperature"]
-                    topk[s] = int(st["top_k"] or 0)
-                    topp[s] = float(1.0 if st["top_p"] is None
-                                    else st["top_p"])
-            burst = []
-            tok_dev = jnp.asarray(toks)
-            pos_base = pos.copy()
-            for c in range(chains):
-                pos_c = jnp.asarray(pos_base + c * k)
+                keys, temp, topk, topp = self._policy_arrays(active)
+
+            def dispatch(tok_dev, pos_dev):
                 if all_greedy:
                     chunk, lps, self.cache = self.s.decode_k_rows(
-                        tok_dev, self.cache, pos_c)
+                        tok_dev, self.cache, pos_dev)
                 else:
                     chunk, lps, self.cache = self.s.decode_k_sample(
-                        tok_dev, self.cache, pos_c,
+                        tok_dev, self.cache, pos_dev,
                         jnp.asarray(keys), jnp.asarray(temp),
                         jnp.asarray(topk), jnp.asarray(topp))
-                burst.append((chunk, lps))
-                tok_dev = chunk[:, -1:]  # device slice — no host sync
-            self.decode_steps += chains
-            self.decode_bursts += 1
-            for chunk, lps in burst:
-                chunk_np = np.asarray(chunk)
-                lps_np = None if lps is None else np.asarray(lps)
-                for s in active:
-                    st = slots[s]
-                    if st is None:
-                        continue  # finished in an earlier burst chunk
-                    for j in range(k):
-                        pos[s] += 1
-                        if st["lps"] is not None:
-                            st["lps"].append(float(lps_np[s, j]))
-                        self._push(s, st, chunk_np[s:s + 1, j:j + 1])
-                        if slots[s] is None:
-                            break
+                return chunk, lps
+
+            self._run_burst(active, k, chains, dispatch)
             return
         logits, self.cache = self.s.decode_rows(
             jnp.asarray(toks), self.cache, jnp.asarray(pos))
@@ -1264,10 +1299,9 @@ class ContinuousLMServer:
         OpenAI convention). Responses keep request order."""
         if self.draft is not None:
             return self._serve_speculative(requests, default_new_tokens)
-        # whole-list validation FIRST: a bad request fails the call
-        # before any work happens (submit re-validates per request for
-        # the online path)
-        self._validate(requests, default_new_tokens)
+        # submit() validates each request BEFORE any device work runs
+        # (all submits precede the first step), so a bad request still
+        # fails the whole call up front — no separate batch validation
         t_start = time.perf_counter()
         eng = LMEngine(self, default_new_tokens)
         tickets = [eng.submit(req) for req in requests]
@@ -1295,7 +1329,6 @@ class ContinuousLMServer:
         open-world speculative pools) — per-slot draft/verify rounds in
         one shared device batch, outputs equal to target-only decode
         per request (the canonical stream; see SpecLMEngine)."""
-        self._validate(requests, default_new_tokens)
         t_start = time.perf_counter()
         eng = SpecLMEngine(self, default_new_tokens)
         tickets = [eng.submit(req) for req in requests]

@@ -848,6 +848,24 @@ def test_continuous_k_decode_matches_per_token(tmp_path, tiny_lm):
         ContinuousLMServer(out, n_slots=2, k_decode=4)
 
 
+def test_bucketed_refuses_slot_scheduler_fields(tmp_path, tiny_lm):
+    """The bucketed scheduler REFUSES stop/logprobs/eos (outside beam
+    requests) instead of silently mis-serving them — including the
+    falsy-but-real eos token id 0."""
+    from tempo_tpu.infer.serving import LMServer
+
+    out, model, params, cfg = tiny_lm
+    server = LMServer(out)
+    base = {"tokens": [3, 1, 4], "n_tokens": 4}
+    for bad in ({"stop": [[1, 2]]}, {"logprobs": True}, {"eos": 5},
+                {"eos": 0}):
+        with pytest.raises(ValueError, match="bucketed scheduler"):
+            server.serve_requests([dict(base, **bad)])
+    # beam requests keep their eos (honored inside beam_batch)
+    r = server.serve_requests([dict(base, beam_width=2, eos=0)])[0]
+    assert len(r["beams"]) == 2
+
+
 def test_drain_chaining_matches_unchained(tmp_path, tiny_lm):
     """Burst chaining: with nothing pending the fused engine dispatches
     several chunks back-to-back (device token slices feed the next
